@@ -1,0 +1,104 @@
+import pytest
+from pyspark.sql import functions as F
+
+from tg_data_connector_spark.lake import LakeTable, TableSchema
+from tg_data_connector_spark.lake.evolve import (
+    SchemaEvolutionError,
+    apply_schema_change,
+    evolved_schema,
+)
+
+SCHEMA = TableSchema(
+    [
+        ("doc_id", "string"),
+        ("tokens", "array<int>"),
+        ("n_tok", "int"),
+        ("source", "string"),
+    ]
+)
+
+
+def _seed(spark, n=50):
+    return spark.range(n).select(
+        F.concat(F.lit("d"), F.col("id")).alias("doc_id"),
+        F.array(F.col("id").cast("int"), F.lit(1)).alias("tokens"),
+        F.lit(2).alias("n_tok"),
+        F.lit("s0").alias("source"),
+    )
+
+
+def test_create_append_read(spark, tmp_table_root):
+    t = LakeTable.create(spark, tmp_table_root, SCHEMA, key="doc_id", n_buckets=4)
+    assert t.current_version() == 0
+    assert t.read().count() == 0
+    t.append(_seed(spark))
+    assert t.current_version() == 1
+    df = t.read()
+    assert df.count() == 50
+    assert df.columns == ["doc_id", "tokens", "n_tok", "source"]
+    row = df.where(F.col("doc_id") == "d7").collect()[0]
+    assert row["tokens"] == [7, 1]
+
+
+def test_bucket_pruned_read(spark, tmp_table_root):
+    t = LakeTable.create(spark, tmp_table_root, SCHEMA, key="doc_id", n_buckets=4)
+    t.append(_seed(spark))
+    snap = t.snapshot()
+    total = sum(f["rows"] for f in snap.files)
+    assert total == 50
+    b0 = t.read(buckets=[0]).count()
+    assert b0 == sum(f["rows"] for f in snap.files if f["bucket"] == 0)
+    assert 0 < b0 < 50
+
+
+def test_snapshot_isolation(spark, tmp_table_root):
+    t = LakeTable.create(spark, tmp_table_root, SCHEMA, key="doc_id", n_buckets=4)
+    t.append(_seed(spark, 10))
+    v1 = t.current_version()
+    t.append(_seed(spark, 5).withColumn("doc_id", F.concat(F.lit("x"), F.col("doc_id"))))
+    assert t.read(t.snapshot(v1)).count() == 10
+    assert t.read().count() == 15
+
+
+def test_evolve_add_and_widen(spark, tmp_table_root):
+    t = LakeTable.create(spark, tmp_table_root, SCHEMA, key="doc_id", n_buckets=4)
+    t.append(_seed(spark, 10))
+    apply_schema_change(t, '{"add_column": {"name": "lang", "type": "string"}}')
+    df = t.read()
+    assert "lang" in df.columns
+    assert df.where(F.col("lang").isNull()).count() == 10  # old files null-filled
+    apply_schema_change(t, '{"widen": {"name": "n_tok", "to": "bigint"}}')
+    assert dict(t.snapshot().schema().fields)["n_tok"] == "bigint"
+    assert t.read().schema["n_tok"].dataType.simpleString() == "bigint"
+    assert t.read().count() == 10
+    # idempotent re-apply is a no-op
+    assert apply_schema_change(t, '{"widen": {"name": "n_tok", "to": "bigint"}}') is None
+
+
+def test_evolve_rejects_unsafe(spark):
+    with pytest.raises(SchemaEvolutionError):
+        evolved_schema(SCHEMA, '{"widen": {"name": "n_tok", "to": "smallint"}}')
+    with pytest.raises(SchemaEvolutionError):
+        evolved_schema(SCHEMA, '{"add_column": {"name": "n_tok", "type": "int"}}')
+
+
+def test_crash_between_stage_and_publish_invisible(spark, tmp_table_root):
+    t = LakeTable.create(spark, tmp_table_root, SCHEMA, key="doc_id", n_buckets=4)
+    t.append(_seed(spark, 10))
+    v = t.current_version()
+    files = t.write_data_files(
+        _seed(spark, 3)
+        .withColumn("_lsn", F.lit(0).cast("bigint"))
+        .withColumn("_seq", F.lit(0).cast("bigint"))
+        .withColumn("_deleted", F.lit(False))
+        .withColumn("_b", F.lit(0)),
+        schema_id=1,
+    )
+    with pytest.raises(RuntimeError):
+        t.commit(files, replace_buckets=None, crash_before_publish=True)
+    # staged manifest exists but pointer never moved: readers see the old state
+    assert t.current_version() == v
+    assert t.read().count() == 10
+    # next commit skips over the orphaned version file and succeeds
+    t.append(_seed(spark, 2).withColumn("doc_id", F.concat(F.lit("y"), F.col("doc_id"))))
+    assert t.read().count() == 12

@@ -1,0 +1,170 @@
+"""End-to-end replay equivalence, crash/resume, out-of-order, idempotence,
+schema evolution — the SURVEY §5 test plan."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tg_data_connector_spark.cdc import (
+    ErrorLimit,
+    ReplayConfig,
+    ReplayEngine,
+    gen_changelog,
+    gen_seed_sequences,
+)
+from tg_data_connector_spark.cdc.genlog import with_binary_payload
+from tg_data_connector_spark.cdc.parse import parse_events
+from tg_data_connector_spark.cdc.quality import ErrorLimitExceeded, split_quarantine
+from tg_data_connector_spark.lake import LakeTable, TableSchema
+
+from oracle import oracle_final_state
+
+SCHEMA = TableSchema(
+    [
+        ("doc_id", "string"),
+        ("tokens", "array<int>"),
+        ("n_tok", "int"),
+        ("source", "string"),
+    ]
+)
+
+N_EVENTS, N_DOCS, N_PARTS = 4000, 600, 4
+
+
+def _setup(spark, root, seed_docs=300):
+    t = LakeTable.create(spark, root, SCHEMA, key="doc_id", n_buckets=8)
+    seed = gen_seed_sequences(spark, seed_docs)
+    t.append(seed)
+    return t, seed
+
+
+def _assert_equiv(engine_df, oracle_df):
+    e = engine_df.select("doc_id", "tokens", "n_tok", "source")
+    o = oracle_df.select("doc_id", "tokens", "n_tok", "source")
+    assert e.count() == o.count()
+    # exact per-row token-array equality via symmetric anti-joins on all columns
+    mism = e.exceptAll(o).count() + o.exceptAll(e).count()
+    assert mism == 0
+
+
+def test_replay_matches_oracle(spark, tmp_table_root):
+    t, seed = _setup(spark, tmp_table_root)
+    log = gen_changelog(spark, N_EVENTS, N_DOCS, n_parts=N_PARTS)
+    eng = ReplayEngine(spark, t, ReplayConfig(events_per_batch=1000))
+    reports = eng.replay(log, run_id="r1")
+    assert len(reports) == 4
+    assert sum(r.dirty for r in reports) > 0  # malformed events were quarantined
+    _assert_equiv(t.read(), oracle_final_state(seed, log))
+
+
+def test_replay_single_batch_same_result(spark, tmp_table_root):
+    """Batching must not change the final state (LWW associativity)."""
+    t, seed = _setup(spark, tmp_table_root)
+    log = gen_changelog(spark, N_EVENTS, N_DOCS, n_parts=N_PARTS)
+    eng = ReplayEngine(
+        spark, t, ReplayConfig(events_per_batch=10**9, salted_dedup=False)
+    )
+    eng.replay(log, run_id="r1")
+    _assert_equiv(t.read(), oracle_final_state(seed, log))
+
+
+def test_crash_before_publish_then_resume(spark, tmp_table_root):
+    t, seed = _setup(spark, tmp_table_root)
+    log = gen_changelog(spark, N_EVENTS, N_DOCS, n_parts=N_PARTS)
+    eng = ReplayEngine(spark, t, ReplayConfig(events_per_batch=1000))
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        eng.replay(log, run_id="r1", crash_before_publish_at=1)
+    wm_after_crash = t.snapshot().watermarks()
+    # batch 0 committed, batch 1 staged-but-unpublished: invisible
+    assert wm_after_crash and max(int(v) for v in wm_after_crash.values()) <= 249
+    eng.replay(log, run_id="r1")  # resume from watermarks
+    _assert_equiv(t.read(), oracle_final_state(seed, log))
+
+
+def test_crash_after_stage_then_resume(spark, tmp_table_root):
+    t, seed = _setup(spark, tmp_table_root)
+    log = gen_changelog(spark, N_EVENTS, N_DOCS, n_parts=N_PARTS)
+    eng = ReplayEngine(spark, t, ReplayConfig(events_per_batch=1000))
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        eng.replay(log, run_id="r1", crash_after_stage_at=2)
+    eng.replay(log, run_id="r1")
+    _assert_equiv(t.read(), oracle_final_state(seed, log))
+
+
+def test_full_rerun_is_noop(spark, tmp_table_root):
+    """Replaying an already-fully-applied log changes nothing (exactly-once)."""
+    t, seed = _setup(spark, tmp_table_root)
+    log = gen_changelog(spark, N_EVENTS, N_DOCS, n_parts=N_PARTS)
+    eng = ReplayEngine(spark, t, ReplayConfig(events_per_batch=1000))
+    eng.replay(log, run_id="r1")
+    v = t.current_version()
+    state = sorted(t.read().collect())
+    reports = eng.replay(log, run_id="r2")  # different run id, same offsets
+    assert all(r.events == 0 or r.skipped for r in reports) or reports == []
+    assert sorted(t.read().collect()) == state
+    # watermark filter leaves nothing: no data rewrite happened
+    assert all(f["path"] in {x["path"] for x in t.snapshot(v).files}
+               for f in t.snapshot().files)
+
+
+def test_out_of_order_shuffled_delivery(spark, tmp_table_root):
+    """Same events in a scrambled delivery order -> same final state."""
+    t, seed = _setup(spark, tmp_table_root)
+    log = gen_changelog(spark, N_EVENTS, N_DOCS, n_parts=N_PARTS)
+    # scramble: re-derive offset from a permutation of event order
+    scrambled = (
+        log.withColumn("offset", F.pmod(F.col("event_id") * 7 + 13, F.lit(4001)))
+    )
+    eng = ReplayEngine(spark, t, ReplayConfig(events_per_batch=1000))
+    eng.replay(scrambled, run_id="r1")
+    _assert_equiv(t.read(), oracle_final_state(seed, log))
+
+
+def test_vectorized_payload_parse_path(spark, tmp_table_root):
+    """Changelog delivered as binary payloads -> pandas_udf decode -> same state."""
+    t, seed = _setup(spark, tmp_table_root)
+    log = gen_changelog(spark, 2000, N_DOCS, n_parts=N_PARTS)
+    raw = with_binary_payload(log).drop("tokens")
+    decoded = parse_events(raw)
+    # decode is exact: compare against the directly generated arrays
+    orig = log.select("event_id", "offset", "tokens")
+    back = decoded.select("event_id", "offset", "tokens")
+    assert orig.exceptAll(back).count() == 0 and back.exceptAll(orig).count() == 0
+    eng = ReplayEngine(spark, t, ReplayConfig(events_per_batch=1000, parse_payload=True))
+    eng.replay(raw, run_id="r1")
+    _assert_equiv(t.read(), oracle_final_state(seed, log))
+
+
+def test_schema_evolution_mid_replay(spark, tmp_table_root):
+    t, seed = _setup(spark, tmp_table_root)
+    log = gen_changelog(spark, 2000, N_DOCS, n_parts=N_PARTS, with_schema_change=True)
+    eng = ReplayEngine(spark, t, ReplayConfig(events_per_batch=500))
+    reports = eng.replay(log, run_id="r1")
+    assert sum(r.schema_changes for r in reports) == 1
+    df = t.read()
+    assert "lang" in df.columns  # added column, null-filled everywhere
+    _assert_equiv(df, oracle_final_state(seed, log))
+
+
+def test_error_limit_enforced(spark, tmp_table_root):
+    t, _ = _setup(spark, tmp_table_root)
+    log = gen_changelog(spark, N_EVENTS, N_DOCS, n_parts=N_PARTS)
+    eng = ReplayEngine(
+        spark, t, ReplayConfig(events_per_batch=1000, error_limit=ErrorLimit(record=0))
+    )
+    with pytest.raises(ErrorLimitExceeded):
+        eng.replay(log, run_id="r1")
+
+
+def test_quarantine_contents(spark, tmp_table_root, tmp_path):
+    t, _ = _setup(spark, tmp_table_root)
+    qdir = str(tmp_path / "quarantine")
+    log = gen_changelog(spark, N_EVENTS, N_DOCS, n_parts=N_PARTS)
+    eng = ReplayEngine(
+        spark, t, ReplayConfig(events_per_batch=1000, quarantine_dir=qdir)
+    )
+    reports = eng.replay(log, run_id="r1")
+    q = spark.read.parquet(qdir)
+    assert q.count() == sum(r.dirty for r in reports) > 0
+    # every quarantined row violates the invariant
+    clean, dirty = split_quarantine(q.drop("_batch_id"))
+    assert clean.count() == 0

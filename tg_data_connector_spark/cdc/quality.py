@@ -1,0 +1,70 @@
+"""Dirty-record quarantine + error-limit policy.
+
+Mirrors the reference's dirty-record machinery:
+  * any per-record failure is collected, not fatal (``TaskPluginCollector`` SPI;
+    call sites ``CommonRdbmsReader.java:344``,
+    ``UnstructuredStorageReaderUtil.java:476-488``, ``CommonRdbmsWriter.java:386``);
+  * the job fails only when dirty counts exceed ``errorLimit.record`` (absolute)
+    or ``errorLimit.percentage`` — and the absolute record limit has priority
+    (``core/.../util/ErrorRecordChecker.java:25-81``, checked from
+    ``JobContainer.checkLimit`` ``JobContainer.java:965-969``).
+
+Spark-first expression: ONE predicate column computed once, then two pushed-down
+filters — Catalyst dedups the common subplan and both scans prune columns; no
+row-at-a-time collector, no accumulators in the data path. Counts come from the
+quarantine side's own aggregation (exact, deterministic under task retry —
+unlike Spark accumulators, which can double-count).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+class ErrorLimitExceeded(RuntimeError):
+    pass
+
+
+@dataclass
+class ErrorLimit:
+    """errorLimit config: record (absolute) overrides percentage
+    (``ErrorRecordChecker.java:39-45``: record limit checked first)."""
+
+    record: int | None = None
+    percentage: float | None = None
+
+    def check(self, dirty: int, total: int) -> None:
+        if self.record is not None and dirty > self.record:
+            raise ErrorLimitExceeded(
+                f"dirty records {dirty} > errorLimit.record {self.record}"
+            )
+        if self.percentage is not None and total > 0 and dirty / total > self.percentage:
+            raise ErrorLimitExceeded(
+                f"dirty fraction {dirty / total:.4f} > errorLimit.percentage "
+                f"{self.percentage}"
+            )
+
+
+def dirty_predicate() -> Column:
+    """An event is dirty when it violates the changelog contract:
+    I/U must carry a doc_id and a token array whose size equals n_tok;
+    D must carry a doc_id. (FIXTURES.md F2 malformed cases.)"""
+    iu = F.col("op").isin("I", "U")
+    bad_iu = iu & (
+        F.col("doc_id").isNull()
+        | F.col("tokens").isNull()
+        | (F.size(F.col("tokens")) != F.col("n_tok"))
+    )
+    bad_d = (F.col("op") == "D") & F.col("doc_id").isNull()
+    bad_op = ~F.col("op").isin("I", "U", "D", "S")
+    return bad_iu | bad_d | bad_op
+
+
+def split_quarantine(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(clean, dirty). Both sides are lazy single-pass filters over the same
+    scan; callers count the dirty side once per batch for the errorLimit check."""
+    p = dirty_predicate()
+    return df.where(~p), df.where(p)

@@ -1,0 +1,261 @@
+"""Change-log replay driver: the engine's main loop.
+
+Plays the role of the reference's JobContainer/TaskGroupContainer pipeline
+(``JobContainer.java:95-186`` init -> split -> schedule -> post;
+``TaskGroupContainer.java:92-298`` per-task reader->channel->writer threads) —
+but where the reference hand-schedules threads around a bounded queue, here each
+batch is ONE declarative DataFrame plan (parse -> quarantine -> dedup -> merge)
+and Spark's scheduler owns parallelism. The reference's byte/record throttling
+(``Channel.statPush`` ``Channel.java:176-239``) maps to ``events_per_batch``.
+
+Exactly-once protocol (the part the reference lacks — its failover is allowed
+only when the writer is idempotent, ``TigerGraphWriter.java:277-281``; here
+idempotence is constructed):
+  1. the snapshot summary carries per-part high-watermarks {part -> max offset
+     applied} and the applied batch-id list;
+  2. a batch's events are pre-filtered to ``offset > watermark[part]`` — replayed
+     input after a crash contributes nothing;
+  3. a batch whose batch_id is already in the summary is skipped entirely;
+  4. MERGE itself is LWW-idempotent: re-applying the same deduped batch is a
+     no-op on row values;
+  5. commit is a single atomic pointer swap — a crash between staging files and
+     publishing leaves the old snapshot current, and the re-run re-stages.
+Any one of 2/3/4 alone gives exactly-once; they are layered defensively.
+
+Schema-change events (`op='S'`) split a batch: events are applied in
+(commit_lsn, seq_no) sub-batches around each schema change so no data event is
+merged under the wrong schema (SURVEY §7 hard-part (b)).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..lake.evolve import apply_schema_change
+from ..lake.merge import merge_upsert
+from ..lake.table import LakeTable
+from .dedup import lww_dedup, lww_dedup_salted
+from .parse import parse_events
+from .quality import ErrorLimit, split_quarantine
+
+CORE_COLS = ["doc_id", "tokens", "n_tok", "source"]
+
+
+@dataclass
+class ReplayConfig:
+    events_per_batch: int = 1_000_000
+    salted_dedup: bool = True
+    salt_buckets: int = 16
+    error_limit: ErrorLimit = field(default_factory=lambda: ErrorLimit(percentage=0.05))
+    quarantine_dir: str | None = None
+    parse_payload: bool = False  # input carries binary payload -> vectorized parse
+
+
+@dataclass
+class BatchReport:
+    batch_id: str
+    events: int
+    dirty: int
+    deduped_keys: int
+    seconds: float
+    skipped: bool = False
+    schema_changes: int = 0
+
+
+class ReplayEngine:
+    def __init__(self, spark: SparkSession, table: LakeTable, config: ReplayConfig):
+        self.spark = spark
+        self.table = table
+        self.cfg = config
+
+    # ---------- watermark filtering ----------
+    def _unapplied(self, changelog: DataFrame) -> DataFrame:
+        """Filter to events beyond each part's high-watermark. The watermark map
+        is tiny (one row per source partition) -> broadcast join, no shuffle of
+        the big side beyond what the scan already does."""
+        wm = self.table.snapshot().watermarks()
+        if not wm:
+            return changelog
+        wdf = self.spark.createDataFrame(
+            [(int(k), int(v)) for k, v in wm.items()], "part int, _wm bigint"
+        )
+        return (
+            changelog.join(F.broadcast(wdf), "part", "left")
+            .where(F.col("_wm").isNull() | (F.col("offset") > F.col("_wm")))
+            .drop("_wm")
+        )
+
+    def _offset_bounds(self, changelog: DataFrame) -> tuple[int, int]:
+        row = changelog.agg(
+            F.min("offset").alias("lo"), F.max("offset").alias("hi")
+        ).collect()[0]
+        return (row["lo"], row["hi"]) if row["lo"] is not None else (0, -1)
+
+    # ---------- one batch ----------
+    def apply_batch(
+        self,
+        batch: DataFrame,
+        batch_id: str,
+        crash_before_publish: bool = False,
+        crash_after_stage: bool = False,
+    ) -> BatchReport:
+        t0 = time.time()
+        snap = self.table.snapshot()
+        if batch_id in snap.applied_batches():
+            return BatchReport(batch_id, 0, 0, 0, time.time() - t0, skipped=True)
+
+        if self.cfg.parse_payload:
+            batch = parse_events(batch)
+
+        clean, dirty = split_quarantine(batch)
+        dirty_n = dirty.count()
+        if self.cfg.quarantine_dir and dirty_n:
+            dirty.withColumn("_batch_id", F.lit(batch_id)).write.mode("append").parquet(
+                self.cfg.quarantine_dir
+            )
+
+        # schema-change events order sub-batches; they are few -> driver-side list
+        schema_events = []
+        if "schema_change" in clean.columns:
+            schema_events = (
+                clean.where(F.col("op") == "S")
+                .select("commit_lsn", "seq_no", "schema_change")
+                .collect()
+            )
+            schema_events.sort(key=lambda r: (r["commit_lsn"], r["seq_no"]))
+            clean = clean.where(F.col("op") != "S")
+
+        # watermarks advanced by this batch (per part), computed before merge
+        wm_rows = batch.groupBy("part").agg(F.max("offset").alias("hwm")).collect()
+        watermarks = {int(r["part"]): int(r["hwm"]) for r in wm_rows}
+        events_n = batch.count()
+        self.cfg.error_limit.check(dirty_n, max(events_n, 1))
+
+        deduped_total = 0
+        bounds = [(r["commit_lsn"], r["seq_no"]) for r in schema_events]
+        for k in range(len(bounds) + 1):
+            sub = clean
+            if k > 0:
+                lsn, seq = bounds[k - 1]
+                sub = sub.where(
+                    F.struct(F.col("commit_lsn"), F.col("seq_no"))
+                    > F.struct(F.lit(lsn).cast("bigint"), F.lit(seq).cast("bigint"))
+                )
+            if k < len(bounds):
+                lsn, seq = bounds[k]
+                sub = sub.where(
+                    F.struct(F.col("commit_lsn"), F.col("seq_no"))
+                    < F.struct(F.lit(lsn).cast("bigint"), F.lit(seq).cast("bigint"))
+                )
+            deduped_total += self._merge_sub_batch(
+                sub,
+                batch_id=f"{batch_id}/{k}" if bounds else batch_id,
+                watermarks=watermarks if k == len(bounds) else None,
+                final=(k == len(bounds)),
+                batch_meta={"events": events_n, "dirty": dirty_n},
+                crash_before_publish=crash_before_publish,
+                crash_after_stage=crash_after_stage,
+            )
+            if k < len(bounds):
+                apply_schema_change(self.table, schema_events[k]["schema_change"])
+
+        return BatchReport(
+            batch_id,
+            events_n,
+            dirty_n,
+            deduped_total,
+            time.time() - t0,
+            schema_changes=len(bounds),
+        )
+
+    def _merge_sub_batch(
+        self,
+        sub: DataFrame,
+        batch_id: str,
+        watermarks: dict | None,
+        final: bool,
+        batch_meta: dict,
+        crash_before_publish: bool,
+        crash_after_stage: bool,
+    ) -> int:
+        schema = self.table.snapshot().schema()
+        cols = schema.names()
+        src_cols = []
+        for c in cols:
+            if c in sub.columns:
+                src_cols.append(F.col(c))
+            elif "extra" in sub.columns:
+                # evolved column delivered in the semi-structured after-image
+                typ = dict(schema.fields)[c]
+                src_cols.append(
+                    F.try_element_at(F.col("extra"), F.lit(c)).try_cast(typ).alias(c)
+                )
+            else:
+                typ = dict(schema.fields)[c]
+                src_cols.append(F.lit(None).cast(typ).alias(c))
+        src = sub.select(*src_cols, "op", "commit_lsn", "seq_no")
+        deduped = (
+            lww_dedup_salted(src, "doc_id", self.cfg.salt_buckets)
+            if self.cfg.salted_dedup
+            else lww_dedup(src, "doc_id")
+        )
+        summary = {"batch_id": batch_id, "metrics": batch_meta} if final else {
+            "batch_id": batch_id
+        }
+        if final and watermarks is not None:
+            summary["watermarks"] = watermarks
+        snap = merge_upsert(
+            self.table,
+            deduped,
+            summary_update=summary,
+            crash_before_publish=crash_before_publish and final,
+            crash_after_stage=crash_after_stage and final,
+        )
+        if snap is None and final and watermarks is not None:
+            # nothing to merge but the watermark still advances (all-dirty or
+            # empty range): commit a data-less snapshot carrying it
+            self.table.commit([], replace_buckets=None, summary_update=summary)
+        return 0 if snap is None else 1
+
+    # ---------- full replay ----------
+    def replay(
+        self,
+        changelog: DataFrame,
+        run_id: str = "run",
+        max_batches: int | None = None,
+        crash_before_publish_at: int | None = None,
+        crash_after_stage_at: int | None = None,
+    ) -> list[BatchReport]:
+        """Apply the whole (remaining) changelog in offset-window batches.
+        Resumable: re-invoking after a crash continues from the snapshot's
+        watermarks. Batch ids are deterministic -> replays are idempotent."""
+        n_parts = changelog.select(F.max("part")).collect()[0][0]
+        n_parts = (n_parts or 0) + 1
+        per_part = max(1, self.cfg.events_per_batch // n_parts)
+        remaining = self._unapplied(changelog)
+        lo, hi = self._offset_bounds(remaining)
+        reports: list[BatchReport] = []
+        if hi < lo:
+            return reports
+        b = 0
+        for start in range(lo, hi + 1, per_part):
+            end = min(start + per_part - 1, hi)
+            batch_id = f"{run_id}:off[{start}-{end}]"
+            batch = remaining.where(
+                (F.col("offset") >= start) & (F.col("offset") <= end)
+            )
+            rep = self.apply_batch(
+                batch,
+                batch_id,
+                crash_before_publish=(crash_before_publish_at == b),
+                crash_after_stage=(crash_after_stage_at == b),
+            )
+            reports.append(rep)
+            b += 1
+            if max_batches is not None and b >= max_batches:
+                break
+        return reports

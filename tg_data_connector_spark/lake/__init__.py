@@ -1,0 +1,2 @@
+from .table import LakeTable, Snapshot, TableSchema  # noqa: F401
+from .merge import merge_upsert  # noqa: F401

@@ -1,0 +1,125 @@
+"""MERGE upsert with last-writer-wins (LWW) resolution.
+
+Implements the Iceberg-``MERGE INTO`` semantics the north rule requires:
+  matched + source newer + op in (I, U)  -> UPDATE (replace payload, bump lineage)
+  matched + source newer + op = D        -> DELETE
+  matched + source older/equal           -> keep target row (late event ignored)
+  not matched + op in (I, U)             -> INSERT
+  not matched + op = D                   -> no-op (delete of absent key)
+
+"Newer" is the lexicographic order on (commit_lsn, seq_no) — the reference's
+upsert is MySQL ``INSERT ... ON DUPLICATE KEY UPDATE`` built in
+``plugin-rdbms-util/.../writer/util/WriterUtil.java:148-168``, which is
+last-arrival-wins; we strengthen it to LWW on an explicit version pair so
+out-of-order and retried batches converge to the same state.
+
+Scale strategy (copy-on-write at bucket granularity):
+  * the source batch is deduplicated to ONE row per key (precondition — Iceberg
+    MERGE has the same cardinality requirement; ``cdc/dedup.py`` enforces it);
+  * only buckets containing source keys are read and rewritten — at 10^10 rows
+    in 2^k buckets a batch touching b buckets scans b/2^k of the table;
+  * the join is a full-outer on the key *within co-bucketed data*: both sides are
+    repartitioned by the same bucket expression, so AQE plans a shuffle join whose
+    effective width is the batch, not the table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .table import (
+    BUCKET_COL,
+    DELETED_COL,
+    LSN_COL,
+    SEQ_COL,
+    LakeTable,
+    Snapshot,
+    bucket_expr,
+)
+
+OP_COL = "op"
+
+
+def merge_upsert(
+    table: LakeTable,
+    src: DataFrame,
+    summary_update: dict | None = None,
+    crash_before_publish: bool = False,
+    crash_after_stage: bool = False,
+) -> Snapshot | None:
+    """Apply one deduplicated change batch to the table and commit a snapshot.
+
+    ``src`` columns: the table's current schema columns + ``op`` (I/U/D) +
+    ``commit_lsn`` + ``seq_no``. Exactly one row per key (assert upstream).
+    Returns the committed snapshot, or None for an empty batch.
+    """
+    meta = table.meta()
+    key, nb = meta["key"], meta["buckets"]
+    snap = table.snapshot()
+    schema = snap.schema()
+    cols = schema.names()
+
+    src = src.withColumn(BUCKET_COL, bucket_expr(key, nb))
+    affected = [r[0] for r in src.select(BUCKET_COL).distinct().collect()]
+    if not affected:
+        return None
+
+    tgt = table.read(snapshot=snap, buckets=affected, with_lineage=True).withColumn(
+        BUCKET_COL, bucket_expr(key, nb)
+    )
+
+    s = src.select(
+        F.col(key).alias("_s_key"),
+        F.col(BUCKET_COL).alias("_s_b"),
+        F.col(OP_COL).alias("_s_op"),
+        F.col("commit_lsn").cast("bigint").alias("_s_lsn"),
+        F.col("seq_no").cast("bigint").alias("_s_seq"),
+        *[F.col(c).alias(f"_s_{c}") for c in cols if c != key],
+    )
+    j = tgt.join(
+        s, (tgt[key] == s["_s_key"]) & (tgt[BUCKET_COL] == s["_s_b"]), "full_outer"
+    )
+
+    src_wins = F.col("_s_key").isNotNull() & (
+        F.col(key).isNull()
+        | (
+            F.struct(F.col("_s_lsn"), F.col("_s_seq"))
+            > F.struct(F.col(LSN_COL), F.col(SEQ_COL))
+        )
+    )
+    src_is_del = F.col("_s_op") == F.lit("D")
+    take_src = src_wins & ~src_is_del
+
+    # Deletes become tombstones (payload nulled, _deleted=true, delete's version
+    # retained) so a later-arriving but older-versioned UPDATE cannot resurrect
+    # the row. An unmatched DELETE also inserts a tombstone for the same reason.
+    out_cols = [F.coalesce(F.col(key), F.col("_s_key")).alias(key)]
+    for c in cols:
+        if c == key:
+            continue
+        out_cols.append(
+            F.when(take_src, F.col(f"_s_{c}"))
+            .when(src_wins & src_is_del, F.lit(None))
+            .otherwise(F.col(c))
+            .alias(c)
+        )
+    out_cols += [
+        F.when(src_wins, F.col("_s_lsn")).otherwise(F.col(LSN_COL)).cast("bigint").alias(LSN_COL),
+        F.when(src_wins, F.col("_s_seq")).otherwise(F.col(SEQ_COL)).cast("bigint").alias(SEQ_COL),
+        F.when(src_wins, src_is_del)
+        .otherwise(F.coalesce(F.col(DELETED_COL), F.lit(False)))
+        .alias(DELETED_COL),
+        F.coalesce(F.col(BUCKET_COL), F.col("_s_b")).alias(BUCKET_COL),
+    ]
+    merged = j.select(out_cols)
+
+    files = table.write_data_files(
+        merged, snap.schema_id, crash_after_stage=crash_after_stage
+    )
+    return table.commit(
+        files,
+        replace_buckets=affected,
+        summary_update=summary_update,
+        crash_before_publish=crash_before_publish,
+    )

@@ -1,0 +1,97 @@
+"""Partitioned-scan planning: the reference's splitPk machinery, Spark-first.
+
+The reference plans JDBC parallelism by querying ``SELECT MIN(pk), MAX(pk)`` and
+cutting equal-width BigInteger ranges (``SingleTableSplitUtil.java:33-124``,
+math in ``RangeSplitUtil.java:43-93``), adding one extra slice for ``pk IS
+NULL`` (``:109-121``), splitting string PKs in a radix-128 ASCII space
+(``RangeSplitUtil.java:105-128``), and — for Oracle — sampling quantile points
+instead (equi-depth, ``SingleTableSplitUtil.java:294-389``).
+
+Spark's ``DataFrameReader.jdbc`` has the numeric case built in
+(column/lowerBound/upperBound/numPartitions). What Spark lacks and we provide:
+  * the NULL slice + closed-form predicate list (for the ``predicates=[...]``
+    overload) matching the reference's WHERE shapes;
+  * equi-depth split points from ``approxQuantile`` over any keyed DataFrame —
+    the Spark-native version of Oracle SAMPLE(): same Monte-Carlo idea, but
+    distributed and source-agnostic;
+  * these run against any keyed DataFrame (parquet stands in for JDBC in tests;
+    with a real driver on the classpath the same predicates feed
+    ``spark.read.jdbc(url, table, predicates=...)``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def range_split_predicates(
+    min_v: int, max_v: int, n: int, pk: str, include_null_slice: bool = True
+) -> list[str]:
+    """Equal-width ranges over [min_v, max_v], left-closed/right-open except the
+    last (closed) — the reference emits `pk >= lo AND pk < hi` slices with a
+    final closed slice and a dedicated NULL slice."""
+    if max_v < min_v:
+        preds = []
+    elif n <= 1 or max_v == min_v:
+        preds = [f"{pk} >= {min_v} AND {pk} <= {max_v}"]
+    else:
+        width = (max_v - min_v) // n
+        cuts = [min_v + i * width for i in range(n)] + [max_v]
+        preds = []
+        for i in range(n):
+            lo, hi = cuts[i], cuts[i + 1]
+            if i == n - 1:
+                preds.append(f"{pk} >= {lo} AND {pk} <= {hi}")
+            else:
+                preds.append(f"{pk} >= {lo} AND {pk} < {hi}")
+    if include_null_slice:
+        preds.append(f"{pk} IS NULL")
+    return preds
+
+
+def quantile_split_predicates(
+    df: DataFrame, pk: str, n: int, error: float = 0.001, include_null_slice: bool = True
+) -> list[str]:
+    """Equi-depth split points via approxQuantile (Greenwald-Khanna sketch, one
+    pass, distributed) — the Spark-native stand-in for Oracle
+    ``SAMPLE(0.1%) ORDER BY DBMS_RANDOM.VALUE``."""
+    probs = [i / n for i in range(1, n)]
+    qs = df.stat.approxQuantile(pk, probs, error) if n > 1 else []
+    cuts = sorted(set(int(q) for q in qs))
+    preds = []
+    lo = None
+    for c in cuts:
+        if lo is None:
+            preds.append(f"{pk} < {c}")
+        else:
+            preds.append(f"{pk} >= {lo} AND {pk} < {c}")
+        lo = c
+    preds.append(f"{pk} >= {lo}" if lo is not None else f"{pk} IS NOT NULL")
+    if include_null_slice:
+        preds.append(f"{pk} IS NULL")
+    return preds
+
+
+def read_jdbc_split(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    pk: str,
+    num_partitions: int,
+    properties: dict | None = None,
+    lower: int | None = None,
+    upper: int | None = None,
+) -> DataFrame:
+    """Partitioned JDBC read (requires a JDBC driver jar on the classpath).
+    When bounds are not given, they are fetched with a MIN/MAX pushdown query —
+    exactly the reference's ``genPKSql`` (``SingleTableSplitUtil.java:279-289``)."""
+    props = properties or {}
+    if lower is None or upper is None:
+        bounds = spark.read.jdbc(
+            url,
+            f"(SELECT MIN({pk}) AS lo, MAX({pk}) AS hi FROM {table}) b",
+            properties=props,
+        ).collect()[0]
+        lower, upper = int(bounds["lo"]), int(bounds["hi"])
+    preds = range_split_predicates(lower, upper, num_partitions, pk)
+    return spark.read.jdbc(url, table, predicates=preds, properties=props)
