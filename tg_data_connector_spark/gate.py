@@ -1,0 +1,713 @@
+"""Driver-gate query implementations + DuckDB oracle SQL.
+
+Every queries() entry in __spark_entry__.py maps to a function here; every
+oracle_sql() entry to a SQL string builder. The pairs are written so that the
+numeric results are ENGINE-IDENTICAL (not merely approximately equal):
+
+  * hashing goes through md5-prefix-as-int (identical in Spark and DuckDB);
+  * embedding math is integer-quantized (round(x*1000) -> exact bigint dot
+    products; the only floats are final divisions of identical integers);
+  * floating aggregates are rounded AFTER aggregation with matching round();
+  * ranks order by the ROUNDED value with an id tie-break, so top-k cuts are
+    deterministic on both engines.
+
+CDC entries derive a deterministic changelog from the `events` table with
+closed-form column arithmetic (the same formula is written in both dialects),
+seed the target from `documents`, run the REAL engine (LakeTable +
+ReplayEngine, snapshot commits and all) into a temp dir, and compare its final
+table against a windowed SQL oracle.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .cdc.dedup import lww_dedup
+from .cdc.quality import dirty_predicate
+from .cdc.replay import ReplayConfig, ReplayEngine
+from .functions.hashing import MINHASH_P, hash32, perm_params, shingles
+from .lake import LakeTable, TableSchema
+from .operators.dedup_text import (
+    dedup_exact,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_dedup,
+)
+from .operators.similarity import brute_force_topk, lsh_ann_topk
+from .operators.text import (
+    STOPWORDS,
+    bpe_ish_token_count,
+    fingerprint64,
+    lang_id,
+    quality_features,
+    token_count,
+)
+from .operators.transformers import dx_filter, dx_pad, dx_replace, dx_substr
+
+# ---------------------------------------------------------------- CDC shapes
+K_DOCS = 500  # key-space size: doc_id = 'd' || lpad(user_id % K, 8, '0')
+N_PARTS = 4
+TOK_MOD = 997
+
+SEQ_SCHEMA = TableSchema(
+    [
+        ("doc_id", "string"),
+        ("tokens", "array<int>"),
+        ("n_tok", "int"),
+        ("source", "string"),
+    ]
+)
+
+
+def _t(sf_dir: str, name: str) -> str:
+    return f"{sf_dir}/{name}.parquet"
+
+
+def derive_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic changelog derived from `events` by closed-form arithmetic
+    (mirrored in SQL by CHANGELOG_SQL)."""
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    e = F.col("event_id")
+    is_d = (e % 10) < 1
+    n = (F.lit(1) + e % 17).cast("int")
+    tokens = F.transform(
+        F.sequence(F.lit(0), (e % 17).cast("int")),
+        lambda i: ((e * 31 + i * 7) % TOK_MOD).cast("int"),
+    )
+    return ev.select(
+        e.alias("event_id"),
+        F.when(is_d, "D").when((e % 10) < 4, "I").otherwise(F.lit("U")).alias("op"),
+        e.cast("bigint").alias("commit_lsn"),
+        (e % 7).cast("bigint").alias("seq_no"),
+        F.concat(
+            F.lit("d"), F.lpad((F.col("user_id") % K_DOCS).cast("string"), 8, "0")
+        ).alias("doc_id"),
+        F.when(is_d, F.lit(None)).otherwise(tokens).alias("tokens"),
+        F.when(is_d, F.lit(None))
+        .when(e % 97 == 96, n + 1)  # malformed: n_tok != size(tokens) -> quarantine
+        .otherwise(n)
+        .cast("int")
+        .alias("n_tok"),
+        F.col("event_type").alias("source"),
+        (e % N_PARTS).cast("int").alias("part"),
+        F.floor(e / N_PARTS).cast("bigint").alias("offset"),
+    )
+
+
+CHANGELOG_SQL = f"""
+  SELECT event_id,
+    CASE WHEN event_id % 10 < 1 THEN 'D'
+         WHEN event_id % 10 < 4 THEN 'I' ELSE 'U' END AS op,
+    CAST(event_id AS BIGINT) AS commit_lsn,
+    CAST(event_id % 7 AS BIGINT) AS seq_no,
+    'd' || lpad(CAST(user_id % {K_DOCS} AS VARCHAR), 8, '0') AS doc_id,
+    CASE WHEN event_id % 10 < 1 THEN NULL
+         ELSE list_transform(range(0, CAST(1 + event_id % 17 AS BIGINT)),
+                             i -> (event_id*31 + i*7) % {TOK_MOD}) END AS tokens,
+    CASE WHEN event_id % 10 < 1 THEN NULL
+         WHEN event_id % 97 = 96 THEN CAST(2 + event_id % 17 AS INT)
+         ELSE CAST(1 + event_id % 17 AS INT) END AS n_tok,
+    event_type AS source,
+    CAST(event_id % {N_PARTS} AS INT) AS part,
+    CAST(event_id // {N_PARTS} AS BIGINT) AS off
+  FROM events
+"""
+
+DIRTY_SQL = "(op <> 'D' AND event_id % 97 = 96)"
+
+
+def derive_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seed rows for the target table, one per key, derived from `documents`."""
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    base = docs.groupBy((F.col("doc_id") % K_DOCS).alias("k")).agg(
+        F.min("doc_id").alias("m")
+    )
+    m = F.col("m")
+    return base.select(
+        F.concat(F.lit("d"), F.lpad(F.col("k").cast("string"), 8, "0")).alias("doc_id"),
+        F.transform(
+            F.sequence(F.lit(0), (m % 13).cast("int")),
+            lambda i: ((m * 101 + i * 3) % TOK_MOD).cast("int"),
+        ).alias("tokens"),
+        (F.lit(1) + m % 13).cast("int").alias("n_tok"),
+        F.lit("seed").alias("source"),
+    )
+
+
+SEED_SQL = f"""
+  SELECT 'd' || lpad(CAST(k AS VARCHAR), 8, '0') AS doc_id,
+         list_transform(range(0, CAST(1 + m % 13 AS BIGINT)),
+                        i -> (m*101 + i*3) % {TOK_MOD}) AS tokens,
+         CAST(1 + m % 13 AS INT) AS n_tok,
+         'seed' AS source
+  FROM (SELECT doc_id % {K_DOCS} AS k, min(doc_id) AS m FROM documents GROUP BY 1)
+"""
+
+_CSV = "array_to_string(tokens, ',')"  # duckdb; spark uses array_join
+
+
+def _csv(col):
+    return F.array_join(col, ",")
+
+
+# ---------------------------------------------------------------- CDC queries
+def q_cdc_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    log = derive_changelog(spark, sf_dir)
+    return log.select(
+        "event_id",
+        "op",
+        "commit_lsn",
+        "seq_no",
+        "doc_id",
+        _csv(F.col("tokens")).alias("tokens_csv"),
+        "n_tok",
+        "source",
+        "part",
+        F.col("offset").alias("off"),
+    )
+
+
+def sql_cdc_changelog() -> str:
+    return f"""
+    WITH log AS ({CHANGELOG_SQL})
+    SELECT event_id, op, commit_lsn, seq_no, doc_id,
+           {_CSV} AS tokens_csv, n_tok, source, part, off
+    FROM log
+    """
+
+
+def q_cdc_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirty-record split counts by op — exercises the generic quarantine
+    predicate (engine side) vs the closed-form dirty definition (oracle)."""
+    log = derive_changelog(spark, sf_dir)
+    return (
+        log.where(dirty_predicate())
+        .groupBy("op")
+        .agg(F.count("*").alias("n_dirty"))
+    )
+
+
+def sql_cdc_quarantine() -> str:
+    return f"""
+    WITH log AS ({CHANGELOG_SQL})
+    SELECT op, count(*) AS n_dirty FROM log WHERE {DIRTY_SQL} GROUP BY op
+    """
+
+
+def q_cdc_lww_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    log = derive_changelog(spark, sf_dir).where(~dirty_predicate())
+    src = log.select("doc_id", "op", "commit_lsn", "seq_no", "tokens", "n_tok", "source")
+    latest = lww_dedup(src, "doc_id")
+    return latest.select(
+        "doc_id",
+        "op",
+        "commit_lsn",
+        "seq_no",
+        _csv(F.col("tokens")).alias("tokens_csv"),
+        "n_tok",
+        "source",
+    )
+
+
+def sql_cdc_lww_dedup() -> str:
+    return f"""
+    WITH log AS ({CHANGELOG_SQL}),
+    clean AS (SELECT * FROM log WHERE NOT {DIRTY_SQL})
+    SELECT doc_id, op, commit_lsn, seq_no, {_CSV} AS tokens_csv, n_tok, source
+    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                    ORDER BY commit_lsn DESC, seq_no DESC) AS rn FROM clean)
+    WHERE rn = 1
+    """
+
+
+def q_cdc_merge_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE flagship: run the real engine (snapshot table, batched replay with
+    watermark commits) and return the final table state."""
+    root = tempfile.mkdtemp(prefix="tgspark_gate_")
+    table = LakeTable.create(spark, f"{root}/seq", SEQ_SCHEMA, key="doc_id", n_buckets=16)
+    table.append(derive_seed(spark, sf_dir), lsn_col=F.lit(-1), seq_col=F.lit(0))
+    eng = ReplayEngine(
+        spark, table, ReplayConfig(events_per_batch=50_000, salted_dedup=True)
+    )
+    eng.replay(derive_changelog(spark, sf_dir), run_id="gate")
+    final = table.read()
+    return final.select(
+        "doc_id", _csv(F.col("tokens")).alias("tokens_csv"), "n_tok", "source"
+    )
+
+
+def sql_cdc_merge_final_state() -> str:
+    return f"""
+    WITH log AS ({CHANGELOG_SQL}),
+    clean AS (SELECT * FROM log WHERE NOT {DIRTY_SQL}),
+    latest AS (
+      SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                     ORDER BY commit_lsn DESC, seq_no DESC) AS rn FROM clean)
+      WHERE rn = 1),
+    seed AS ({SEED_SQL})
+    SELECT doc_id, {_CSV} AS tokens_csv, n_tok, source FROM latest WHERE op <> 'D'
+    UNION ALL
+    SELECT s.doc_id, array_to_string(s.tokens, ',') AS tokens_csv, s.n_tok, s.source
+    FROM seed s ANTI JOIN latest l ON s.doc_id = l.doc_id
+    """
+
+
+def q_cdc_watermarks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    log = derive_changelog(spark, sf_dir)
+    return log.groupBy("part").agg(
+        F.max("offset").alias("hwm"), F.count("*").alias("n_events")
+    )
+
+
+def sql_cdc_watermarks() -> str:
+    return f"""
+    WITH log AS ({CHANGELOG_SQL})
+    SELECT part, max(off) AS hwm, count(*) AS n_events FROM log GROUP BY part
+    """
+
+
+# ------------------------------------------------------------- scan/agg/join
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: the scan -> project -> aggregate pipeline the reference
+    drives via reader `column`/`where` config (SURVEY §2.2)."""
+    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def sql_pricing_summary() -> str:
+    return """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_discount), 4) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """
+
+
+def q_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way join + aggregate (customer x orders x lineitem) — the operator
+    class the reference lacks entirely (SURVEY §2.7: no joins)."""
+    c = spark.read.parquet(_t(sf_dir, "customer"))
+    o = spark.read.parquet(_t(sf_dir, "orders"))
+    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+def sql_segment_revenue() -> str:
+    return """
+    SELECT c_mktsegment, o_orderpriority,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(DISTINCT o_orderkey) AS n_orders
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                  JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment, o_orderpriority
+    """
+
+
+# ------------------------------------------------------------- transformers
+def q_dx_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = spark.read.parquet(_t(sf_dir, "customer"))
+    out = c.select(
+        "c_custkey",
+        dx_substr(F.col("c_name"), 2, 8).alias("name_sub"),
+        dx_pad(F.col("c_mktsegment"), "l", 12, "*").alias("seg_pad"),
+        dx_replace(F.col("c_name"), 1, 3, "###").alias("name_repl"),
+        F.col("c_acctbal"),
+    )
+    return dx_filter(out, "c_acctbal", ">", "5000")
+
+
+def sql_dx_chain() -> str:
+    return """
+    SELECT c_custkey,
+      CASE WHEN c_name IS NULL THEN NULL
+           WHEN length(c_name) > 2 THEN substr(c_name, 3, 8) END AS name_sub,
+      CASE WHEN length(coalesce(c_mktsegment, '')) >= 12
+             THEN substr(coalesce(c_mktsegment, ''), 1, 12)
+           ELSE lpad(coalesce(c_mktsegment, ''), 12, '*') END AS seg_pad,
+      CASE WHEN c_name IS NULL THEN NULL
+           ELSE substr(c_name, 1, 1) || '###' ||
+                CASE WHEN length(c_name) > 4 THEN substr(c_name, 5) ELSE '' END
+      END AS name_repl,
+      c_acctbal
+    FROM customer
+    WHERE NOT (c_acctbal IS NOT NULL AND c_acctbal > 5000)
+    """
+
+
+def q_dx_filter_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = spark.read.parquet(_t(sf_dir, "orders"))
+    return dx_filter(o.select("o_orderkey", "o_orderpriority"), "o_orderpriority",
+                     "like", "1-.*")
+
+
+def sql_dx_filter_like() -> str:
+    # Java String.matches = full match; drop-on-match polarity
+    return """
+    SELECT o_orderkey, o_orderpriority FROM orders
+    WHERE NOT (o_orderpriority IS NOT NULL
+               AND regexp_full_match(o_orderpriority, '1-.*'))
+    """
+
+
+# ----------------------------------------------------------------- text ops
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return dedup_exact(docs, "doc_id", "text")
+
+
+def sql_dedup_exact() -> str:
+    return """
+    WITH fp AS (
+      SELECT doc_id,
+        CAST(concat('0x', substr(md5(regexp_replace(lower(trim(text)),
+             '\\s+', ' ', 'g')), 1, 15)) AS BIGINT) AS fp
+      FROM documents)
+    SELECT min(doc_id) AS doc_id, fp FROM fp GROUP BY fp
+    """
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_ws_tokens"),
+        bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"),
+    )
+
+
+def sql_token_counts() -> str:
+    return r"""
+    SELECT doc_id,
+      CASE WHEN length(trim(text)) = 0 THEN 0
+           ELSE len(string_split_regex(trim(text), '\s+')) END AS n_ws_tokens,
+      len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\s]'))
+        AS n_bpe_tokens
+    FROM documents
+    """
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id", "text")
+    return quality_features(docs, "text").drop("text")
+
+
+def sql_text_quality() -> str:
+    sw = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    return rf"""
+    WITH b AS (
+      SELECT doc_id, length(text) AS n_chars,
+        CASE WHEN length(trim(text)) = 0 THEN 0
+             ELSE len(string_split_regex(trim(text), '\s+')) END AS n_words,
+        length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS n_punct,
+        length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+        len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                        w -> w IN ({sw}))) AS n_sw
+      FROM documents)
+    SELECT doc_id, n_words,
+      round(CASE WHEN n_words > 0 THEN n_chars / n_words ELSE 0.0 END, 4)
+        AS mean_word_len,
+      round(CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END, 4)
+        AS punct_ratio,
+      round(CASE WHEN n_chars > 0 THEN n_digit / n_chars ELSE 0.0 END, 4)
+        AS digit_ratio,
+      round(CASE WHEN n_words > 0 THEN n_sw / n_words ELSE 0.0 END, 4)
+        AS stopword_ratio,
+      round(CAST(CASE WHEN n_words BETWEEN 5 AND 100000 THEN 0.4 ELSE 0.0 END
+          + CASE WHEN (CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END) < 0.2
+                 THEN 0.2 ELSE 0.0 END
+          + CASE WHEN (CASE WHEN n_chars > 0 THEN n_digit / n_chars ELSE 0.0 END) < 0.3
+                 THEN 0.2 ELSE 0.0 END
+          + CASE WHEN (CASE WHEN n_words > 0 THEN n_sw / n_words ELSE 0.0 END) > 0.01
+                 THEN 0.2 ELSE 0.0 END AS DOUBLE), 2) AS quality_score
+    FROM b
+    """
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return docs.select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
+
+
+def sql_lang_id() -> str:
+    hits = []
+    for lg, words in STOPWORDS.items():
+        lst = ", ".join(f"'{w}'" for w in words)
+        hits.append(
+            rf"len(list_filter(string_split_regex(trim(lower(text)), '\s+'),"
+            rf" w -> w IN ({lst}))) AS h_{lg}"
+        )
+    langs = list(STOPWORDS)
+    best = f"greatest({', '.join('h_' + lg for lg in langs)})"
+    case = "CASE "
+    for lg in langs:  # first language in fixed order wins ties (matches Spark impl)
+        case += f"WHEN {best} > 0 AND h_{lg} = {best} THEN '{lg}' "
+    case += "ELSE 'und' END"
+    return f"""
+    WITH h AS (SELECT doc_id, {', '.join(hits)} FROM documents)
+    SELECT doc_id, {case} AS lang_pred FROM h
+    """
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    from .operators.text import rolling_fingerprint
+
+    return docs.select(
+        "doc_id",
+        fingerprint64(F.col("text")).alias("fp64"),
+        _csv(rolling_fingerprint(F.col("text"), 16, 4)).alias("winnow_csv"),
+    )
+
+
+def sql_fingerprint() -> str:
+    h32 = "CAST(concat('0x', substr(md5(g), 1, 8)) AS BIGINT)"
+    return rf"""
+    SELECT doc_id,
+      CAST(concat('0x', substr(md5(regexp_replace(lower(trim(text)),
+           '\s+', ' ', 'g')), 1, 15)) AS BIGINT) AS fp64,
+      array_to_string(
+        list_slice(list_sort(list_transform(
+          list_transform(range(1, greatest(length(text) - 15, 1) + 1),
+                         i -> substr(text, CAST(i AS INT), 16)),
+          g -> {h32})), 1, 4), ',') AS winnow_csv
+    FROM documents
+    """
+
+
+# ------------------------------------------------------------- near-dup ops
+_SHINGLE_K = 5
+_H32 = "CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT)"
+_SHINGLES = (
+    f"list_distinct(list_transform(range(1, greatest(length(text) - {_SHINGLE_K - 1},"
+    f" 1) + 1), i -> substr(text, CAST(i AS INT), {_SHINGLE_K})))"
+)
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return ngram_jaccard_pairs(docs, "doc_id", "text", k=_SHINGLE_K, threshold=0.5)
+
+
+def sql_ngram_jaccard() -> str:
+    return f"""
+    WITH sh AS (SELECT doc_id, list_transform({_SHINGLES}, s -> {_H32}) AS hs
+                FROM documents),
+    sizes AS (SELECT doc_id, len(hs) AS n FROM sh),
+    ex AS (SELECT doc_id, unnest(hs) AS h FROM sh),
+    freq AS (SELECT h, count(*) AS c FROM ex GROUP BY h),
+    exf AS (SELECT ex.doc_id, ex.h FROM ex JOIN freq USING (h) WHERE c <= 1000),
+    common AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
+               FROM exf a JOIN exf b ON a.h = b.h AND a.doc_id < b.doc_id
+               GROUP BY 1, 2)
+    SELECT a, b, round(inter / (na.n + nb.n - inter), 6) AS jaccard
+    FROM common JOIN sizes na ON common.a = na.doc_id
+                JOIN sizes nb ON common.b = nb.doc_id
+    WHERE inter / (na.n + nb.n - inter) >= 0.5
+    """
+
+
+_MH_HASHES, _MH_BANDS, _MH_SEED = 16, 4, 7
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return minhash_lsh_pairs(
+        docs, "doc_id", "text", k=_SHINGLE_K, n_hashes=_MH_HASHES, bands=_MH_BANDS,
+        seed=_MH_SEED,
+    )
+
+
+def sql_minhash_lsh() -> str:
+    params = perm_params(_MH_HASHES, _MH_SEED)
+    sig_elems = ", ".join(
+        f"list_min(list_transform(hs, h -> (h*{a} + {b}) % {MINHASH_P}))"
+        for a, b in params
+    )
+    r = _MH_HASHES // _MH_BANDS
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {i} AS band, md5(concat_ws('_', {elems})) AS key FROM sig".format(
+            i=i,
+            elems=", ".join(f"sig[{i * r + j + 1}]" for j in range(r)),
+        )
+        for i in range(_MH_BANDS)
+    )
+    return f"""
+    WITH sh AS (SELECT doc_id, list_transform({_SHINGLES}, s -> {_H32}) AS hs
+                FROM documents),
+    sig AS (SELECT doc_id, [{sig_elems}] AS sig FROM sh WHERE len(hs) > 0),
+    banded AS ({band_selects}),
+    pairs AS (SELECT a.doc_id AS a, b.doc_id AS b
+              FROM banded a JOIN banded b
+              ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+    SELECT DISTINCT a, b FROM pairs
+    """
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return simhash_dedup(docs, "doc_id", "text", k=_SHINGLE_K)
+
+
+def sql_simhash() -> str:
+    bits = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> {b}) & 1 = 1"
+        f" THEN 1 ELSE -1 END)) > 0 THEN {2**b} ELSE 0 END)"
+        for b in range(32)
+    )
+    return f"""
+    WITH sh AS (SELECT doc_id, list_transform({_SHINGLES}, s -> {_H32}) AS hs
+                FROM documents),
+    sims AS (SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM sh)
+    SELECT simhash, count(*) AS n_docs, min(doc_id) AS keep
+    FROM sims GROUP BY simhash HAVING count(*) > 1
+    """
+
+
+# ---------------------------------------------------------------- similarity
+_N_QUERIES, _TOPK = 20, 5
+
+
+def _quantized(vec):
+    return F.transform(vec, lambda x: F.round(x.cast("double") * 1000).cast("bigint"))
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(_t(sf_dir, "embeddings")).select(
+        "vec_id", _quantized(F.col("embedding")).alias("embedding")
+    )
+    queries = emb.where(F.col("vec_id") < _N_QUERIES)
+    return brute_force_topk(emb, queries, "vec_id", "embedding", k=_TOPK)
+
+
+def sql_cosine_topk() -> str:
+    q = "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+    dot = "list_sum(list_transform(range(1, 65), i -> qa.q[CAST(i AS INT)] * nb.q[CAST(i AS INT)]))"
+    return f"""
+    WITH qv AS (SELECT vec_id, {q} AS q FROM embeddings),
+    scored AS (
+      SELECT qa.vec_id AS query_id, nb.vec_id AS neighbor_id,
+        round({dot} /
+          (sqrt(list_sum(list_transform(qa.q, x -> x*x))) *
+           sqrt(list_sum(list_transform(nb.q, x -> x*x)))), 6) AS cos
+      FROM qv qa, qv nb
+      WHERE qa.vec_id < {_N_QUERIES} AND qa.vec_id <> nb.vec_id)
+    SELECT query_id, neighbor_id, cos, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored)
+    WHERE rank <= {_TOPK}
+    """
+
+
+def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN (rows-only check: hyperplane projections are float sums
+    whose sign near zero is not portably reproducible in SQL)."""
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    queries = emb.where(F.col("vec_id") < _N_QUERIES)
+    return lsh_ann_topk(emb, queries, dim=64, k=_TOPK, n_planes=8)
+
+
+# ---------------------------------------------------------------- multimodal
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing: synthesize payloads (unhex of md5 stream), sniff
+    format from magic bytes, report sizes — expression-only."""
+    from .operators.multimodal import media_metadata
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    payloads = docs.select(
+        "doc_id",
+        F.unhex(
+            F.concat(F.md5(F.col("text")), F.md5(F.concat(F.col("text"), F.lit("x"))))
+        ).alias("payload"),
+    )
+    return media_metadata(payloads, "payload").select(
+        "doc_id", "n_bytes", "format", "header_hex"
+    )
+
+
+def sql_multimodal_meta() -> str:
+    from .operators.multimodal import MAGIC
+
+    sniff = "CASE "
+    for magic, name in MAGIC.items():
+        sniff += (
+            f"WHEN substr(md5(text), 1, 8) LIKE '{magic}%' THEN '{name}' "
+        )
+    sniff += "ELSE 'unknown' END"
+    return f"""
+    SELECT doc_id,
+           CAST(octet_length(unhex(md5(text) || md5(text || 'x'))) AS INT)
+             AS n_bytes,
+           {sniff} AS format,
+           substr(md5(text) || md5(text || 'x'), 1, 16) AS header_hex
+    FROM documents
+    """
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas decode path with the deterministic stub featurizer
+    (rows-only check: the real decoder is gated on unavailable codecs)."""
+    from .operators.multimodal import decode_and_featurize
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    payloads = docs.select(
+        "doc_id", F.unhex(F.md5(F.col("text"))).alias("payload")
+    )
+    out = decode_and_featurize(payloads, "payload", feature_dim=4, use_fake_decoder=True)
+    return out.select("doc_id", F.round(F.element_at("features", 1), 3).alias("f0"))
+
+
+QUERIES = {
+    "cdc_changelog_derive": (q_cdc_changelog, sql_cdc_changelog),
+    "cdc_quarantine_counts": (q_cdc_quarantine, sql_cdc_quarantine),
+    "cdc_lww_dedup": (q_cdc_lww_dedup, sql_cdc_lww_dedup),
+    "cdc_merge_final_state": (q_cdc_merge_final_state, sql_cdc_merge_final_state),
+    "cdc_watermarks": (q_cdc_watermarks, sql_cdc_watermarks),
+    "q1_pricing_summary": (q_pricing_summary, sql_pricing_summary),
+    "q3_segment_revenue": (q_segment_revenue, sql_segment_revenue),
+    "dx_transform_chain": (q_dx_chain, sql_dx_chain),
+    "dx_filter_like": (q_dx_filter_like, sql_dx_filter_like),
+    "dedup_exact": (q_dedup_exact, sql_dedup_exact),
+    "token_counts": (q_token_counts, sql_token_counts),
+    "text_quality": (q_text_quality, sql_text_quality),
+    "lang_id": (q_lang_id, sql_lang_id),
+    "doc_fingerprint": (q_fingerprint, sql_fingerprint),
+    "dedup_ngram_jaccard": (q_ngram_jaccard, sql_ngram_jaccard),
+    "dedup_minhash_lsh": (q_minhash_lsh, sql_minhash_lsh),
+    "dedup_simhash": (q_simhash, sql_simhash),
+    "ann_cosine_topk": (q_cosine_topk, sql_cosine_topk),
+    "ann_lsh_bucketed": (q_lsh_ann, None),  # rows-only: float-sign portability
+    "multimodal_meta": (q_multimodal_meta, sql_multimodal_meta),
+    "multimodal_features": (q_multimodal_features, None),  # rows-only: stub decode
+}

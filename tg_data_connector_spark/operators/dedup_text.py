@@ -1,0 +1,164 @@
+"""Document deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design notes (the whole point of each variant):
+
+  exact        — one groupBy on a 64-bit fingerprint: map-side partial agg, one
+                 shuffle of (hash, id) pairs only — never the text.
+  ngram-jaccard— candidate pairs via an explode/self-join on shared shingle
+                 hashes; the join carries (shingle_hash, doc_id, set_size) only.
+                 Exact Jaccard from |intersection| counted per pair. Quadratic
+                 in the worst case -> bounded by a frequency cap on shingles
+                 (stopword-shingles are dropped, the standard trick).
+  minhash-lsh  — signatures (k hashes) banded into b bands; a pair collides if
+                 any band matches: shuffle is O(docs x bands), never pairwise.
+                 This is the 100 TB path.
+  simhash      — 32-bit simhash via bit-vote aggregation, near-dups = equal
+                 keys on rotated prefixes (here: exact simhash match per band).
+
+All expression-only (sequence/transform/aggregate) — no Python in the path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import hash32, minhash_signature, perm_params, shingles
+from .text import fingerprint64
+
+
+def dedup_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep the smallest id per exact (normalized) text fingerprint."""
+    fp = df.select(F.col(id_col), fingerprint64(F.col(text_col)).alias("fp"))
+    return fp.groupBy("fp").agg(F.min(id_col).alias(id_col)).select(id_col, "fp")
+
+
+def shingle_hashes(df: DataFrame, id_col: str, text_col: str, k: int = 5) -> DataFrame:
+    return df.select(
+        F.col(id_col),
+        F.transform(shingles(F.col(text_col), k), hash32).alias("sh"),
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    threshold: float = 0.8,
+    max_shingle_freq: int = 1000,
+) -> DataFrame:
+    """Exact Jaccard-similar pairs (a < b) over char k-shingles.
+
+    Plan shape: explode -> (freq-cap filter) -> self-join on shingle hash ->
+    count per pair -> filter. The freq cap bounds join fan-out: a shingle in f
+    docs contributes f^2 candidate rows, so ubiquitous shingles are dropped
+    from *candidate generation only* — the Jaccard denominator still uses true
+    set sizes, keeping similarity exact for pairs that share any rare shingle.
+    """
+    sh = shingle_hashes(df, id_col, text_col, k)
+    sizes = sh.select(F.col(id_col), F.size("sh").alias("n"))
+    ex = sh.select(id_col, F.explode("sh").alias("h"))
+    freq = ex.groupBy("h").count()
+    ex = ex.join(F.broadcast(freq.where(F.col("count") <= max_shingle_freq)), "h")
+    a = ex.select(F.col(id_col).alias("a"), "h")
+    b = ex.select(F.col(id_col).alias("b"), "h")
+    common = (
+        a.join(b, "h")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("inter"))
+    )
+    na = sizes.select(F.col(id_col).alias("a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col(id_col).alias("b"), F.col("n").alias("nb"))
+    return (
+        common.join(na, "a")
+        .join(nb, "b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    n_hashes: int = 16,
+    bands: int = 4,
+    seed: int = 7,
+) -> DataFrame:
+    """Candidate near-dup pairs from banded MinHash signatures (a < b, distinct).
+
+    rows = bands per doc; a band's key is the tuple-hash of its signature slice.
+    Self-join happens on (band_idx, band_key): O(collisions), not O(n^2)."""
+    assert n_hashes % bands == 0
+    r = n_hashes // bands
+    sig = shingle_hashes(df, id_col, text_col, k).where(F.size("sh") > 0).select(
+        F.col(id_col),
+        minhash_signature(F.col("sh"), n_hashes, seed).alias("sig"),
+    )
+    banded = sig.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.md5(
+                            F.array_join(F.slice(F.col("sig"), i * r + 1, r), "_")
+                        ).alias("key"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "bk.band", "bk.key")
+    a = banded.select(F.col(id_col).alias("a"), "band", "key")
+    b = banded.select(F.col(id_col).alias("b"), "band", "key")
+    return (
+        a.join(b, ["band", "key"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def simhash32(col, k: int = 5):
+    """32-bit SimHash over char k-shingle hash32s, expression-only: for each bit
+    position, vote +1/-1 by that bit across shingles; bit set iff vote > 0."""
+    hs = F.transform(shingles(col, k), hash32)
+    bits = []
+    for bit in range(32):
+        vote = F.aggregate(
+            hs,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(
+                F.lit(-1)
+            ),
+        )
+        bits.append(F.when(vote > 0, F.lit(2**bit)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("bigint")
+
+
+def simhash_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 5
+) -> DataFrame:
+    """Group docs by identical simhash32 (hamming-0 near-dup buckets); returns
+    (simhash, n_docs, keep=min id) for buckets with >1 doc."""
+    s = df.select(F.col(id_col), simhash32(F.col(text_col), k).alias("simhash"))
+    return (
+        s.groupBy("simhash")
+        .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("keep"))
+        .where(F.col("n_docs") > 1)
+    )
