@@ -1,0 +1,82 @@
+from pyspark.sql import functions as F
+
+from tg_data_connector_spark.cdc.genlog import (
+    HOT_SOURCE,
+    gen_changelog,
+    gen_seed_sequences,
+    with_binary_payload,
+)
+from tg_data_connector_spark.cdc.quality import dirty_predicate, split_quarantine
+
+
+def test_changelog_shape_and_distributions(spark):
+    log = gen_changelog(spark, 5000, 800, n_parts=8).cache()
+    # duplicated deliveries present (every 20th event re-sent)
+    assert log.count() == 5000 + 5000 // 20
+    # out-of-order: commit_lsn is not aligned with offset order within a part
+    w = log.where(F.col("part") == 0).orderBy("offset").select("commit_lsn").collect()
+    lsns = [r[0] for r in w]
+    assert any(a > b for a, b in zip(lsns, lsns[1:]))
+    # unique version pairs per event_id
+    assert (
+        log.select("commit_lsn", "seq_no", "event_id").distinct().count()
+        == log.dropDuplicates(["event_id"]).count()
+    )
+    # hot source skew >= 50%
+    hot = log.where(F.col("source") == HOT_SOURCE).count()
+    assert hot / log.count() > 0.5
+    # key collisions: far fewer docs than events (exercises LWW)
+    assert log.select("doc_id").distinct().count() <= 800
+    # ops mix
+    ops = {r["op"]: r["n"] for r in log.groupBy("op").agg(F.count("*").alias("n")).collect()}
+    assert set(ops) == {"I", "U", "D"} and ops["U"] > ops["I"] > ops["D"]
+    # invariant: clean I/U rows satisfy n_tok = size(tokens)
+    clean, dirty = split_quarantine(log)
+    bad = clean.where(
+        (F.col("op") != "D") & (F.size("tokens") != F.col("n_tok"))
+    ).count()
+    assert bad == 0 and dirty.count() > 0
+    log.unpersist()
+
+
+def test_changelog_deterministic(spark):
+    a = gen_changelog(spark, 1000, 100).orderBy("event_id", "offset").collect()
+    b = gen_changelog(spark, 1000, 100).orderBy("event_id", "offset").collect()
+    assert a == b
+
+
+def test_seed_sequences_invariants(spark):
+    seed = gen_seed_sequences(spark, 500)
+    assert seed.count() == 500
+    assert seed.select("doc_id").distinct().count() == 500
+    assert seed.where(F.size("tokens") != F.col("n_tok")).count() == 0
+
+
+def test_binary_payload_roundtrip(spark):
+    log = gen_changelog(spark, 500, 100)
+    raw = with_binary_payload(log)
+    from tg_data_connector_spark.cdc.parse import parse_events
+
+    back = parse_events(raw.drop("tokens"))
+    orig = log.select("event_id", "offset", "tokens")
+    rt = back.select("event_id", "offset", "tokens")
+    assert orig.exceptAll(rt).count() == 0
+    assert rt.exceptAll(orig).count() == 0
+
+
+def test_dirty_predicate_cases(spark):
+    rows = [
+        ("I", "a", [1, 2], 2, False),   # ok
+        ("I", "a", [1, 2], 3, True),    # size mismatch
+        ("U", None, [1], 1, True),      # null key on update
+        ("I", "a", None, 1, True),      # insert without payload
+        ("D", "a", None, None, False),  # delete ok
+        ("D", None, None, None, True),  # delete without key
+        ("X", "a", [1], 1, True),       # unknown op
+    ]
+    df = spark.createDataFrame(
+        [(op, d, t, n) for op, d, t, n, _ in rows],
+        "op string, doc_id string, tokens array<int>, n_tok int",
+    )
+    got = [r[0] for r in df.select(dirty_predicate().alias("d")).collect()]
+    assert got == [exp for *_, exp in rows]

@@ -1,0 +1,112 @@
+from pyspark.sql import functions as F
+
+from tg_data_connector_spark.functions.hashing import hash32, minhash_signature, shingles
+from tg_data_connector_spark.operators.dedup_text import (
+    dedup_exact,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash32,
+)
+from tg_data_connector_spark.operators.text import (
+    fingerprint64,
+    lang_id,
+    quality_features,
+    token_count,
+)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+
+
+def test_hash32_range_and_determinism(spark):
+    df = spark.createDataFrame([("abc",), ("abc",), ("xyz",)], "v string")
+    vals = [r[0] for r in df.select(hash32(F.col("v")).alias("h")).collect()]
+    assert vals[0] == vals[1] != vals[2]
+    assert all(0 <= v < 2**32 for v in vals)
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([("abcdef",), ("ab",)], "v string")
+    out = [r[0] for r in df.select(shingles(F.col("v"), 3).alias("s")).collect()]
+    assert out[0] == ["abc", "bcd", "cde", "def"]
+    assert out[1] == ["ab"]  # shorter than k: one truncated shingle
+
+
+def test_minhash_similar_docs_share_signature_entries(spark):
+    a = "the quick brown fox jumps over the lazy dog again and again"
+    b = "the quick brown fox jumps over the lazy dog again and again!"
+    c = "completely different content with nothing shared at all here"
+    df = _docs(spark, [a, b, c])
+    sig = df.select(
+        "doc_id",
+        minhash_signature(F.transform(shingles(F.col("text"), 5), hash32), 16).alias(
+            "sig"
+        ),
+    ).collect()
+    sigs = {r["doc_id"]: r["sig"] for r in sig}
+    overlap_ab = sum(x == y for x, y in zip(sigs[0], sigs[1]))
+    overlap_ac = sum(x == y for x, y in zip(sigs[0], sigs[2]))
+    assert overlap_ab > 10 and overlap_ac <= 2
+
+
+def test_dedup_exact_normalizes_whitespace_and_case(spark):
+    df = _docs(spark, ["Hello  World", "hello world", "other doc"])
+    out = dedup_exact(df)
+    assert out.count() == 2
+    assert out.agg(F.min("doc_id")).collect()[0][0] == 0
+
+
+def test_ngram_jaccard_finds_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 3
+    df = _docs(spark, [base, base + "tail", "unrelated text entirely different"])
+    pairs = ngram_jaccard_pairs(df, threshold=0.5).collect()
+    assert [(r["a"], r["b"]) for r in pairs] == [(0, 1)]
+    assert pairs[0]["jaccard"] > 0.8
+
+
+def test_minhash_lsh_recall_on_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 3
+    df = _docs(spark, [base, base + "x", "unrelated text entirely different stuff"])
+    pairs = {(r["a"], r["b"]) for r in minhash_lsh_pairs(df).collect()}
+    assert (0, 1) in pairs and (0, 2) not in pairs
+
+
+def test_simhash_near_for_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 3
+    df = _docs(spark, [base, base, "unrelated text entirely different stuff"])
+    out = {r["doc_id"]: r["h"] for r in
+           df.select("doc_id", simhash32(F.col("text")).alias("h")).collect()}
+    assert out[0] == out[1] != out[2]
+    assert 0 <= out[0] < 2**32
+
+
+def test_token_count_and_quality(spark):
+    df = _docs(spark, ["the cat sat on the mat", "", "x"])
+    counts = [r[0] for r in df.select(token_count(F.col("text")).alias("n")).collect()]
+    assert counts == [6, 0, 1]
+    q = {r["doc_id"]: r for r in quality_features(df).collect()}
+    assert q[0]["quality_score"] > q[1]["quality_score"]
+    assert q[0]["stopword_ratio"] > 0.3  # 'the' twice, 'on' once / 6
+
+
+def test_lang_id(spark):
+    df = _docs(
+        spark,
+        [
+            "the cat and the dog sat in a house that is big",
+            "der Hund und die Katze sind nicht ein Problem",
+            "le chat et la souris sont dans les maisons",
+            "zzz qqq www",
+        ],
+    )
+    out = [r[0] for r in df.select(lang_id(F.col("text")).alias("lg")).collect()]
+    assert out == ["en", "de", "fr", "und"]
+
+
+def test_fingerprint64_stable(spark):
+    df = _docs(spark, ["Some   Text", "some text", "different"])
+    out = [r[0] for r in df.select(fingerprint64(F.col("text")).alias("f")).collect()]
+    assert out[0] == out[1] != out[2]

@@ -110,9 +110,49 @@ class ReplayEngine:
 
         if self.cfg.parse_payload:
             batch = parse_events(batch)
+        # several actions (stats, quarantine, dedup, merge) consume this batch:
+        # persist once so the scan+parse run once, not once per action
+        batch = batch.persist()
 
+        # single-pass batch stats: per-part high-watermark, event count, dirty
+        # count, AND the set of target buckets this batch touches (feeds the
+        # merge so it never runs a separate probe job over the dedup plan)
+        from .quality import dirty_predicate
+        from ..lake.table import bucket_expr
+
+        meta = self.table.meta()
+        stats = batch.groupBy("part").agg(
+            F.max("offset").alias("hwm"),
+            F.count("*").alias("n"),
+            F.sum(dirty_predicate().cast("int")).alias("nd"),
+            F.collect_set(bucket_expr("doc_id", meta["buckets"])).alias("bks"),
+        ).collect()
+        watermarks = {int(r["part"]): int(r["hwm"]) for r in stats}
+        events_n = sum(r["n"] for r in stats)
+        dirty_n = sum(r["nd"] for r in stats)
+        affected_buckets = sorted({b for r in stats for b in r["bks"] if b is not None})
+
+        try:
+            return self._apply_batch_inner(
+                batch, batch_id, t0, events_n, dirty_n, watermarks,
+                affected_buckets, crash_before_publish, crash_after_stage,
+            )
+        finally:
+            batch.unpersist()
+
+    def _apply_batch_inner(
+        self,
+        batch: DataFrame,
+        batch_id: str,
+        t0: float,
+        events_n: int,
+        dirty_n: int,
+        watermarks: dict,
+        affected_buckets: list[int],
+        crash_before_publish: bool,
+        crash_after_stage: bool,
+    ) -> BatchReport:
         clean, dirty = split_quarantine(batch)
-        dirty_n = dirty.count()
         if self.cfg.quarantine_dir and dirty_n:
             dirty.withColumn("_batch_id", F.lit(batch_id)).write.mode("append").parquet(
                 self.cfg.quarantine_dir
@@ -129,10 +169,6 @@ class ReplayEngine:
             schema_events.sort(key=lambda r: (r["commit_lsn"], r["seq_no"]))
             clean = clean.where(F.col("op") != "S")
 
-        # watermarks advanced by this batch (per part), computed before merge
-        wm_rows = batch.groupBy("part").agg(F.max("offset").alias("hwm")).collect()
-        watermarks = {int(r["part"]): int(r["hwm"]) for r in wm_rows}
-        events_n = batch.count()
         self.cfg.error_limit.check(dirty_n, max(events_n, 1))
 
         deduped_total = 0
@@ -157,6 +193,7 @@ class ReplayEngine:
                 watermarks=watermarks if k == len(bounds) else None,
                 final=(k == len(bounds)),
                 batch_meta={"events": events_n, "dirty": dirty_n},
+                affected_buckets=affected_buckets,
                 crash_before_publish=crash_before_publish,
                 crash_after_stage=crash_after_stage,
             )
@@ -179,6 +216,7 @@ class ReplayEngine:
         watermarks: dict | None,
         final: bool,
         batch_meta: dict,
+        affected_buckets: list[int] | None,
         crash_before_publish: bool,
         crash_after_stage: bool,
     ) -> int:
@@ -212,6 +250,7 @@ class ReplayEngine:
             self.table,
             deduped,
             summary_update=summary,
+            affected_buckets=affected_buckets,
             crash_before_publish=crash_before_publish and final,
             crash_after_stage=crash_after_stage and final,
         )

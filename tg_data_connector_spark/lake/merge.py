@@ -45,6 +45,7 @@ def merge_upsert(
     table: LakeTable,
     src: DataFrame,
     summary_update: dict | None = None,
+    affected_buckets: list[int] | None = None,
     crash_before_publish: bool = False,
     crash_after_stage: bool = False,
 ) -> Snapshot | None:
@@ -53,6 +54,12 @@ def merge_upsert(
     ``src`` columns: the table's current schema columns + ``op`` (I/U/D) +
     ``commit_lsn`` + ``seq_no``. Exactly one row per key (assert upstream).
     Returns the committed snapshot, or None for an empty batch.
+
+    ``affected_buckets``: callers that already know the batch's bucket set
+    (the replay driver folds it into its one-pass batch stats) pass it here so
+    the whole merge is a single job — probe, dedup, join, and write pipeline
+    together with no intermediate materialization. A superset is safe (extra
+    buckets are read and rewritten unchanged); a subset is NOT.
     """
     meta = table.meta()
     key, nb = meta["key"], meta["buckets"]
@@ -60,9 +67,19 @@ def merge_upsert(
     schema = snap.schema()
     cols = schema.names()
 
+    persisted = False
     src = src.withColumn(BUCKET_COL, bucket_expr(key, nb))
-    affected = [r[0] for r in src.select(BUCKET_COL).distinct().collect()]
+    if affected_buckets is None:
+        # standalone use: the (possibly expensive) src plan feeds two consumers
+        # (bucket probe + merge join) — persist so it computes exactly once
+        src = src.persist()
+        persisted = True
+        affected = [r[0] for r in src.select(BUCKET_COL).distinct().collect()]
+    else:
+        affected = list(affected_buckets)
     if not affected:
+        if persisted:
+            src.unpersist()
         return None
 
     tgt = table.read(snapshot=snap, buckets=affected, with_lineage=True).withColumn(
@@ -114,12 +131,16 @@ def merge_upsert(
     ]
     merged = j.select(out_cols)
 
-    files = table.write_data_files(
-        merged, snap.schema_id, crash_after_stage=crash_after_stage
-    )
-    return table.commit(
-        files,
-        replace_buckets=affected,
-        summary_update=summary_update,
-        crash_before_publish=crash_before_publish,
-    )
+    try:
+        files = table.write_data_files(
+            merged, snap.schema_id, crash_after_stage=crash_after_stage
+        )
+        return table.commit(
+            files,
+            replace_buckets=affected,
+            summary_update=summary_update,
+            crash_before_publish=crash_before_publish,
+        )
+    finally:
+        if persisted:
+            src.unpersist()

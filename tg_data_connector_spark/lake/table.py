@@ -284,10 +284,6 @@ class LakeTable:
         entries; nothing is visible until a snapshot referencing them commits."""
         commit_dir = f"data/c-{uuid.uuid4().hex}"
         out_path = os.path.join(self.root, commit_dir)
-        counts = {
-            r[BUCKET_COL]: r["cnt"]
-            for r in df.groupBy(BUCKET_COL).count().withColumnRenamed("count", "cnt").collect()
-        }
         (
             df.withColumnRenamed(BUCKET_COL, "b")
             .repartition("b")
@@ -295,6 +291,10 @@ class LakeTable:
             .mode("overwrite")
             .parquet(out_path)
         )
+        # per-file row counts from parquet footers (driver-side metadata read —
+        # no second Spark job, the expensive plan runs exactly once)
+        import pyarrow.parquet as pq
+
         entries = []
         for bdir in sorted(os.listdir(out_path)):
             if not bdir.startswith("b="):
@@ -302,12 +302,13 @@ class LakeTable:
             b = int(bdir.split("=", 1)[1])
             for fn in sorted(os.listdir(os.path.join(out_path, bdir))):
                 if fn.endswith(".parquet"):
+                    full = os.path.join(out_path, bdir, fn)
                     entries.append(
                         {
                             "path": f"{commit_dir}/{bdir}/{fn}",
                             "bucket": b,
                             "schema_id": schema_id,
-                            "rows": int(counts.get(b, 0)),
+                            "rows": int(pq.ParquetFile(full).metadata.num_rows),
                         }
                     )
         if crash_after_stage:  # test hook: simulate dying between the two phases

@@ -1,0 +1,69 @@
+"""Structured Streaming front-end for the replay engine.
+
+The reference is strictly batch (SURVEY §2.7) — its "continuous" story is
+re-running job.json. The north rule's continuous change-log tail maps to a
+Structured Streaming source feeding ``foreachBatch``: each micro-batch flows
+through the exact same apply path (quarantine -> LWW dedup -> MERGE -> snapshot
+commit), so batch replay and streaming tail are the same engine with different
+drivers — and the snapshot summary watermarks make the sink idempotent even
+when Spark replays a micro-batch after a failure (foreachBatch is
+at-least-once; the snapshot's applied-batch-id check upgrades it to
+exactly-once, the same trick Delta/Iceberg streaming sinks use).
+
+Rate throttling (the reference's ``Channel.statPush`` byte/record limits,
+``Channel.java:176-239``) maps to ``maxFilesPerTrigger`` here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from ..cdc.replay import ReplayEngine
+from ..lake.table import LakeTable
+
+
+def changelog_stream_schema(with_payload: bool = False) -> str:
+    base = (
+        "event_id bigint, op string, commit_lsn bigint, seq_no bigint, "
+        "doc_id string, {tok} n_tok int, source string, part int, offset bigint"
+    )
+    return base.format(
+        tok="payload binary," if with_payload else "tokens array<int>,"
+    )
+
+
+def stream_replay(
+    spark: SparkSession,
+    engine: ReplayEngine,
+    source_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+):
+    """Tail a parquet-file changelog directory as a stream and apply each
+    micro-batch through the engine. Returns the StreamingQuery.
+
+    Exactly-once: Spark's checkpoint dedups source files; independently, the
+    snapshot summary's batch-id check makes re-delivered micro-batches no-ops,
+    so wiping the Spark checkpoint and re-running converges to the same table.
+    """
+    reader = (
+        spark.readStream.schema(
+            changelog_stream_schema(with_payload=engine.cfg.parse_payload)
+        )
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
+
+    def apply(batch_df, batch_id: int):
+        engine.apply_batch(batch_df, batch_id=f"stream:{batch_id}")
+
+    writer = (
+        stream.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
