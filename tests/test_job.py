@@ -1,0 +1,132 @@
+import pytest
+from pyspark.sql import functions as F
+
+from tg_data_connector_spark.cdc.quality import ErrorLimitExceeded
+from tg_data_connector_spark.job import JobValidationError, pre_check, run_job
+from tg_data_connector_spark.lake import LakeTable
+
+
+def test_csv_to_parquet_job_with_transformers(spark, tmp_path):
+    src = tmp_path / "in.csv"
+    src.write_text("1,hello world,9.5\n2,spark engine,2.5\n3,bad,oops\n")
+    cfg = {
+        "reader": {
+            "type": "csv",
+            "path": str(src),
+            "column": [
+                {"type": "long", "index": 0, "name": "id"},
+                {"type": "string", "index": 1, "name": "txt"},
+                {"type": "double", "index": 2, "name": "score"},
+            ],
+        },
+        "transformers": [
+            {"name": "dx_substr", "column": "txt", "paras": [0, 5]},
+            {"name": "dx_filter", "column": "score", "paras": ["<", "3"]},
+        ],
+        "writer": {"type": "parquet", "path": str(tmp_path / "out"), "writeMode": "truncate"},
+        "errorLimit": {"percentage": 0.5},
+    }
+    res = run_job(spark, cfg)
+    assert res.records_read == 2 and res.dirty_records == 1
+    out = spark.read.parquet(str(tmp_path / "out"))
+    rows = {r["id"]: r["txt"] for r in out.collect()}
+    assert rows == {1: "hello"}  # row 2 dropped by dx_filter (score < 3 matched)
+
+
+def test_error_limit_fails_job(spark, tmp_path):
+    src = tmp_path / "in.csv"
+    src.write_text("1,a\nx,b\n")
+    cfg = {
+        "reader": {
+            "type": "csv",
+            "path": str(src),
+            "column": [
+                {"type": "long", "index": 0, "name": "id"},
+                {"type": "string", "index": 1, "name": "v"},
+            ],
+        },
+        "writer": {"type": "console"},
+        "errorLimit": {"record": 0},
+    }
+    with pytest.raises(ErrorLimitExceeded):
+        run_job(spark, cfg)
+
+
+def test_parquet_to_lake_merge_upsert(spark, tmp_path):
+    base = spark.createDataFrame(
+        [("a", [1], 1, "s"), ("b", [2], 1, "s")],
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    base.write.parquet(str(tmp_path / "src1"))
+    root = str(tmp_path / "tbl")
+    cfg1 = {
+        "reader": {"type": "parquet", "path": str(tmp_path / "src1")},
+        "writer": {"type": "lake_merge", "path": root, "key": "doc_id",
+                   "writeMode": "replace"},
+    }
+    res = run_job(spark, cfg1)
+    assert res.records_written == 2
+    # second job updates one row (same key, higher implicit version via lsn col)
+    upd = spark.createDataFrame(
+        [("a", [9, 9], 2, "s2", "U", 10, 0)],
+        "doc_id string, tokens array<int>, n_tok int, source string, "
+        "op string, commit_lsn bigint, seq_no bigint",
+    )
+    upd.write.parquet(str(tmp_path / "src2"))
+    cfg2 = {
+        "reader": {"type": "parquet", "path": str(tmp_path / "src2")},
+        "writer": {"type": "lake_merge", "path": root, "writeMode": "replace"},
+    }
+    run_job(spark, cfg2)
+    rows = {r["doc_id"]: r for r in LakeTable(spark, root).read().collect()}
+    assert rows["a"]["tokens"] == [9, 9] and rows["b"]["tokens"] == [2]
+
+
+def test_non_conflict_write_mode(spark, tmp_path):
+    df_path = tmp_path / "src"
+    spark.range(3).write.parquet(str(df_path))
+    out = tmp_path / "out"
+    cfg = {
+        "reader": {"type": "parquet", "path": str(df_path)},
+        "writer": {"type": "parquet", "path": str(out), "writeMode": "nonConflict"},
+    }
+    run_job(spark, cfg)
+    with pytest.raises(JobValidationError, match="nonConflict"):
+        run_job(spark, cfg)
+
+
+def test_projection_and_where_pushdown(spark, tmp_path):
+    spark.createDataFrame(
+        [(1, "x", 10), (2, "y", 20)], "id int, v string, n int"
+    ).write.parquet(str(tmp_path / "src"))
+    cfg = {
+        "reader": {"type": "parquet", "path": str(tmp_path / "src"),
+                   "column": ["id", "n"], "where": "n > 15"},
+        "writer": {"type": "console"},
+    }
+    res = run_job(spark, cfg)
+    assert res.records_read == 1
+
+
+def test_dry_run_pre_check(spark, tmp_path):
+    cfg = {
+        "reader": {"type": "parquet", "path": str(tmp_path / "nope")},
+        "writer": {"type": "badtype"},
+        "transformers": [{"name": "dx_nope", "column": "x"}],
+    }
+    problems = pre_check(spark, cfg)
+    assert len(problems) >= 3
+    with pytest.raises(JobValidationError):
+        run_job(spark, cfg, dry_run=True)
+
+
+def test_sharded_parquet_reader(spark, tmp_path):
+    for i in range(3):
+        spark.range(i * 10, i * 10 + 5).write.parquet(str(tmp_path / f"shard{i}"))
+    cfg = {
+        "reader": {"type": "sharded_parquet",
+                   "pattern": str(tmp_path / "shard[0-2]")},
+        "writer": {"type": "console"},
+    }
+    res = run_job(spark, cfg)
+    assert res.records_read == 15

@@ -168,3 +168,20 @@ def test_quarantine_contents(spark, tmp_table_root, tmp_path):
     # every quarantined row violates the invariant
     clean, dirty = split_quarantine(q.drop("_batch_id"))
     assert clean.count() == 0
+
+
+def test_lineage_rows_written(spark, tmp_table_root):
+    t, _ = _setup(spark, tmp_table_root)
+    log = gen_changelog(spark, 2000, N_DOCS, n_parts=N_PARTS)
+    eng = ReplayEngine(spark, t, ReplayConfig(events_per_batch=1000))
+    reports = eng.replay(log, run_id="r1")
+    lin = eng.lineage.read(spark)
+    # one row per (batch, part)
+    assert lin.count() == len(reports) * N_PARTS
+    agg = lin.groupBy("part").agg(F.sum("events").alias("ev"), F.max("hwm").alias("h"))
+    per_part = {r["part"]: r for r in agg.collect()}
+    total = sum(r["ev"] for r in per_part.values())
+    assert total == sum(r.events for r in reports)
+    # lineage watermarks agree with the snapshot's
+    wm = t.snapshot().watermarks()
+    assert all(int(wm[str(p)]) == per_part[p]["h"] for p in per_part)

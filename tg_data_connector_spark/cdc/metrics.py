@@ -1,0 +1,65 @@
+"""Per-partition lineage + metrics (reference E5 parity).
+
+The reference rolls per-task Communication counters up task -> taskGroup -> job
+every 10 s (``CommunicationTool.java:15-111``, ``TaskGroupContainer.java:253-266``)
+and logs a final records/s line (``JobContainer.logStatistics``). Here every
+applied batch contributes one lineage row PER SOURCE PARTITION:
+
+  (run_id, batch_id, part, hwm, events, dirty, snapshot_version, seconds)
+
+Rows buffer in the driver and flush to ``<table_root>/_lineage`` (parquet,
+append) once per replay invocation — observability never adds a per-batch
+Spark job. The snapshot summary independently carries the authoritative
+watermarks; lineage is the audit trail (which batch moved which partition to
+which offset, at what rate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+LINEAGE_SCHEMA = (
+    "run_id string, batch_id string, part int, hwm bigint, events bigint, "
+    "dirty bigint, snapshot_version bigint, seconds double"
+)
+
+
+class LineageLog:
+    def __init__(self, table_root: str):
+        self.dir = f"{table_root}/_lineage"
+        self.rows: list[tuple] = []
+
+    def record_batch(
+        self,
+        run_id: str,
+        batch_id: str,
+        per_part: dict[int, dict],
+        snapshot_version: int,
+        seconds: float,
+    ) -> None:
+        for part, m in per_part.items():
+            self.rows.append(
+                (
+                    run_id,
+                    batch_id,
+                    int(part),
+                    int(m.get("hwm", -1)),
+                    int(m.get("events", 0)),
+                    int(m.get("dirty", 0)),
+                    int(snapshot_version),
+                    float(seconds),
+                )
+            )
+
+    def flush(self, spark: SparkSession) -> int:
+        if not self.rows:
+            return 0
+        n = len(self.rows)
+        spark.createDataFrame(self.rows, LINEAGE_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(self.dir)
+        self.rows = []
+        return n
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        return spark.read.schema(LINEAGE_SCHEMA).parquet(self.dir)

@@ -71,6 +71,9 @@ class ReplayEngine:
         self.spark = spark
         self.table = table
         self.cfg = config
+        from .metrics import LineageLog
+
+        self.lineage = LineageLog(table.root)
 
     # ---------- watermark filtering ----------
     def _unapplied(self, changelog: DataFrame) -> DataFrame:
@@ -102,6 +105,7 @@ class ReplayEngine:
         batch_id: str,
         crash_before_publish: bool = False,
         crash_after_stage: bool = False,
+        run_id: str = "adhoc",
     ) -> BatchReport:
         t0 = time.time()
         snap = self.table.snapshot()
@@ -133,10 +137,19 @@ class ReplayEngine:
         affected_buckets = sorted({b for r in stats for b in r["bks"] if b is not None})
 
         try:
-            return self._apply_batch_inner(
+            report = self._apply_batch_inner(
                 batch, batch_id, t0, events_n, dirty_n, watermarks,
                 affected_buckets, crash_before_publish, crash_after_stage,
             )
+            per_part = {
+                int(r["part"]): {"hwm": r["hwm"], "events": r["n"], "dirty": r["nd"]}
+                for r in stats
+            }
+            self.lineage.record_batch(
+                run_id, batch_id, per_part, self.table.current_version(),
+                report.seconds,
+            )
+            return report
         finally:
             batch.unpersist()
 
@@ -292,9 +305,11 @@ class ReplayEngine:
                 batch_id,
                 crash_before_publish=(crash_before_publish_at == b),
                 crash_after_stage=(crash_after_stage_at == b),
+                run_id=run_id,
             )
             reports.append(rep)
             b += 1
             if max_batches is not None and b >= max_batches:
                 break
+        self.lineage.flush(self.spark)
         return reports

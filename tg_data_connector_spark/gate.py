@@ -526,7 +526,7 @@ def sql_ngram_jaccard() -> str:
     sizes AS (SELECT doc_id, len(hs) AS n FROM sh),
     ex AS (SELECT doc_id, unnest(hs) AS h FROM sh),
     freq AS (SELECT h, count(*) AS c FROM ex GROUP BY h),
-    exf AS (SELECT ex.doc_id, ex.h FROM ex JOIN freq USING (h) WHERE c <= 1000),
+    exf AS (SELECT ex.doc_id, ex.h FROM ex JOIN freq USING (h) WHERE c <= 200),
     common AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
                FROM exf a JOIN exf b ON a.h = b.h AND a.doc_id < b.doc_id
                GROUP BY 1, 2)

@@ -1,0 +1,234 @@
+"""Config-driven jobs: the DataX job.json analog.
+
+The reference's entire user surface is a JSON config — one reader, an optional
+transformer chain, one writer, speed/errorLimit settings
+(``core/src/main/job/*.json``; parsed/merged by ``ConfigParser.java:25-66``,
+validated by ``ConfigurationValidate``; lifecycle ``JobContainer.java:95-186``).
+A user of the reference describes a sync job declaratively; this module gives
+the same declarative surface over the Spark engine:
+
+  {
+    "reader":       {"type": "parquet|csv|sharded_parquet|jdbc", ...},
+    "transformers": [{"name": "dx_substr", "column": ..., "paras": [...]}, ...],
+    "writer":       {"type": "lake_merge|parquet|csv|console", "writeMode": ...},
+    "errorLimit":   {"record": 0, "percentage": 0.02},
+    "preSql": [...], "postSql": [...]
+  }
+
+writeMode parity (``WriterUtil.java:111-168``):
+  insert  -> append          (reference: INSERT INTO)
+  replace / update -> MERGE upsert into the lake table (reference: REPLACE
+             INTO / ON DUPLICATE KEY UPDATE — strengthened here to LWW)
+  truncate/append/nonConflict for file writers (``TxtFileWriter.java:99-140``).
+
+preSql/postSql (``WriterUtil.java:79-109``) run through spark.sql before/after
+the move; dryRun (``JobContainer.preCheck`` ``JobContainer.java:188-217``)
+validates reader/writer/SQL without moving data.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .cdc.quality import ErrorLimit
+from .lake import LakeTable, TableSchema, merge_upsert
+from .operators.transformers import apply_transformer_chain
+from .sources.files import ColumnEntry, read_typed_csv
+from .sources.jdbc import read_jdbc_split
+from .sources.tables import expand_sharded_tables
+
+
+@dataclass
+class JobResult:
+    records_read: int
+    records_written: int
+    dirty_records: int
+    seconds: float
+    stats: dict = field(default_factory=dict)
+
+
+class JobValidationError(ValueError):
+    pass
+
+
+def load_config(path_or_dict) -> dict:
+    if isinstance(path_or_dict, dict):
+        return path_or_dict
+    with open(path_or_dict) as f:
+        return json.load(f)
+
+
+# --------------------------------------------------------------- readers
+def _read(spark: SparkSession, cfg: dict) -> tuple[DataFrame, DataFrame]:
+    """Returns (clean, dirty)."""
+    typ = cfg["type"]
+    if typ == "parquet":
+        df = spark.read.parquet(cfg["path"])
+        if cfg.get("column"):
+            df = df.select(*cfg["column"])  # projection (P1)
+        if cfg.get("where"):
+            df = df.where(cfg["where"])  # static predicate pushdown (P2)
+        return df, df.limit(0)
+    if typ == "sharded_parquet":
+        paths = expand_sharded_tables(cfg["pattern"])
+        df = spark.read.parquet(*paths)
+        if cfg.get("column"):
+            df = df.select(*cfg["column"])
+        if cfg.get("where"):
+            df = df.where(cfg["where"])
+        return df, df.limit(0)
+    if typ == "csv":
+        entries = None
+        if cfg.get("column"):
+            entries = [ColumnEntry(**e) for e in cfg["column"]]
+        return read_typed_csv(
+            spark,
+            cfg["path"],
+            entries,
+            header=cfg.get("header", False),
+            sep=cfg.get("fieldDelimiter", ","),
+            encoding=cfg.get("encoding", "utf-8"),
+            null_format=cfg.get("nullFormat"),
+            compression=cfg.get("compress"),
+        )
+    if typ == "jdbc":
+        df = read_jdbc_split(
+            spark,
+            cfg["jdbcUrl"],
+            cfg["table"],
+            pk=cfg["splitPk"],
+            num_partitions=cfg.get("numPartitions", 8),
+            properties=cfg.get("properties"),
+        )
+        if cfg.get("where"):
+            df = df.where(cfg["where"])
+        return df, df.limit(0)
+    raise JobValidationError(f"unknown reader type {typ!r}")
+
+
+# --------------------------------------------------------------- writers
+def _write(spark: SparkSession, cfg: dict, df: DataFrame) -> int:
+    typ = cfg["type"]
+    mode = cfg.get("writeMode", "insert")
+    if typ in ("parquet", "csv"):
+        path = cfg["path"]
+        if mode == "nonConflict" and os.path.exists(path) and os.listdir(path):
+            raise JobValidationError(
+                f"writeMode=nonConflict and target {path} is not empty"
+            )  # TxtFileWriter nonConflict semantics
+        spark_mode = {"truncate": "overwrite", "append": "append",
+                      "insert": "append", "nonConflict": "errorifexists"}[mode]
+        n = df.count()
+        w = df.write.mode(spark_mode)
+        if cfg.get("compress"):
+            w = w.option("compression", cfg["compress"])
+        if typ == "csv":
+            w = w.option("header", cfg.get("header", False))
+            if cfg.get("dateFormat"):
+                w = w.option("timestampFormat", cfg["dateFormat"])
+            if cfg.get("nullFormat") is not None:
+                w = w.option("nullValue", cfg["nullFormat"])
+            w.csv(path)
+        else:
+            w.parquet(path)
+        return n
+    if typ == "console":  # streamwriter analog (debug sink)
+        n = df.count()
+        df.show(int(cfg.get("print", 20)), truncate=False)
+        return n
+    if typ == "lake_merge":
+        root = cfg["path"]
+        key = cfg.get("key", "doc_id")
+        if not LakeTable.exists(root):
+            schema = TableSchema(
+                [(f.name, f.dataType.simpleString()) for f in df.schema.fields
+                 if f.name not in ("op", "commit_lsn", "seq_no")]
+            )
+            table = LakeTable.create(
+                spark, root, schema, key=key, n_buckets=int(cfg.get("buckets", 16))
+            )
+        else:
+            table = LakeTable(spark, root)
+        if mode in ("replace", "update", "merge"):
+            src = df
+            for c, d in (("op", "U"), ("commit_lsn", 0), ("seq_no", 0)):
+                if c not in src.columns:
+                    src = src.withColumn(c, F.lit(d))
+            n = src.count()
+            merge_upsert(table, src, summary_update={"job": True})
+            return n
+        # insert = plain append
+        n = df.count()
+        table.append(df)
+        return n
+    raise JobValidationError(f"unknown writer type {typ!r}")
+
+
+# --------------------------------------------------------------- lifecycle
+def pre_check(spark: SparkSession, config) -> list[str]:
+    """dryRun: validate without moving data (JobContainer.preCheck parity).
+    Returns a list of problems (empty = ok)."""
+    cfg = load_config(config)
+    problems = []
+    r = cfg.get("reader", {})
+    try:
+        clean, _ = _read(spark, r)
+        clean.schema  # force analysis
+        if r.get("where"):
+            clean.limit(0).count()
+    except Exception as ex:
+        problems.append(f"reader: {ex}")
+    w = cfg.get("writer", {})
+    if w.get("type") not in ("parquet", "csv", "console", "lake_merge"):
+        problems.append(f"writer: unknown type {w.get('type')!r}")
+    for stmt in cfg.get("preSql", []) + cfg.get("postSql", []):
+        try:
+            spark.sql(stmt).collect() if stmt.lower().startswith("explain") else (
+                spark.sessionState if False else spark._jsparkSession.sessionState()
+                .sqlParser().parsePlan(stmt)
+            )
+        except Exception as ex:
+            problems.append(f"sql {stmt!r}: {ex}")
+    try:
+        for t in cfg.get("transformers", []):
+            if t["name"] not in ("dx_substr", "dx_pad", "dx_replace", "dx_filter"):
+                problems.append(f"transformer: unknown {t['name']!r}")
+    except Exception as ex:
+        problems.append(f"transformers: {ex}")
+    return problems
+
+
+def run_job(spark: SparkSession, config, dry_run: bool = False) -> JobResult:
+    cfg = load_config(config)
+    if dry_run:
+        problems = pre_check(spark, cfg)
+        if problems:
+            raise JobValidationError("; ".join(problems))
+        return JobResult(0, 0, 0, 0.0, {"dry_run": True})
+    t0 = time.time()
+    for stmt in cfg.get("preSql", []):
+        spark.sql(stmt)
+    clean, dirty = _read(spark, cfg["reader"])
+    read_n = clean.count()
+    dirty_n = dirty.count()
+    clean = apply_transformer_chain(clean, cfg.get("transformers", []))
+    written = _write(spark, cfg["writer"], clean)
+    limit = cfg.get("errorLimit")
+    if limit:
+        ErrorLimit(
+            record=limit.get("record"), percentage=limit.get("percentage")
+        ).check(dirty_n, max(read_n + dirty_n, 1))
+    for stmt in cfg.get("postSql", []):
+        spark.sql(stmt)
+    return JobResult(
+        records_read=read_n,
+        records_written=written,
+        dirty_records=dirty_n,
+        seconds=round(time.time() - t0, 3),
+    )

@@ -284,9 +284,13 @@ class LakeTable:
         entries; nothing is visible until a snapshot referencing them commits."""
         commit_dir = f"data/c-{uuid.uuid4().hex}"
         out_path = os.path.join(self.root, commit_dir)
+        # range-partition on the bucket id: exactly ~one task per bucket (hash
+        # repartition leaves ~1/e of slots empty by birthday collisions, which
+        # under-uses the cluster and skews task sizes); one file per bucket
+        nb = self.meta()["buckets"]
         (
             df.withColumnRenamed(BUCKET_COL, "b")
-            .repartition("b")
+            .repartitionByRange(nb, "b")
             .write.partitionBy("b")
             .mode("overwrite")
             .parquet(out_path)

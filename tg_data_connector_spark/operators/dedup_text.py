@@ -46,7 +46,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     k: int = 5,
     threshold: float = 0.8,
-    max_shingle_freq: int = 1000,
+    max_shingle_freq: int = 200,
 ) -> DataFrame:
     """Exact Jaccard-similar pairs (a < b) over char k-shingles.
 
@@ -132,23 +132,41 @@ def minhash_lsh_pairs(
 
 def simhash32(col, k: int = 5):
     """32-bit SimHash over char k-shingle hash32s, expression-only: for each bit
-    position, vote +1/-1 by that bit across shingles; bit set iff vote > 0."""
+    position, vote +1/-1 by that bit across shingles; bit set iff vote > 0.
+
+    Single fold with a 32-wide vector accumulator (zip_with inside aggregate) —
+    one pass over the shingles instead of 32, and a codegen footprint small
+    enough to stay inside whole-stage codegen."""
     hs = F.transform(shingles(col, k), hash32)
-    bits = []
-    for bit in range(32):
-        vote = F.aggregate(
-            hs,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(
+    # 2^b per bit position (shiftleft/shiftright take only literal bit counts,
+    # so shifts are expressed as exact power-of-two division: h and 2^b are
+    # both < 2^53, double math is exact)
+    pows = F.transform(
+        F.sequence(F.lit(0), F.lit(31)),
+        lambda b: F.pow(F.lit(2.0), b.cast("double")).cast("bigint"),
+    )
+    zeros = F.transform(F.sequence(F.lit(0), F.lit(31)), lambda b: F.lit(0).cast("int"))
+    votes = F.aggregate(
+        hs,
+        zeros,
+        lambda acc, h: F.zip_with(
+            acc,
+            pows,
+            lambda a, p: a
+            + F.when(F.pmod((h / p).cast("bigint"), F.lit(2)) == 1, F.lit(1)).otherwise(
                 F.lit(-1)
             ),
-        )
-        bits.append(F.when(vote > 0, F.lit(2**bit)).otherwise(F.lit(0)))
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
-    return out.cast("bigint")
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            votes,
+            pows,
+            lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("bigint")),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
 
 
 def simhash_dedup(
