@@ -50,12 +50,14 @@ def stage_replay_input(staging: str, n_events: int, n_docs: int) -> None:
     """Generate the deterministic changelog + seed once, to parquet — both
     scaling runs then replay the identical on-disk input."""
     from tg_data_connector_spark.cdc import gen_changelog, gen_seed_sequences
+    from tg_data_connector_spark.cdc.genlog import with_binary_payload
     from tg_data_connector_spark.session import get_spark
 
     spark = get_spark(app_name="bench_stage", master=f"local[{CPUS}]")
-    gen_changelog(spark, n_events, n_docs, n_parts=16).write.mode(
-        "overwrite"
-    ).parquet(f"{staging}/changelog")
+    # events ship as raw binary payloads (realistic binlog shape): the replay
+    # then exercises the vectorized Arrow decode path, not just the shuffle
+    log = with_binary_payload(gen_changelog(spark, n_events, n_docs, n_parts=16))
+    log.drop("tokens").write.mode("overwrite").parquet(f"{staging}/changelog")
     gen_seed_sequences(spark, n_docs).write.mode("overwrite").parquet(
         f"{staging}/seed"
     )
@@ -87,15 +89,25 @@ def run_replay(staging: str, cores: int, batches: int = 2) -> dict:
     eng = ReplayEngine(
         spark,
         table,
-        ReplayConfig(events_per_batch=max(1, n_events // batches), salted_dedup=True),
+        ReplayConfig(
+            events_per_batch=max(1, n_events // batches),
+            salted_dedup=True,
+            parse_payload=True,
+        ),
     )
     t0 = time.time()
-    eng.replay(log, run_id="bench")
+    reports = eng.replay(log, run_id="bench")
     dt = time.time() - t0
     rows = table.read().count()
     spark.stop()
     shutil.rmtree(root, ignore_errors=True)
-    return {"seconds": dt, "events": n_events, "final_rows": rows}
+    return {
+        "seconds": dt,
+        "events": n_events,
+        "final_rows": rows,
+        "phases": [r.phases for r in reports],
+        "batch_seconds": [round(r.seconds, 2) for r in reports],
+    }
 
 
 def run_queries(sf_dir: str) -> dict:
@@ -133,9 +145,11 @@ def main() -> None:
         return
 
     sf = _sf_from_dir(SF_DIR)
-    # replay size scales with sf: 10M events/sf-unit (sf0.1 -> 1M events)
-    n_events = max(100_000, int(10_000_000 * sf))
-    n_docs = max(10_000, n_events // 10)
+    # replay size scales with sf: 50M events/sf-unit (sf0.1 -> 5M events) —
+    # sized so per-task compute dominates scheduling overhead and the
+    # N-vs-4N-core comparison measures the engine, not job latency
+    n_events = max(200_000, int(50_000_000 * sf))
+    n_docs = max(20_000, n_events // 10)
     t_suite0 = time.time()
 
     staging = tempfile.mkdtemp(prefix="bench_staging_")
@@ -176,6 +190,7 @@ def main() -> None:
                     "seconds": round(res_4n["seconds"], 3),
                     "events_per_sec": round(eps_4n, 1),
                     "final_rows": res_4n["final_rows"],
+                    "phases": res_4n.get("phases"),
                 },
                 "scaling": {
                     "cores_n": n_cores,

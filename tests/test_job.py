@@ -130,3 +130,43 @@ def test_sharded_parquet_reader(spark, tmp_path):
     }
     res = run_job(spark, cfg)
     assert res.records_read == 15
+
+
+def test_query_sql_reader(spark, tmp_path):
+    spark.range(10).selectExpr("id", "id * 2 AS v").write.parquet(
+        str(tmp_path / "t1")
+    )
+    cfg = {
+        "reader": {
+            "type": "sql",
+            "views": {"t1": str(tmp_path / "t1")},
+            "querySql": [
+                "SELECT id, v FROM t1 WHERE id < 3",
+                "SELECT id, v FROM t1 WHERE id >= 8",
+            ],
+        },
+        "writer": {"type": "console"},
+    }
+    res = run_job(spark, cfg)
+    assert res.records_read == 5
+
+
+def test_csv_multi_per_object_projection(spark, tmp_path):
+    (tmp_path / "a.csv").write_text("1,x,9\n2,y,8\n")
+    (tmp_path / "b.csv").write_text("p,3\nq,4\n")
+    cfg = {
+        "reader": {
+            "type": "csv_multi",
+            "objects": [
+                {"path": str(tmp_path / "a.csv"),
+                 "column": [{"type": "long", "index": 0, "name": "id"},
+                            {"type": "string", "index": 1, "name": "v"}]},
+                {"path": str(tmp_path / "b.csv"),
+                 "column": [{"type": "long", "index": 1, "name": "id"},
+                            {"type": "string", "index": 0, "name": "v"}]},
+            ],
+        },
+        "writer": {"type": "console"},
+    }
+    res = run_job(spark, cfg)
+    assert res.records_read == 4

@@ -1,0 +1,90 @@
+from pyspark.sql import functions as F
+
+from tg_data_connector_spark.lake import LakeTable, TableSchema, merge_upsert
+from tg_data_connector_spark.lake.maintain import compact, expire_snapshots, gc_orphans
+
+SCHEMA = TableSchema(
+    [
+        ("doc_id", "string"),
+        ("tokens", "array<int>"),
+        ("n_tok", "int"),
+        ("source", "string"),
+    ]
+)
+
+EV = (
+    "doc_id string, tokens array<int>, n_tok int, source string, "
+    "op string, commit_lsn bigint, seq_no bigint"
+)
+
+
+def _tbl(spark, root, n=100):
+    t = LakeTable.create(spark, root, SCHEMA, "doc_id", 4)
+    seed = spark.range(n).select(
+        F.concat(F.lit("d"), F.col("id")).alias("doc_id"),
+        F.array(F.col("id").cast("int")).alias("tokens"),
+        F.lit(1).alias("n_tok"),
+        F.lit("s").alias("source"),
+    )
+    t.append(seed)
+    return t
+
+
+def test_compact_reduces_files_preserves_state(spark, tmp_table_root):
+    t = _tbl(spark, tmp_table_root)
+    for i in range(3):  # appends accumulate small files per bucket
+        t.append(
+            spark.createDataFrame(
+                [(f"x{i}", [99], 1, "s")],
+                "doc_id string, tokens array<int>, n_tok int, source string",
+            )
+        )
+    before_files = len(t.snapshot().files)
+    assert before_files > 4
+    state = sorted(t.read().collect())
+    snap = compact(t)
+    assert len(snap.files) <= 4  # one per bucket
+    assert len(snap.files) < before_files
+    assert sorted(t.read().collect()) == state
+
+
+def test_compact_purges_tombstones(spark, tmp_table_root):
+    t = _tbl(spark, tmp_table_root, n=20)
+    merge_upsert(
+        t, spark.createDataFrame([("d1", None, None, "s", "D", 50, 0)], EV)
+    )
+    with_lineage = t.read(with_lineage=True)
+    assert with_lineage.where(F.col("_deleted")).count() == 1
+    compact(t, purge_tombstones=True)
+    assert t.read(with_lineage=True).where(F.col("_deleted")).count() == 0
+    assert t.read().count() == 19
+
+
+def test_gc_orphans_removes_only_unreferenced(spark, tmp_table_root):
+    t = _tbl(spark, tmp_table_root, n=20)
+    # stage files without publishing (simulated crash)
+    staged = t.write_data_files(
+        t.read(with_lineage=True).withColumn(
+            "_b", F.lit(0)
+        ),
+        schema_id=1,
+    )
+    assert staged
+    removed = gc_orphans(t)
+    assert len(removed) >= 1
+    assert t.read().count() == 20  # live data untouched
+
+
+def test_expire_snapshots_bounds_history(spark, tmp_table_root):
+    t = _tbl(spark, tmp_table_root, n=10)
+    for i in range(6):
+        merge_upsert(
+            t, spark.createDataFrame([(f"d{i}", [7], 1, "s", "U", 100 + i, 0)], EV)
+        )
+    assert len(t.history()) == 8  # v0 + seed + 6 merges
+    expired = expire_snapshots(t, keep_last=3)
+    assert len(t.history()) == 3 and expired
+    assert t.read().count() == 10  # current snapshot fully readable
+    # expired versions' exclusive files become orphans, GC keeps live ones
+    gc_orphans(t)
+    assert t.read().count() == 10

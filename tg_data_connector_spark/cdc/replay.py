@@ -64,6 +64,7 @@ class BatchReport:
     seconds: float
     skipped: bool = False
     schema_changes: int = 0
+    phases: dict = field(default_factory=dict)
 
 
 class ReplayEngine:
@@ -125,6 +126,7 @@ class ReplayEngine:
         from ..lake.table import bucket_expr
 
         meta = self.table.meta()
+        t_stats = time.time()
         stats = batch.groupBy("part").agg(
             F.max("offset").alias("hwm"),
             F.count("*").alias("n"),
@@ -135,12 +137,14 @@ class ReplayEngine:
         events_n = sum(r["n"] for r in stats)
         dirty_n = sum(r["nd"] for r in stats)
         affected_buckets = sorted({b for r in stats for b in r["bks"] if b is not None})
+        self._phase_timings = {"stats": round(time.time() - t_stats, 3)}
 
         try:
             report = self._apply_batch_inner(
                 batch, batch_id, t0, events_n, dirty_n, watermarks,
                 affected_buckets, crash_before_publish, crash_after_stage,
             )
+            report.phases = dict(self._phase_timings)
             per_part = {
                 int(r["part"]): {"hwm": r["hwm"], "events": r["n"], "dirty": r["nd"]}
                 for r in stats
@@ -266,6 +270,7 @@ class ReplayEngine:
             affected_buckets=affected_buckets,
             crash_before_publish=crash_before_publish and final,
             crash_after_stage=crash_after_stage and final,
+            timings=getattr(self, "_phase_timings", None),
         )
         if snap is None and final and watermarks is not None:
             # nothing to merge but the watermark still advances (all-dirty or
@@ -285,14 +290,19 @@ class ReplayEngine:
         """Apply the whole (remaining) changelog in offset-window batches.
         Resumable: re-invoking after a crash continues from the snapshot's
         watermarks. Batch ids are deterministic -> replays are idempotent."""
-        n_parts = changelog.select(F.max("part")).collect()[0][0]
-        n_parts = (n_parts or 0) + 1
-        per_part = max(1, self.cfg.events_per_batch // n_parts)
         remaining = self._unapplied(changelog)
-        lo, hi = self._offset_bounds(remaining)
+        # one planning scan: partition count + offset bounds together
+        bounds = remaining.agg(
+            F.max("part").alias("p"),
+            F.min("offset").alias("lo"),
+            F.max("offset").alias("hi"),
+        ).collect()[0]
         reports: list[BatchReport] = []
-        if hi < lo:
+        if bounds["lo"] is None:
             return reports
+        n_parts = int(bounds["p"]) + 1
+        per_part = max(1, self.cfg.events_per_batch // n_parts)
+        lo, hi = int(bounds["lo"]), int(bounds["hi"])
         b = 0
         for start in range(lo, hi + 1, per_part):
             end = min(start + per_part - 1, hi)

@@ -334,6 +334,99 @@ def sql_segment_revenue() -> str:
     """
 
 
+def q_running_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window functions over the event stream (reference gap §2.7: none exist
+    there; needed for dedup/sessionization in any CDC engine)."""
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.row_number().over(w).alias("rn"),
+        F.round(
+            F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 4
+        ).alias("running_value"),
+    )
+
+
+def sql_running_window() -> str:
+    return """
+    SELECT user_id, event_id,
+           row_number() OVER w AS rn,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING), 4) AS running_value
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): lag -> flag -> cumulative
+    session id -> per-session aggregate. The streaming-state analog in batch."""
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.col("ts").cast("timestamp").cast("long") - F.lag(F.col("ts").cast("timestamp").cast("long")).over(w)
+            > 1800,
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("new_s"),
+    )
+    sess = flagged.withColumn(
+        "session_id", F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min(F.col("ts").cast("timestamp").cast("long")).alias("start_epoch"),
+        F.max(F.col("ts").cast("timestamp").cast("long")).alias("end_epoch"),
+    )
+
+
+def sql_sessionize() -> str:
+    return """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+        CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w > 1800 THEN 1 ELSE 0 END
+          AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sess AS (
+      SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged)
+    SELECT user_id, session_id, count(*) AS n_events,
+           min(CAST(floor(epoch(ts)) AS BIGINT)) AS start_epoch,
+           max(CAST(floor(epoch(ts)) AS BIGINT)) AS end_epoch
+    FROM sess GROUP BY user_id, session_id
+    """
+
+
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .alias("revenue"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+def sql_rollup_revenue() -> str:
+    return """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """
+
+
 # ------------------------------------------------------------- transformers
 def q_dx_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = spark.read.parquet(_t(sf_dir, "customer"))
@@ -696,6 +789,9 @@ QUERIES = {
     "cdc_watermarks": (q_cdc_watermarks, sql_cdc_watermarks),
     "q1_pricing_summary": (q_pricing_summary, sql_pricing_summary),
     "q3_segment_revenue": (q_segment_revenue, sql_segment_revenue),
+    "window_running": (q_running_window, sql_running_window),
+    "sessionize": (q_sessionize, sql_sessionize),
+    "rollup_revenue": (q_rollup_revenue, sql_rollup_revenue),
     "dx_transform_chain": (q_dx_chain, sql_dx_chain),
     "dx_filter_like": (q_dx_filter_like, sql_dx_filter_like),
     "dedup_exact": (q_dedup_exact, sql_dedup_exact),

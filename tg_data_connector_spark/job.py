@@ -97,6 +97,42 @@ def _read(spark: SparkSession, cfg: dict) -> tuple[DataFrame, DataFrame]:
             null_format=cfg.get("nullFormat"),
             compression=cfg.get("compress"),
         )
+    if typ == "sql":
+        # querySql mode (ReaderSplitUtil.java:97-107): user-supplied SQL, one
+        # DataFrame per statement, unioned; `views` registers parquet paths
+        for name, path in cfg.get("views", {}).items():
+            spark.read.parquet(path).createOrReplaceTempView(name)
+        stmts = cfg["querySql"]
+        if isinstance(stmts, str):
+            stmts = [stmts]
+        df = spark.sql(stmts[0])
+        for s in stmts[1:]:
+            df = df.unionByName(spark.sql(s), allowMissingColumns=False)
+        return df, df.limit(0)
+    if typ == "csv_multi":
+        # per-object column-index projection (GcsReader.java:187-205,322-356):
+        # each object lists its own column entries; results union by name
+        parts = []
+        dirties = []
+        for obj in cfg["objects"]:
+            entries = [ColumnEntry(**e) for e in obj["column"]]
+            c, d = read_typed_csv(
+                spark,
+                obj["path"],
+                entries,
+                header=obj.get("header", cfg.get("header", False)),
+                sep=cfg.get("fieldDelimiter", ","),
+                null_format=cfg.get("nullFormat"),
+            )
+            parts.append(c)
+            dirties.append(d.select(F.lit(obj["path"]).alias("_object")))
+        clean = parts[0]
+        for p in parts[1:]:
+            clean = clean.unionByName(p)
+        dirty = dirties[0]
+        for d in dirties[1:]:
+            dirty = dirty.unionByName(d)
+        return clean, dirty
     if typ == "jdbc":
         df = read_jdbc_split(
             spark,

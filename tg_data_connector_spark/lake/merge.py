@@ -48,6 +48,7 @@ def merge_upsert(
     affected_buckets: list[int] | None = None,
     crash_before_publish: bool = False,
     crash_after_stage: bool = False,
+    timings: dict | None = None,
 ) -> Snapshot | None:
     """Apply one deduplicated change batch to the table and commit a snapshot.
 
@@ -132,15 +133,24 @@ def merge_upsert(
     merged = j.select(out_cols)
 
     try:
+        import time as _time
+
+        t0 = _time.time()
         files = table.write_data_files(
             merged, snap.schema_id, crash_after_stage=crash_after_stage
         )
-        return table.commit(
+        if timings is not None:
+            timings["write"] = round(_time.time() - t0, 3)
+            t0 = _time.time()
+        snap_out = table.commit(
             files,
             replace_buckets=affected,
             summary_update=summary_update,
             crash_before_publish=crash_before_publish,
         )
+        if timings is not None:
+            timings["commit"] = round(_time.time() - t0, 3)
+        return snap_out
     finally:
         if persisted:
             src.unpersist()

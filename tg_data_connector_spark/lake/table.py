@@ -52,6 +52,46 @@ def bucket_expr(key_col: str, n_buckets: int):
     return F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast("int")
 
 
+_ROUTING_CACHE: dict[int, list[int]] = {}
+
+
+def _bucket_routing(spark: SparkSession, nb: int):
+    """Bijective bucket->shuffle-slot routing.
+
+    ``repartition(nb, bucket)`` hash-partitions the nb distinct bucket ids into
+    nb slots; by birthday collisions ~1/e of the write tasks would sit idle
+    while others get two buckets. Instead each bucket id is remapped to an
+    integer x(b) chosen (once, via a tiny probe job over Spark's own murmur3
+    ``F.hash`` — the same function HashPartitioning uses) so that
+    pmod(hash(x(b)), nb) == b: exactly one write task per bucket, full
+    occupancy, deterministic."""
+    if nb not in _ROUTING_CACHE:
+        table: list[int | None] = [None] * nb
+        span, base = nb * 64, 0
+        while any(x is None for x in table):
+            rows = (
+                spark.range(base, base + span)
+                .select(
+                    F.col("id").cast("int").alias("x"),
+                    F.pmod(F.hash(F.col("id").cast("int")), F.lit(nb)).alias("r"),
+                )
+                .groupBy("r")
+                .agg(F.min("x").alias("x"))
+                .collect()
+            )
+            for r in rows:
+                if table[r["r"]] is None:
+                    table[r["r"]] = r["x"]
+            base += span
+        _ROUTING_CACHE[nb] = table  # type: ignore[assignment]
+    mapping = F.array(*[F.lit(int(x)) for x in _ROUTING_CACHE[nb]])
+
+    def route(bcol):
+        return F.element_at(mapping, bcol + 1)
+
+    return route
+
+
 @dataclass
 class TableSchema:
     """Named, typed schema (the reference has none — records are positional,
@@ -243,9 +283,9 @@ class LakeTable:
         for p in parts[1:]:
             out = out.unionByName(p)
         if not with_lineage:
-            out = out.where(~F.coalesce(F.col(DELETED_COL), F.lit(False))).drop(
-                *LINEAGE_COLS
-            )
+            # _deleted is written non-null by every writer; a bare NOT predicate
+            # (rather than coalesce) stays pushdown-eligible at the parquet scan
+            out = out.where(~F.col(DELETED_COL)).drop(*LINEAGE_COLS)
         return out
 
     # ---------- write / commit ----------
@@ -284,13 +324,18 @@ class LakeTable:
         entries; nothing is visible until a snapshot referencing them commits."""
         commit_dir = f"data/c-{uuid.uuid4().hex}"
         out_path = os.path.join(self.root, commit_dir)
-        # range-partition on the bucket id: exactly ~one task per bucket (hash
-        # repartition leaves ~1/e of slots empty by birthday collisions, which
-        # under-uses the cluster and skews task sizes); one file per bucket
+        # hash-repartition on the bucket id (range partitioning would sample the
+        # input and recompute the upstream plan twice); occupancy of the write
+        # stage is fixed by _bucket_routing, which remaps bucket ids to values
+        # whose murmur3 hash lands each bucket in its own shuffle partition
         nb = self.meta()["buckets"]
+        routed = df.withColumn(
+            "_route", _bucket_routing(self.spark, nb)(F.col(BUCKET_COL))
+        )
         (
-            df.withColumnRenamed(BUCKET_COL, "b")
-            .repartitionByRange(nb, "b")
+            routed.withColumnRenamed(BUCKET_COL, "b")
+            .repartition(nb, "_route")
+            .drop("_route")
             .write.partitionBy("b")
             .mode("overwrite")
             .parquet(out_path)
