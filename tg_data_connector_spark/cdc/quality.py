@@ -63,8 +63,34 @@ def dirty_predicate() -> Column:
     return bad_iu | bad_d | bad_op
 
 
-def split_quarantine(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+def dirty_predicate_raw(payload_col: str = "payload") -> Column:
+    """Same contract evaluated on the *undecoded* binary payload: the token
+    count of a packed int32 payload is its byte length / 4, so validation is a
+    pure JVM expression — no event has to cross into Python to be judged dirty.
+    (The decode itself runs only on events that survive quarantine AND dedup.)"""
+    iu = F.col("op").isin("I", "U")
+    bad_iu = iu & (
+        F.col("doc_id").isNull()
+        | F.col(payload_col).isNull()
+        | (F.octet_length(F.col(payload_col)) != F.col("n_tok") * F.lit(4))
+    )
+    bad_d = (F.col("op") == "D") & F.col("doc_id").isNull()
+    bad_op = ~F.col("op").isin("I", "U", "D", "S")
+    return bad_iu | bad_d | bad_op
+
+
+def contract_predicate(df: DataFrame) -> Column:
+    """Pick the dirty predicate matching the frame's shape: raw (binary
+    payload) or decoded (tokens array)."""
+    if "tokens" not in df.columns and "payload" in df.columns:
+        return dirty_predicate_raw()
+    return dirty_predicate()
+
+
+def split_quarantine(
+    df: DataFrame, pred: Column | None = None
+) -> tuple[DataFrame, DataFrame]:
     """(clean, dirty). Both sides are lazy single-pass filters over the same
     scan; callers count the dirty side once per batch for the errorLimit check."""
-    p = dirty_predicate()
+    p = pred if pred is not None else contract_predicate(df)
     return df.where(~p), df.where(p)

@@ -113,16 +113,16 @@ class ReplayEngine:
         if batch_id in snap.applied_batches():
             return BatchReport(batch_id, 0, 0, 0, time.time() - t0, skipped=True)
 
-        if self.cfg.parse_payload:
-            batch = parse_events(batch)
-        # several actions (stats, quarantine, dedup, merge) consume this batch:
-        # persist once so the scan+parse run once, not once per action
+        # The batch stays in its RAW form (binary payload) until after LWW
+        # dedup: stats + quarantine judge the payload by byte length (pure JVM),
+        # and only the one winning event per key is ever decoded in Python —
+        # see parse.py. Persist once: stats, quarantine, and dedup all read it.
         batch = batch.persist()
 
         # single-pass batch stats: per-part high-watermark, event count, dirty
         # count, AND the set of target buckets this batch touches (feeds the
         # merge so it never runs a separate probe job over the dedup plan)
-        from .quality import dirty_predicate
+        from .quality import contract_predicate
         from ..lake.table import bucket_expr
 
         meta = self.table.meta()
@@ -130,7 +130,7 @@ class ReplayEngine:
         stats = batch.groupBy("part").agg(
             F.max("offset").alias("hwm"),
             F.count("*").alias("n"),
-            F.sum(dirty_predicate().cast("int")).alias("nd"),
+            F.sum(contract_predicate(batch).cast("int")).alias("nd"),
             F.collect_set(bucket_expr("doc_id", meta["buckets"])).alias("bks"),
         ).collect()
         watermarks = {int(r["part"]): int(r["hwm"]) for r in stats}
@@ -169,7 +169,7 @@ class ReplayEngine:
         crash_before_publish: bool,
         crash_after_stage: bool,
     ) -> BatchReport:
-        clean, dirty = split_quarantine(batch)
+        clean, dirty = split_quarantine(batch)  # raw- or decoded-shape aware
         if self.cfg.quarantine_dir and dirty_n:
             dirty.withColumn("_batch_id", F.lit(batch_id)).write.mode("append").parquet(
                 self.cfg.quarantine_dir
@@ -239,25 +239,43 @@ class ReplayEngine:
     ) -> int:
         schema = self.table.snapshot().schema()
         cols = schema.names()
-        src_cols = []
-        for c in cols:
-            if c in sub.columns:
-                src_cols.append(F.col(c))
-            elif "extra" in sub.columns:
-                # evolved column delivered in the semi-structured after-image
-                typ = dict(schema.fields)[c]
-                src_cols.append(
-                    F.try_element_at(F.col("extra"), F.lit(c)).try_cast(typ).alias(c)
-                )
-            else:
-                typ = dict(schema.fields)[c]
-                src_cols.append(F.lit(None).cast(typ).alias(c))
-        src = sub.select(*src_cols, "op", "commit_lsn", "seq_no")
+        raw_mode = "tokens" not in sub.columns and "payload" in sub.columns
+        # Dedup FIRST, on the narrowest projection that can still reconstruct
+        # the row: key + version + op + whichever payload-bearing columns exist.
+        # The shuffle then carries one binary cell per event instead of a
+        # materialized token array, and the Python decode below runs on the
+        # ~|keys| winners, not the |events| input.
+        want = set(cols) | {"extra", "payload"}
+        carry = [c for c in sub.columns if c in want and c != "doc_id"]
+        src = sub.select(
+            "doc_id",
+            F.col("op"),
+            F.col("commit_lsn").cast("bigint").alias("commit_lsn"),
+            F.col("seq_no").cast("bigint").alias("seq_no"),
+            *carry,
+        )
         deduped = (
             lww_dedup_salted(src, "doc_id", self.cfg.salt_buckets)
             if self.cfg.salted_dedup
             else lww_dedup(src, "doc_id")
         )
+        if raw_mode:
+            deduped = parse_events(deduped)
+        # project up to the live table schema: evolved columns arrive either
+        # directly, via the semi-structured after-image map, or null-filled
+        out_cols = []
+        for c in cols:
+            if c in deduped.columns:
+                out_cols.append(F.col(c))
+            elif "extra" in deduped.columns:
+                typ = dict(schema.fields)[c]
+                out_cols.append(
+                    F.try_element_at(F.col("extra"), F.lit(c)).try_cast(typ).alias(c)
+                )
+            else:
+                typ = dict(schema.fields)[c]
+                out_cols.append(F.lit(None).cast(typ).alias(c))
+        deduped = deduped.select(*out_cols, "op", "commit_lsn", "seq_no")
         summary = {"batch_id": batch_id, "metrics": batch_meta} if final else {
             "batch_id": batch_id
         }
