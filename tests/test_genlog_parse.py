@@ -80,3 +80,16 @@ def test_dirty_predicate_cases(spark):
     )
     got = [r[0] for r in df.select(dirty_predicate().alias("d")).collect()]
     assert got == [exp for *_, exp in rows]
+
+
+def test_fast_payload_generator_parity(spark):
+    """gen_changelog_payload_fast must be row-identical to the expression path
+    with_binary_payload(gen_changelog(...)).drop('tokens')."""
+    from tg_data_connector_spark.cdc.genlog import gen_changelog_payload_fast
+
+    n, d, p = 50_000, 3_000, 8
+    slow = with_binary_payload(gen_changelog(spark, n, d, n_parts=p)).drop("tokens")
+    fast = gen_changelog_payload_fast(spark, n, d, n_parts=p)
+    assert fast.count() == slow.count()
+    assert slow.exceptAll(fast).count() == 0
+    assert fast.exceptAll(slow).count() == 0

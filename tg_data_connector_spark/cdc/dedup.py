@@ -14,9 +14,20 @@ Two physical strategies, same semantics:
   * ``lww_dedup_salted``— explicit two-phase for pathologically hot keys: first
     ``groupBy(key, salt)`` (salt = hash of the version pair, so a hot key's
     events spread over S reducers), then ``groupBy(key)`` over the S partials.
-    This is the north rule's "explicit salting of hot sources"; with AQE skew
-    handling the plain version is usually enough, but at 10^10 events a single
-    doc_id receiving millions of updates would otherwise pin one reducer.
+    This is the north rule's "explicit salting of hot sources".
+
+Which to use (measured, see BENCH notes in BASELINE.md): the PLAIN version is
+the default. ``max_by`` is an algebraic aggregate, so Spark always plans
+``partial_max_by -> exchange -> final_max_by``: a key receiving millions of
+updates collapses to ONE partial row per map task before the shuffle — the
+reducer for a hot key sees at most |map tasks| rows, not |events|. Salting on
+top of that *multiplies group count by S* (with many distinct keys the phase-1
+aggregation stops reducing at all: measured 2.59M events -> 2.09M "partials" at
+525k keys x 16 salts) and adds a second full shuffle. Salting pays off only
+when the per-map-task partial state itself can't absorb the hot key — i.e.
+collect-type aggregates, not max_by. The salted path is kept for that shape
+and for skew injected upstream of any aggregation (e.g. a hot `source` feeding
+a non-algebraic kernel).
 
 ``max_by(struct(everything), struct(commit_lsn, seq_no))`` gives lexicographic
 LWW. Exact duplicate deliveries (same version pair) collapse to one row by
@@ -25,10 +36,66 @@ construction — max_by of equal versions returns one of identical payloads.
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 VERSION_COLS = ("commit_lsn", "seq_no")
+
+
+def lww_dedup_arrow(
+    df: DataFrame, key: str = "doc_id", num_partitions: int | None = None
+) -> DataFrame:
+    """One explicit hash(key) shuffle + one Arrow-vectorized kernel pass.
+
+    Why this exists when ``lww_dedup`` already expresses the same thing: the
+    ``max_by(struct(payload...), struct(lsn, seq))`` aggregation buffer holds
+    var-width values (binary payload / token array), which disqualifies the
+    codegen'd HashAggregate — Spark falls back to **SortAggregate**, i.e. a
+    full sort of the payload-carrying batch on BOTH sides of the exchange
+    (measured: 448 CPU-s vs 65 for the scan at 5M events/batch). This variant
+    shuffles once on hash(key) — the north rule's explicit partitioning — and
+    replaces the sort-based aggregation with a per-partition vectorized kernel:
+    an int64 lexsort on the (commit_lsn, seq_no) columns (never the payload)
+    followed by a hash ``drop_duplicates(keep='last')``. O(n log n) on two
+    int columns instead of O(n log n) struct comparisons over full rows.
+
+    Partition = whole pandas frame in executor memory: size
+    ``spark.sql.shuffle.partitions`` so batch_rows/partitions fits (the same
+    rule the reference applies to its channel memory,
+    ``core/.../channel/memory/MemoryChannel.java:22-146``).
+
+    Ties (duplicate deliveries with equal (lsn, seq)) keep one arbitrary row
+    of identical payloads — same contract as max_by.
+
+    ``num_partitions``: pass the target table's bucket count to make the
+    output partitioning IDENTICAL to the lake bucket layout (bucket_expr ==
+    HashPartitioning — ``lake/table.py``): the downstream MERGE join and the
+    per-bucket file write then reuse this one shuffle.
+    """
+    schema = df.schema
+    vcols = [c for c in VERSION_COLS]
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        chunks = list(batches)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+        order = np.lexsort(
+            tuple(pdf[c].to_numpy(dtype=np.int64) for c in reversed(vcols))
+        )
+        out = pdf.iloc[order].drop_duplicates(subset=[key], keep="last")
+        yield out
+
+    parted = (
+        df.repartition(num_partitions, F.col(key))
+        if num_partitions
+        else df.repartition(F.col(key))
+    )
+    return parted.mapInPandas(kernel, schema)
 
 
 def _payload_struct(df: DataFrame, key: str):

@@ -19,6 +19,7 @@ Event mix (by design, mirrors FIXTURES.md F2):
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -48,8 +49,18 @@ def gen_changelog(
     high-watermark unit); ``commit_lsn`` is a permutation of event order so the
     log arrives out of (commit_lsn, seq_no) order within and across parts.
     """
-    rng = spark.range(0, n_events, 1, partitions or spark.sparkContext.defaultParallelism)
-    i = F.col("id")
+    # at-least-once delivery: every 20th event (id = 5 mod 20) is re-sent.
+    # The duplicate rows are folded into ONE range pass — ids beyond n_events
+    # map back onto the duplicated event ids arithmetically — instead of a
+    # union(df, df.where(...)) whose two branches would each run the full
+    # (expensive) token-materializing generator plan.
+    n_dups = n_events // 20
+    rng = spark.range(
+        0, n_events + n_dups, 1, partitions or spark.sparkContext.defaultParallelism
+    )
+    i = F.when(
+        F.col("id") < n_events, F.col("id")
+    ).otherwise(F.lit(5) + (F.col("id") - F.lit(n_events)) * F.lit(20))
     s = F.lit(seed)
 
     part = F.pmod(i, F.lit(n_parts)).cast("int")
@@ -103,27 +114,148 @@ def gen_changelog(
                 F.col("op")
             ),
         )
-    # at-least-once: duplicate every 20th event (same (commit_lsn, seq_no, doc_id))
-    dups = df.where(F.pmod(F.col("event_id"), F.lit(20)) == F.lit(5))
-    return df.unionByName(dups)
+    return df
 
 
 def with_binary_payload(df: DataFrame) -> DataFrame:
     """Pack tokens into a binary cell (big-endian int32s) — the raw binlog-payload
-    form consumed by the vectorized parser in ``parse.py``. Built with JVM-side
-    expressions (hex render + unhex) so generation stays off the Python path."""
-    return df.withColumn(
-        "payload",
-        F.when(
-            F.col("tokens").isNotNull(),
-            F.unhex(
-                F.array_join(
-                    F.transform(F.col("tokens"), lambda t: F.lpad(F.hex(t), 8, "0")),
-                    "",
-                )
-            ),
-        ).otherwise(F.lit(None).cast("binary")),
+    form consumed by the vectorized parser in ``parse.py``. The exact buffer-level
+    inverse of ``parse.decode_payload_array``: the list offsets become byte
+    offsets (x4) and the int32 values byteswap into the binary data buffer —
+    one copy per Arrow batch, no per-row work. (A pure-expression hex-render
+    variant measured ~20x slower at 40M events; generation feeds benchmarks, so
+    it matters.)"""
+    import numpy as np
+    import pyarrow as pa
+
+    in_fields = df.schema.fields
+    names = [f.name for f in in_fields]
+    idx = names.index("tokens")
+    out_ddl = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in in_fields
+    ) + ", payload binary"
+
+    def pack(batches):
+        for rb in batches:
+            arr = rb.column(idx)
+            n = len(arr)
+            if n == 0:
+                continue
+            if arr.offset != 0:
+                arr = pa.concat_arrays([arr.slice(0, n)])
+            validity, off_buf, *_ = arr.buffers()
+            offsets = np.frombuffer(off_buf, dtype=np.int32, count=n + 1)
+            vals = arr.values.to_numpy(zero_copy_only=False).astype(">i4")
+            byte_offsets = (offsets * 4).astype(np.int32)
+            payload = pa.Array.from_buffers(
+                pa.binary(),
+                n,
+                [validity, pa.py_buffer(byte_offsets.tobytes()),
+                 pa.py_buffer(vals.tobytes())],
+                null_count=arr.null_count,
+            )
+            yield pa.RecordBatch.from_arrays(
+                list(rb.columns) + [payload], names + ["payload"]
+            )
+
+    return df.mapInArrow(pack, out_ddl)
+
+
+def gen_changelog_payload_fast(
+    spark: SparkSession,
+    n_events: int,
+    n_docs: int,
+    n_parts: int = 8,
+    seed: int = 42,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Numpy twin of ``with_binary_payload(gen_changelog(...)).drop("tokens")``:
+    the identical closed-form row formulas evaluated vectorized over Arrow
+    batches, emitting the packed binary payload directly (no token-array
+    materialization, no per-token Column expressions). Formula-parity with the
+    expression path is pinned by ``tests/test_genlog_parse.py``.
+
+    Exists because staging 10^8-event benchmark inputs through the
+    per-token expression pipeline measured ~20x slower than this kernel —
+    and a 10^10-scale replay harness regenerates logs constantly.
+    """
+    import pyarrow as pa
+
+    n_dups = n_events // 20
+    rng = spark.range(
+        0, n_events + n_dups, 1, partitions or spark.sparkContext.defaultParallelism
     )
+    out_ddl = (
+        "event_id bigint, op string, commit_lsn bigint, seq_no bigint,"
+        " doc_id string, n_tok int, source string, part int, offset bigint,"
+        " payload binary"
+    )
+    M31 = 2**31 - 1
+
+    def kernel(batches):
+        for rb in batches:
+            raw = rb.column(0).to_numpy()
+            if len(raw) == 0:
+                continue
+            i = np.where(raw < n_events, raw, 5 + (raw - n_events) * 20)
+            part = (i % n_parts).astype(np.int32)
+            offset = i // n_parts
+            commit_lsn = ((i + seed) * 2654435761 % M31) * 4 + i % 4
+            seq_no = (i * 13 + seed) % 7
+            doc_key = (i * 31 + seed + 7) * 2654435761 % M31 % n_docs
+            opx = (i * 17 + 3) % 100
+            op = np.where(opx < 10, "D", np.where(opx < 40, "I", "U"))
+            srcx = (i * 7919 + seed) % 100
+            source = np.where(
+                srcx < 55,
+                HOT_SOURCE,
+                np.char.add("src_", (srcx % 10).astype("U1")),
+            )
+            n = (1 + (i * 31 + seed) % 64).astype(np.int64)
+            is_d = opx < 10
+            malformed = i % 97 == 96
+            n_tok = np.where(malformed, n + 1, n).astype(np.int32)
+            # payload: concat of per-event big-endian int32 token streams
+            n_eff = np.where(is_d, 0, n)
+            offs = np.zeros(len(i) + 1, dtype=np.int64)
+            np.cumsum(n_eff, out=offs[1:])
+            ids_rep = np.repeat(i, n_eff)
+            k = np.arange(len(ids_rep), dtype=np.int64) - np.repeat(
+                offs[:-1], n_eff
+            )
+            vals = ((ids_rep * 1009 + k * 7 + seed) % 50000).astype(">i4")
+            payload = pa.Array.from_buffers(
+                pa.binary(),
+                len(i),
+                [
+                    pa.py_buffer(np.packbits(~is_d, bitorder="little").tobytes()),
+                    pa.py_buffer((offs * 4).astype(np.int32).tobytes()),
+                    pa.py_buffer(vals.tobytes()),
+                ],
+                null_count=int(is_d.sum()),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(i),
+                    pa.array(op),
+                    pa.array(commit_lsn),
+                    pa.array(seq_no),
+                    pa.array(
+                        np.char.add("d", np.char.zfill(doc_key.astype("U8"), 8))
+                    ),
+                    pa.array(n_tok, type=pa.int32(), mask=is_d),  # D -> null
+                    pa.array(source),
+                    pa.array(part, type=pa.int32()),
+                    pa.array(offset),
+                    payload,
+                ],
+                [
+                    "event_id", "op", "commit_lsn", "seq_no", "doc_id",
+                    "n_tok", "source", "part", "offset", "payload",
+                ],
+            )
+
+    return rng.mapInArrow(kernel, out_ddl)
 
 
 def gen_seed_sequences(

@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 from ..lake.evolve import apply_schema_change
 from ..lake.merge import merge_upsert
 from ..lake.table import LakeTable
-from .dedup import lww_dedup, lww_dedup_salted
+from .dedup import lww_dedup, lww_dedup_arrow, lww_dedup_salted
 from .parse import parse_events
 from .quality import ErrorLimit, split_quarantine
 
@@ -48,7 +48,16 @@ CORE_COLS = ["doc_id", "tokens", "n_tok", "source"]
 @dataclass
 class ReplayConfig:
     events_per_batch: int = 1_000_000
-    salted_dedup: bool = True
+    # LWW dedup physical strategy:
+    #   "arrow" (default) — hash(doc_id) repartition + vectorized Arrow kernel
+    #       (the north-rule design; avoids the SortAggregate fallback that
+    #       var-width payloads force on max_by — see dedup.py)
+    #   "maxby"  — single groupBy().agg(max_by(...)) declarative aggregate
+    #   "salted" — two-phase (key, salt) partial then key final; only for
+    #       non-algebraic kernels where map-side partials can't absorb a hot
+    #       key (see dedup.py module docstring)
+    dedup_strategy: str = "arrow"
+    salted_dedup: bool = False  # back-compat alias for dedup_strategy="salted"
     salt_buckets: int = 16
     error_limit: ErrorLimit = field(default_factory=lambda: ErrorLimit(percentage=0.05))
     quarantine_dir: str | None = None
@@ -78,26 +87,44 @@ class ReplayEngine:
 
     # ---------- watermark filtering ----------
     def _unapplied(self, changelog: DataFrame) -> DataFrame:
-        """Filter to events beyond each part's high-watermark. The watermark map
-        is tiny (one row per source partition) -> broadcast join, no shuffle of
-        the big side beyond what the scan already does."""
+        """Filter to events beyond each part's high-watermark.
+
+        The watermark map is tiny (one row per source partition), so it is
+        inlined as a literal map-lookup EXPRESSION rather than joined: a
+        broadcast hash join measured ~2x the whole scan's cost here (extra
+        probe + codegen boundary per row), while `element_at(map<lit>, part)`
+        stays inside the scan's whole-stage-codegen. At a realistic part count
+        (even thousands) the literal map is still bytes-sized in the plan."""
         wm = self.table.snapshot().watermarks()
         if not wm:
             return changelog
-        wdf = self.spark.createDataFrame(
-            [(int(k), int(v)) for k, v in wm.items()], "part int, _wm bigint"
+        m = F.create_map(
+            *[x for k, v in wm.items() for x in (F.lit(int(k)), F.lit(int(v)))]
         )
-        return (
-            changelog.join(F.broadcast(wdf), "part", "left")
-            .where(F.col("_wm").isNull() | (F.col("offset") > F.col("_wm")))
-            .drop("_wm")
-        )
+        hwm = F.element_at(m, F.col("part"))
+        return changelog.where(hwm.isNull() | (F.col("offset") > hwm))
 
     def _offset_bounds(self, changelog: DataFrame) -> tuple[int, int]:
         row = changelog.agg(
             F.min("offset").alias("lo"), F.max("offset").alias("hi")
         ).collect()[0]
         return (row["lo"], row["hi"]) if row["lo"] is not None else (0, -1)
+
+    # ---------- batch stats ----------
+    def _batch_stats(self, batch: DataFrame) -> list:
+        """Single-pass per-part stats for one batch: high-watermark, event
+        count, dirty count, and the set of target buckets touched (feeds the
+        merge so it never runs a separate probe job over the dedup plan)."""
+        from .quality import contract_predicate
+        from ..lake.table import bucket_expr
+
+        meta = self.table.meta()
+        return batch.groupBy("part").agg(
+            F.max("offset").alias("hwm"),
+            F.count("*").alias("n"),
+            F.sum(contract_predicate(batch).cast("int")).alias("nd"),
+            F.collect_set(bucket_expr("doc_id", meta["buckets"])).alias("bks"),
+        ).collect()
 
     # ---------- one batch ----------
     def apply_batch(
@@ -107,6 +134,7 @@ class ReplayEngine:
         crash_before_publish: bool = False,
         crash_after_stage: bool = False,
         run_id: str = "adhoc",
+        stats: list | None = None,
     ) -> BatchReport:
         t0 = time.time()
         snap = self.table.snapshot()
@@ -116,46 +144,34 @@ class ReplayEngine:
         # The batch stays in its RAW form (binary payload) until after LWW
         # dedup: stats + quarantine judge the payload by byte length (pure JVM),
         # and only the one winning event per key is ever decoded in Python —
-        # see parse.py. Persist once: stats, quarantine, and dedup all read it.
-        batch = batch.persist()
-
-        # single-pass batch stats: per-part high-watermark, event count, dirty
-        # count, AND the set of target buckets this batch touches (feeds the
-        # merge so it never runs a separate probe job over the dedup plan)
-        from .quality import contract_predicate
-        from ..lake.table import bucket_expr
-
-        meta = self.table.meta()
+        # see parse.py. The batch is deliberately NOT persisted: its consumers
+        # (stats, dedup, optional quarantine) each re-run a pushdown-pruned
+        # columnar scan, which measures far cheaper than materializing millions
+        # of per-row cache objects (cache population burned ~40x the scan cost
+        # at 2.75M events/batch — BENCH notes in BASELINE.md).
         t_stats = time.time()
-        stats = batch.groupBy("part").agg(
-            F.max("offset").alias("hwm"),
-            F.count("*").alias("n"),
-            F.sum(contract_predicate(batch).cast("int")).alias("nd"),
-            F.collect_set(bucket_expr("doc_id", meta["buckets"])).alias("bks"),
-        ).collect()
+        if stats is None:
+            stats = self._batch_stats(batch)
         watermarks = {int(r["part"]): int(r["hwm"]) for r in stats}
         events_n = sum(r["n"] for r in stats)
         dirty_n = sum(r["nd"] for r in stats)
         affected_buckets = sorted({b for r in stats for b in r["bks"] if b is not None})
         self._phase_timings = {"stats": round(time.time() - t_stats, 3)}
 
-        try:
-            report = self._apply_batch_inner(
-                batch, batch_id, t0, events_n, dirty_n, watermarks,
-                affected_buckets, crash_before_publish, crash_after_stage,
-            )
-            report.phases = dict(self._phase_timings)
-            per_part = {
-                int(r["part"]): {"hwm": r["hwm"], "events": r["n"], "dirty": r["nd"]}
-                for r in stats
-            }
-            self.lineage.record_batch(
-                run_id, batch_id, per_part, self.table.current_version(),
-                report.seconds,
-            )
-            return report
-        finally:
-            batch.unpersist()
+        report = self._apply_batch_inner(
+            batch, batch_id, t0, events_n, dirty_n, watermarks,
+            affected_buckets, crash_before_publish, crash_after_stage,
+        )
+        report.phases = dict(self._phase_timings)
+        per_part = {
+            int(r["part"]): {"hwm": r["hwm"], "events": r["n"], "dirty": r["nd"]}
+            for r in stats
+        }
+        self.lineage.record_batch(
+            run_id, batch_id, per_part, self.table.current_version(),
+            report.seconds,
+        )
+        return report
 
     def _apply_batch_inner(
         self,
@@ -254,11 +270,18 @@ class ReplayEngine:
             F.col("seq_no").cast("bigint").alias("seq_no"),
             *carry,
         )
-        deduped = (
-            lww_dedup_salted(src, "doc_id", self.cfg.salt_buckets)
-            if self.cfg.salted_dedup
-            else lww_dedup(src, "doc_id")
-        )
+        strategy = "salted" if self.cfg.salted_dedup else self.cfg.dedup_strategy
+        if strategy == "salted":
+            deduped = lww_dedup_salted(src, "doc_id", self.cfg.salt_buckets)
+        elif strategy == "maxby":
+            deduped = lww_dedup(src, "doc_id")
+        else:
+            # partition count = table bucket count: this one shuffle feeds the
+            # kernel, the MERGE join, AND the per-bucket file write (see
+            # lake/table.py bucket_expr)
+            deduped = lww_dedup_arrow(
+                src, "doc_id", num_partitions=self.table.meta()["buckets"]
+            )
         if raw_mode:
             deduped = parse_events(deduped)
         # project up to the live table schema: evolved columns arrive either
@@ -304,23 +327,59 @@ class ReplayEngine:
         max_batches: int | None = None,
         crash_before_publish_at: int | None = None,
         crash_after_stage_at: int | None = None,
+        bounds: tuple[int, int, int] | None = None,
     ) -> list[BatchReport]:
         """Apply the whole (remaining) changelog in offset-window batches.
         Resumable: re-invoking after a crash continues from the snapshot's
-        watermarks. Batch ids are deterministic -> replays are idempotent."""
+        watermarks. Batch ids are deterministic -> replays are idempotent.
+
+        ``bounds``: optional (n_parts, lo_offset, hi_offset). A real change-log
+        tail knows its offset range from the source (binlog/WAL positions)
+        without scanning; callers that do (generators, staged benchmarks) pass
+        it to skip the planning scan. None -> derived with one aggregate scan.
+        """
         remaining = self._unapplied(changelog)
-        # one planning scan: partition count + offset bounds together
-        bounds = remaining.agg(
-            F.max("part").alias("p"),
-            F.min("offset").alias("lo"),
-            F.max("offset").alias("hi"),
-        ).collect()[0]
+        if bounds is not None:
+            n_parts, lo, hi = bounds
+            if hi < lo:
+                return []
+        else:
+            # one planning scan: partition count + offset bounds together
+            row = remaining.agg(
+                F.max("part").alias("p"),
+                F.min("offset").alias("lo"),
+                F.max("offset").alias("hi"),
+            ).collect()[0]
+            if row["lo"] is None:
+                return []
+            n_parts, lo, hi = int(row["p"]) + 1, int(row["lo"]), int(row["hi"])
         reports: list[BatchReport] = []
-        if bounds["lo"] is None:
-            return reports
-        n_parts = int(bounds["p"]) + 1
         per_part = max(1, self.cfg.events_per_batch // n_parts)
-        lo, hi = int(bounds["lo"]), int(bounds["hi"])
+
+        # prepass: the per-batch stats for EVERY offset window in one job —
+        # one scan of the remaining log instead of one scan per batch
+        from .quality import contract_predicate
+        from ..lake.table import bucket_expr
+
+        t_pre = time.time()
+        win = F.floor((F.col("offset") - F.lit(lo)) / F.lit(per_part)).cast("int")
+        pre = (
+            remaining.groupBy(win.alias("w"), "part")
+            .agg(
+                F.max("offset").alias("hwm"),
+                F.count("*").alias("n"),
+                F.sum(contract_predicate(remaining).cast("int")).alias("nd"),
+                F.collect_set(
+                    bucket_expr("doc_id", self.table.meta()["buckets"])
+                ).alias("bks"),
+            )
+            .collect()
+        )
+        stats_by_window: dict[int, list] = {}
+        for r in pre:
+            stats_by_window.setdefault(int(r["w"]), []).append(r)
+        prepass_s = round(time.time() - t_pre, 3)
+
         b = 0
         for start in range(lo, hi + 1, per_part):
             end = min(start + per_part - 1, hi)
@@ -334,7 +393,10 @@ class ReplayEngine:
                 crash_before_publish=(crash_before_publish_at == b),
                 crash_after_stage=(crash_after_stage_at == b),
                 run_id=run_id,
+                stats=stats_by_window.get(b, []),
             )
+            if b == 0:
+                rep.phases["stats_prepass"] = prepass_s
             reports.append(rep)
             b += 1
             if max_batches is not None and b >= max_batches:

@@ -229,9 +229,7 @@ def q_cdc_merge_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="tgspark_gate_")
     table = LakeTable.create(spark, f"{root}/seq", SEQ_SCHEMA, key="doc_id", n_buckets=16)
     table.append(derive_seed(spark, sf_dir), lsn_col=F.lit(-1), seq_col=F.lit(0))
-    eng = ReplayEngine(
-        spark, table, ReplayConfig(events_per_batch=50_000, salted_dedup=True)
-    )
+    eng = ReplayEngine(spark, table, ReplayConfig(events_per_batch=50_000))
     eng.replay(derive_changelog(spark, sf_dir), run_id="gate")
     final = table.read()
     return final.select(

@@ -83,8 +83,17 @@ def merge_upsert(
             src.unpersist()
         return None
 
-    tgt = table.read(snapshot=snap, buckets=affected, with_lineage=True).withColumn(
-        BUCKET_COL, bucket_expr(key, nb)
+    # Both join inputs are hash-partitioned by the key into exactly nb
+    # partitions — the same function as the lake's bucket layout (bucket_expr
+    # == HashPartitioning, lake/table.py) — so partition i of the join output
+    # contains bucket i only and the staged files are written with NO further
+    # shuffle. Sources already partitioned this way (the dedup kernel's
+    # repartition) are reused as-is by EnsureRequirements; mismatched sources
+    # get the one corrective exchange automatically.
+    tgt = (
+        table.read(snapshot=snap, buckets=affected, with_lineage=True)
+        .withColumn(BUCKET_COL, bucket_expr(key, nb))
+        .repartition(nb, F.col(key))
     )
 
     s = src.select(
@@ -95,9 +104,13 @@ def merge_upsert(
         F.col("seq_no").cast("bigint").alias("_s_seq"),
         *[F.col(c).alias(f"_s_{c}") for c in cols if c != key],
     )
-    j = tgt.join(
-        s, (tgt[key] == s["_s_key"]) & (tgt[BUCKET_COL] == s["_s_b"]), "full_outer"
-    )
+    # join on the key alone (bucket is a pure function of the key, so the
+    # extra equality adds no selectivity — it only widens the shuffle key) and
+    # force a shuffled-hash join: both sides carry var-width payloads, for
+    # which sort-merge pays two full sorts of array/binary rows while a hash
+    # build on the deduped source (one row per key) is a bounded, fixed-cost
+    # table per partition
+    j = tgt.join(s.hint("shuffle_hash"), tgt[key] == s["_s_key"], "full_outer")
 
     src_wins = F.col("_s_key").isNotNull() & (
         F.col(key).isNull()
@@ -137,7 +150,10 @@ def merge_upsert(
 
         t0 = _time.time()
         files = table.write_data_files(
-            merged, snap.schema_id, crash_after_stage=crash_after_stage
+            merged,
+            snap.schema_id,
+            crash_after_stage=crash_after_stage,
+            bucket_aligned=True,
         )
         if timings is not None:
             timings["write"] = round(_time.time() - t0, 3)

@@ -47,49 +47,15 @@ LINEAGE_COLS = (LSN_COL, SEQ_COL, DELETED_COL)
 
 
 def bucket_expr(key_col: str, n_buckets: int):
-    """Stable key -> bucket mapping. xxhash64 is a JVM-side, codegen'd hash; the
-    same expression is used at write and at MERGE time so joins are bucket-local."""
-    return F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast("int")
-
-
-_ROUTING_CACHE: dict[int, list[int]] = {}
-
-
-def _bucket_routing(spark: SparkSession, nb: int):
-    """Bijective bucket->shuffle-slot routing.
-
-    ``repartition(nb, bucket)`` hash-partitions the nb distinct bucket ids into
-    nb slots; by birthday collisions ~1/e of the write tasks would sit idle
-    while others get two buckets. Instead each bucket id is remapped to an
-    integer x(b) chosen (once, via a tiny probe job over Spark's own murmur3
-    ``F.hash`` — the same function HashPartitioning uses) so that
-    pmod(hash(x(b)), nb) == b: exactly one write task per bucket, full
-    occupancy, deterministic."""
-    if nb not in _ROUTING_CACHE:
-        table: list[int | None] = [None] * nb
-        span, base = nb * 64, 0
-        while any(x is None for x in table):
-            rows = (
-                spark.range(base, base + span)
-                .select(
-                    F.col("id").cast("int").alias("x"),
-                    F.pmod(F.hash(F.col("id").cast("int")), F.lit(nb)).alias("r"),
-                )
-                .groupBy("r")
-                .agg(F.min("x").alias("x"))
-                .collect()
-            )
-            for r in rows:
-                if table[r["r"]] is None:
-                    table[r["r"]] = r["x"]
-            base += span
-        _ROUTING_CACHE[nb] = table  # type: ignore[assignment]
-    mapping = F.array(*[F.lit(int(x)) for x in _ROUTING_CACHE[nb]])
-
-    def route(bcol):
-        return F.element_at(mapping, bcol + 1)
-
-    return route
+    """Stable key -> bucket mapping, deliberately IDENTICAL to Spark's own
+    shuffle placement: ``pmod(murmur3_hash(key), n)`` is exactly what
+    ``HashPartitioning`` computes, so a DataFrame after
+    ``repartition(n_buckets, key)`` has partition i == bucket i. The MERGE
+    pipeline exploits that equality end-to-end — the dedup shuffle, the
+    shuffled-hash join, and the per-bucket file write all share ONE physical
+    partitioning, and the write stage needs no second shuffle (the equivalent
+    of Iceberg's storage-partitioned join / bucket transform alignment)."""
+    return F.pmod(F.hash(F.col(key_col)), F.lit(n_buckets)).cast("int")
 
 
 @dataclass
@@ -318,24 +284,29 @@ class LakeTable:
         return v
 
     def write_data_files(
-        self, df: DataFrame, schema_id: int, crash_after_stage: bool = False
+        self,
+        df: DataFrame,
+        schema_id: int,
+        crash_after_stage: bool = False,
+        bucket_aligned: bool = False,
     ) -> list[dict]:
         """Stage parquet files for rows already carrying BUCKET_COL. Returns file
-        entries; nothing is visible until a snapshot referencing them commits."""
+        entries; nothing is visible until a snapshot referencing them commits.
+
+        ``bucket_aligned=True``: the caller guarantees ``df`` is already
+        hash-partitioned by the table key into exactly ``n_buckets`` partitions
+        (bucket_expr == HashPartitioning, see its docstring), so partition i
+        holds bucket i only and ``partitionBy`` writes one file per task with
+        NO shuffle. False -> an explicit repartition establishes that layout.
+        """
         commit_dir = f"data/c-{uuid.uuid4().hex}"
         out_path = os.path.join(self.root, commit_dir)
-        # hash-repartition on the bucket id (range partitioning would sample the
-        # input and recompute the upstream plan twice); occupancy of the write
-        # stage is fixed by _bucket_routing, which remaps bucket ids to values
-        # whose murmur3 hash lands each bucket in its own shuffle partition
         nb = self.meta()["buckets"]
-        routed = df.withColumn(
-            "_route", _bucket_routing(self.spark, nb)(F.col(BUCKET_COL))
-        )
+        key = self.meta()["key"]
+        if not bucket_aligned:
+            df = df.repartition(nb, F.col(key))
         (
-            routed.withColumnRenamed(BUCKET_COL, "b")
-            .repartition(nb, "_route")
-            .drop("_route")
+            df.withColumnRenamed(BUCKET_COL, "b")
             .write.partitionBy("b")
             .mode("overwrite")
             .parquet(out_path)
