@@ -93,3 +93,49 @@ def test_fast_payload_generator_parity(spark):
     assert fast.count() == slow.count()
     assert slow.exceptAll(fast).count() == 0
     assert fast.exceptAll(slow).count() == 0
+
+
+def test_dup_count_non_multiple_of_20(spark):
+    """Every id < n with id % 20 == 5 is re-sent — including the final one when
+    n % 20 in [6, 19] (the naive n // 20 undercounts there)."""
+    for n in (56, 1017, 39):
+        expected_dups = len([i for i in range(n) if i % 20 == 5])
+        log = gen_changelog(spark, n, 10)
+        assert log.count() == n + expected_dups, n
+        # the duplicated rows are exact re-deliveries
+        dup_ids = (
+            log.groupBy("event_id").count().where(F.col("count") > 1).collect()
+        )
+        assert sorted(r["event_id"] for r in dup_ids) == [
+            i for i in range(n) if i % 20 == 5
+        ], n
+
+
+def test_fast_generator_parity_ragged_tail(spark):
+    """Formula parity at an n_events % 20 in [6, 19] (the original parity test
+    uses a multiple of 20 and cannot see a dup-count drift)."""
+    from tg_data_connector_spark.cdc.genlog import gen_changelog_payload_fast
+
+    n, d, p = 1017, 100, 4
+    slow = with_binary_payload(gen_changelog(spark, n, d, n_parts=p)).drop("tokens")
+    fast = gen_changelog_payload_fast(spark, n, d, n_parts=p)
+    assert fast.count() == slow.count()
+    assert slow.exceptAll(fast).count() == 0
+    assert fast.exceptAll(slow).count() == 0
+
+
+def test_dirty_predicate_raw_overflow_safe(spark):
+    """A corrupt-but-legal n_tok near int32 max must be judged dirty, not blow
+    up the job with ARITHMETIC_OVERFLOW under ANSI mode (n_tok * 4 as int)."""
+    from tg_data_connector_spark.cdc.quality import dirty_predicate_raw
+
+    df = spark.createDataFrame(
+        [("I", "a", bytearray(b"\x00\x00\x00\x01"), 2**30),
+         ("I", "b", bytearray(b"\x00\x00\x00\x01"), 1)],
+        "op string, doc_id string, payload binary, n_tok int",
+    )
+    got = {
+        r["doc_id"]: r["d"]
+        for r in df.select("doc_id", dirty_predicate_raw().alias("d")).collect()
+    }
+    assert got == {"a": True, "b": False}

@@ -102,3 +102,36 @@ def test_crash_between_stage_and_publish_invisible(spark, tmp_table_root):
     # next commit skips over the orphaned version file and succeeds
     t.append(_seed(spark, 2).withColumn("doc_id", F.concat(F.lit("y"), F.col("doc_id"))))
     assert t.read().count() == 12
+
+
+def test_bucket_hash_format_validated(spark, tmp_table_root):
+    """A table laid out under a different key->bucket hash must be refused at
+    open — merging it would silently corrupt bucket pruning and the b= layout."""
+    import json
+    import os
+
+    import pytest as _pytest
+
+    from tg_data_connector_spark.lake.table import LakeTable, TableSchema
+
+    t = LakeTable.create(
+        spark, tmp_table_root, TableSchema([("doc_id", "string")]), key="doc_id"
+    )
+    assert t.meta()["bucket_hash"] == "murmur3_pmod"
+    # tamper: simulate a table written by the old xxhash64 layout
+    mp = os.path.join(tmp_table_root, "_meta.json")
+    with open(mp) as f:
+        m = json.load(f)
+    m["bucket_hash"] = "xxhash64_pmod"
+    with open(mp, "w") as f:
+        json.dump(m, f)
+    t2 = LakeTable(spark, tmp_table_root)
+    with _pytest.raises(RuntimeError, match="bucket hash"):
+        t2.meta()
+    # legacy table with no recorded hash id is refused too
+    del m["bucket_hash"]
+    with open(mp, "w") as f:
+        json.dump(m, f)
+    t3 = LakeTable(spark, tmp_table_root)
+    with _pytest.raises(RuntimeError, match="bucket hash"):
+        t3.meta()

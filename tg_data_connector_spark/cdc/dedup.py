@@ -79,15 +79,40 @@ def lww_dedup_arrow(
     schema = df.schema
     vcols = [c for c in VERSION_COLS]
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        chunks = list(batches)
-        if not chunks:
-            return
-        pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+    def reduce_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
         order = np.lexsort(
             tuple(pdf[c].to_numpy(dtype=np.int64) for c in reversed(vcols))
         )
-        out = pdf.iloc[order].drop_duplicates(subset=[key], keep="last")
+        return pdf.iloc[order].drop_duplicates(subset=[key], keep="last")
+
+    # Streaming reduce: each Arrow chunk is reduced to its per-key winners on
+    # arrival and only winners accumulate, compacted whenever they exceed a
+    # bound. Peak memory is therefore ~max(|distinct keys in partition|,
+    # COMPACT_ROWS) + one chunk — NOT the whole shuffle partition (which grows
+    # as events_per_batch / n_buckets and would otherwise cap batch sizing).
+    # LWW is associative (max over the version pair per key), so chunked
+    # reduction is exact.
+    COMPACT_ROWS = 2_000_000
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        winners: list[pd.DataFrame] = []
+        total = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            w = reduce_chunk(pdf)
+            winners.append(w)
+            total += len(w)
+            if total > COMPACT_ROWS and len(winners) > 1:
+                merged = reduce_chunk(pd.concat(winners, ignore_index=True))
+                winners, total = [merged], len(merged)
+        if not winners:
+            return
+        out = (
+            reduce_chunk(pd.concat(winners, ignore_index=True))
+            if len(winners) > 1
+            else winners[0]
+        )
         yield out
 
     parted = (

@@ -26,6 +26,13 @@ from pyspark.sql import functions as F
 HOT_SOURCE = "src_hot"
 
 
+def _n_dups(n_events: int) -> int:
+    """Count of duplicated deliveries = |{i < n_events : i % 20 == 5}|.
+    (The naive n_events // 20 undercounts by one whenever n_events % 20 >= 6,
+    drifting the documented 'every 20th event is re-sent' invariant.)"""
+    return (n_events - 6) // 20 + 1 if n_events > 5 else 0
+
+
 def _mix(col):
     """Cheap integer bit-mix (splitmix-style, arithmetic-only so the identical
     formula runs in an external SQL oracle)."""
@@ -54,7 +61,7 @@ def gen_changelog(
     # map back onto the duplicated event ids arithmetically — instead of a
     # union(df, df.where(...)) whose two branches would each run the full
     # (expensive) token-materializing generator plan.
-    n_dups = n_events // 20
+    n_dups = _n_dups(n_events)
     rng = spark.range(
         0, n_events + n_dups, 1, partitions or spark.sparkContext.defaultParallelism
     )
@@ -181,7 +188,7 @@ def gen_changelog_payload_fast(
     """
     import pyarrow as pa
 
-    n_dups = n_events // 20
+    n_dups = _n_dups(n_events)
     rng = spark.range(
         0, n_events + n_dups, 1, partitions or spark.sparkContext.defaultParallelism
     )

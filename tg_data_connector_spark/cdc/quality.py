@@ -69,10 +69,17 @@ def dirty_predicate_raw(payload_col: str = "payload") -> Column:
     pure JVM expression — no event has to cross into Python to be judged dirty.
     (The decode itself runs only on events that survive quarantine AND dedup.)"""
     iu = F.col("op").isin("I", "U")
+    # n_tok is cast to bigint BEFORE the *4: a corrupt-but-legal int32 n_tok
+    # (e.g. 2^30) must be judged dirty, not raise ARITHMETIC_OVERFLOW under
+    # ANSI mode and kill the replay — overflow here is exactly the class of
+    # record the quarantine policy exists to absorb.
     bad_iu = iu & (
         F.col("doc_id").isNull()
         | F.col(payload_col).isNull()
-        | (F.octet_length(F.col(payload_col)) != F.col("n_tok") * F.lit(4))
+        | (
+            F.octet_length(F.col(payload_col)).cast("bigint")
+            != F.col("n_tok").cast("bigint") * F.lit(4)
+        )
     )
     bad_d = (F.col("op") == "D") & F.col("doc_id").isNull()
     bad_op = ~F.col("op").isin("I", "U", "D", "S")

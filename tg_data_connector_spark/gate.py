@@ -394,8 +394,10 @@ def sql_sessionize() -> str:
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
     sess AS (
-      SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                 ROWS UNBOUNDED PRECEDING) AS session_id
+      -- CAST: DuckDB's sum() over INT yields HUGEINT, which hashes differently
+      -- from Spark's BIGINT even when every value is identical
+      SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       FROM flagged)
     SELECT user_id, session_id, count(*) AS n_events,
            min(CAST(floor(epoch(ts)) AS BIGINT)) AS start_epoch,
@@ -721,12 +723,52 @@ def sql_cosine_topk() -> str:
     """
 
 
+_LSH_PLANES, _LSH_SEED = 8, 11
+
+
 def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN (rows-only check: hyperplane projections are float sums
-    whose sign near zero is not portably reproducible in SQL)."""
+    """LSH-bucketed ANN over integer-quantized embeddings: bucket assignment is
+    an exact bigint projection sign, so the oracle reproduces it bit-for-bit."""
     emb = spark.read.parquet(_t(sf_dir, "embeddings"))
     queries = emb.where(F.col("vec_id") < _N_QUERIES)
-    return lsh_ann_topk(emb, queries, dim=64, k=_TOPK, n_planes=8)
+    return lsh_ann_topk(emb, queries, dim=64, k=_TOPK, n_planes=_LSH_PLANES,
+                        seed=_LSH_SEED)
+
+
+def sql_lsh_ann() -> str:
+    from .operators.similarity import plane_components
+
+    comps = plane_components(_LSH_PLANES, 64, seed=_LSH_SEED)
+    q = "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+    sig_terms = []
+    for p, row in enumerate(comps):
+        arr = "[" + ", ".join(str(c) for c in row) + "]"
+        sig_terms.append(
+            f"(CASE WHEN list_sum(list_transform(range(1, 65),"
+            f" i -> q[CAST(i AS INT)] * ({arr})[CAST(i AS INT)])) >= 0"
+            f" THEN {2**p} ELSE 0 END)"
+        )
+    sig = " + ".join(sig_terms)
+    dot = "list_sum(list_transform(range(1, 65), i -> qq[CAST(i AS INT)] * nq[CAST(i AS INT)]))"
+    return f"""
+    WITH qv AS (SELECT vec_id, {q} AS q FROM embeddings),
+    sigs AS (SELECT vec_id, q, CAST({sig} AS INT) AS sig FROM qv),
+    pairs AS (SELECT qa.vec_id AS query_id, nb.vec_id AS neighbor_id,
+                     qa.q AS qq, nb.q AS nq
+              FROM sigs qa JOIN sigs nb
+              ON qa.sig = nb.sig AND qa.vec_id <> nb.vec_id
+              WHERE qa.vec_id < {_N_QUERIES}),
+    scored AS (SELECT query_id, neighbor_id,
+        round({dot} /
+          (sqrt(list_sum(list_transform(qq, x -> x*x))) *
+           sqrt(list_sum(list_transform(nq, x -> x*x)))), 6) AS cos
+        FROM pairs)
+    SELECT query_id, neighbor_id, cos, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored)
+    WHERE rank <= {_TOPK}
+    """
 
 
 # ---------------------------------------------------------------- multimodal
@@ -767,8 +809,10 @@ def sql_multimodal_meta() -> str:
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """mapInPandas decode path with the deterministic stub featurizer
-    (rows-only check: the real decoder is gated on unavailable codecs)."""
+    """mapInPandas decode path with the deterministic stub featurizer. The stub
+    (byte-chunk means of a 16-byte md5-derived payload, feature_dim=4) is
+    closed-form: each feature is mean of 4 uint8 bytes — a sum <= 1020 divided
+    by 4, exact in float32 AND double — so the oracle reproduces it exactly."""
     from .operators.multimodal import decode_and_featurize
 
     docs = spark.read.parquet(_t(sf_dir, "documents"))
@@ -776,7 +820,25 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.unhex(F.md5(F.col("text"))).alias("payload")
     )
     out = decode_and_featurize(payloads, "payload", feature_dim=4, use_fake_decoder=True)
-    return out.select("doc_id", F.round(F.element_at("features", 1), 3).alias("f0"))
+    return out.select(
+        "doc_id",
+        *[
+            F.round(F.element_at("features", i + 1).cast("double"), 3).alias(f"f{i}")
+            for i in range(4)
+        ],
+    )
+
+
+def sql_multimodal_features() -> str:
+    # byte j (1-based) of unhex(md5(text)) = hex chars [2j-1, 2j]
+    def byte(j: int) -> str:
+        return f"CAST(('0x' || substr(md5(text), {2 * j - 1}, 2)) AS INT)"
+
+    feats = []
+    for i in range(4):
+        bs = " + ".join(byte(i * 4 + j) for j in range(1, 5))
+        feats.append(f"round(({bs}) / 4.0, 3) AS f{i}")
+    return f"SELECT doc_id, {', '.join(feats)} FROM documents"
 
 
 QUERIES = {
@@ -801,7 +863,7 @@ QUERIES = {
     "dedup_minhash_lsh": (q_minhash_lsh, sql_minhash_lsh),
     "dedup_simhash": (q_simhash, sql_simhash),
     "ann_cosine_topk": (q_cosine_topk, sql_cosine_topk),
-    "ann_lsh_bucketed": (q_lsh_ann, None),  # rows-only: float-sign portability
+    "ann_lsh_bucketed": (q_lsh_ann, sql_lsh_ann),
     "multimodal_meta": (q_multimodal_meta, sql_multimodal_meta),
-    "multimodal_features": (q_multimodal_features, None),  # rows-only: stub decode
+    "multimodal_features": (q_multimodal_features, sql_multimodal_features),
 }

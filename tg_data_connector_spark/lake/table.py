@@ -36,6 +36,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 BUCKET_COL = "_b"
+# Identifier of the key->bucket function used by THIS code (murmur3 via F.hash,
+# pmod into n_buckets). Persisted in table meta at create time and validated at
+# open: a table laid out under a different hash (e.g. the earlier xxhash64
+# layout) would be silently corrupted by bucket pruning / replace_buckets /
+# the b= directory mapping, so it is refused instead.
+BUCKET_HASH_ID = "murmur3_pmod"
 LSN_COL = "_lsn"
 SEQ_COL = "_seq"
 DELETED_COL = "_deleted"
@@ -157,7 +163,9 @@ class LakeTable:
         )
         # meta that never changes lives in a sidecar
         with open(os.path.join(root, "_meta.json"), "w") as f:
-            json.dump({"key": key, "buckets": n_buckets}, f)
+            json.dump(
+                {"key": key, "buckets": n_buckets, "bucket_hash": BUCKET_HASH_ID}, f
+            )
         t._write_manifest(snap)
         t._publish(snap.version, expected_parent=None)
         return t
@@ -167,8 +175,21 @@ class LakeTable:
         return os.path.exists(os.path.join(root, "_current"))
 
     def meta(self) -> dict:
-        with open(os.path.join(self.root, "_meta.json")) as f:
-            return json.load(f)
+        m = getattr(self, "_meta_cache", None)
+        if m is None:
+            with open(os.path.join(self.root, "_meta.json")) as f:
+                m = json.load(f)
+            got = m.get("bucket_hash")
+            if got != BUCKET_HASH_ID:
+                raise RuntimeError(
+                    f"table at {self.root} was laid out with bucket hash "
+                    f"{got!r}; this engine uses {BUCKET_HASH_ID!r} — refusing "
+                    "to merge (bucket pruning and the b= directory layout "
+                    "would silently disagree with the on-disk files). "
+                    "Rewrite the table to migrate."
+                )
+            self._meta_cache = m
+        return m
 
     def current_version(self) -> int:
         with open(self._current_path()) as f:

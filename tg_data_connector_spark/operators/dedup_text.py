@@ -60,7 +60,13 @@ def ngram_jaccard_pairs(
     sizes = sh.select(F.col(id_col), F.size("sh").alias("n"))
     ex = sh.select(id_col, F.explode("sh").alias("h"))
     freq = ex.groupBy("h").count()
-    ex = ex.join(F.broadcast(freq.where(F.col("count") <= max_shingle_freq)), "h")
+    # Broadcast the HOT-shingle blocklist (count > cap), never the keep-list:
+    # the keep-list is O(distinct shingles) ~ corpus-sized and would OOM every
+    # executor at scale, while the blocklist is tiny by construction (each hot
+    # shingle must appear in > cap docs, so there are at most n_docs*|doc| / cap
+    # of them — in practice a handful of stopword-shingles).
+    hot = freq.where(F.col("count") > max_shingle_freq).select("h")
+    ex = ex.join(F.broadcast(hot), "h", "left_anti")
     a = ex.select(F.col(id_col).alias("a"), "h")
     b = ex.select(F.col(id_col).alias("b"), "h")
     common = (
@@ -179,4 +185,63 @@ def simhash_dedup(
         s.groupBy("simhash")
         .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("keep"))
         .where(F.col("n_docs") > 1)
+    )
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs within hamming distance <= max_hamming on simhash32, via
+    band rotation: the 32-bit simhash splits into ``bands`` equal slices; by
+    pigeonhole any pair within distance bands-1 shares at least one intact
+    slice, so candidates are band-key collisions (O(docs x bands) shuffle,
+    never all-pairs) and the exact hamming filter runs per candidate only.
+    Requires max_hamming <= bands - 1 for exact recall; returns (a, b, hamming).
+    """
+    assert 32 % bands == 0 and max_hamming <= bands - 1
+    width = 32 // bands
+    s = df.select(F.col(id_col), simhash32(F.col(text_col), k).alias("simhash"))
+    banded = s.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        # arithmetic slice (sim // 2^(w*i)) % 2^w: identical
+                        # formula runs in the external SQL oracle
+                        F.pmod(
+                            (F.col("simhash") / F.lit(2 ** (width * i))).cast(
+                                "bigint"
+                            ),
+                            F.lit(2**width),
+                        ).alias("key"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "simhash", "bk.band", "bk.key")
+    a = banded.select(F.col(id_col).alias("a"), F.col("simhash").alias("sa"),
+                      "band", "key")
+    b = banded.select(F.col(id_col).alias("b"), F.col("simhash").alias("sb"),
+                      "band", "key")
+    return (
+        a.join(b, ["band", "key"])
+        .where(F.col("a") < F.col("b"))
+        .select(
+            "a",
+            "b",
+            F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("int").alias(
+                "hamming"
+            ),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
     )

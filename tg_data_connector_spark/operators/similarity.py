@@ -20,8 +20,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.hashing import hash32
-
 
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -74,31 +72,49 @@ def brute_force_topk(
     )
 
 
+def plane_components(n_planes: int, dim: int, seed: int = 11) -> list[list[int]]:
+    """Hyperplane component (p, d) = md5-hash32("p_d_seed") - 2^31, an integer
+    in [-2^31, 2^31). Computed once driver-side (hyperplanes are constants —
+    hashing them per row would be pure waste) and inlined as literals; an
+    external SQL oracle re-derives the identical list from the same formula."""
+    import hashlib
+
+    return [
+        [
+            int(hashlib.md5(f"{p}_{d}_{seed}".encode()).hexdigest()[:8], 16) - 2**31
+            for d in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
 def hyperplane_signature(
-    vec: Column, dim: int, n_planes: int = 16, seed: int = 11
+    qvec: Column, dim: int, n_planes: int = 16, seed: int = 11
 ) -> Column:
-    """Sign-bit signature against n_planes pseudo-random hyperplanes. Plane
-    component (p, d) = hash32("p_d_seed") mapped to [-1, 1) — deterministic,
-    engine-independent."""
+    """Sign-bit signature of an integer-quantized vector against n_planes
+    deterministic hyperplanes. All-bigint math: quantized components (|q| <~
+    10^6) x 2^31-scale plane components x dim stay far under 2^63, so the
+    projection — and therefore the bucket id — is EXACT and portable (no
+    float-sum sign flips near zero)."""
     bits = []
-    for p in range(n_planes):
-        comp = F.transform(
-            F.sequence(F.lit(0), F.lit(dim - 1)),
-            lambda d: (
-                hash32(F.concat_ws("_", F.lit(p), d, F.lit(seed))) / F.lit(2147483648.0)
-            )
-            - F.lit(1.0),
-        )
+    for p, row in enumerate(plane_components(n_planes, dim, seed)):
+        comp = F.array(*[F.lit(c).cast("bigint") for c in row])
         proj = F.aggregate(
-            F.zip_with(vec, comp, lambda x, c: x.cast("double") * c),
-            F.lit(0.0),
+            F.zip_with(qvec, comp, lambda x, c: x.cast("bigint") * c),
+            F.lit(0).cast("bigint"),
             lambda acc, v: acc + v,
         )
-        bits.append(F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(2**p))
+        bits.append(F.when(proj >= 0, F.lit(2**p)).otherwise(F.lit(0)))
     out = bits[0]
     for b in bits[1:]:
         out = out + b
     return out.cast("int")
+
+
+def quantize(vec: Column, scale: int = 1000) -> Column:
+    """array<float> -> array<bigint> by round(x * scale): the integer twin an
+    external oracle can reproduce bit-for-bit."""
+    return F.transform(vec, lambda x: F.round(x.cast("double") * scale).cast("bigint"))
 
 
 def lsh_ann_topk(
@@ -113,13 +129,16 @@ def lsh_ann_topk(
 ) -> DataFrame:
     """Approximate top-k: candidates share the full hyperplane bucket with the
     query; exact cosine re-rank inside the bucket. Recall grows with fewer
-    planes / more tables; one table here, parameterizable."""
-    sig = hyperplane_signature(F.col(vec_col), dim, n_planes, seed)
+    planes / more tables; one table here, parameterizable. Embeddings are
+    integer-quantized (round(x*1000)) so both the bucket assignment and the
+    re-rank score are engine-exact."""
+    qv = quantize(F.col(vec_col))
+    sig = hyperplane_signature(qv, dim, n_planes, seed)
     cand = vectors.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_nv"), sig.alias("_sig")
+        F.col(id_col).alias("neighbor_id"), qv.alias("_nv"), sig.alias("_sig")
     )
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"), sig.alias("_sig")
+        F.col(id_col).alias("query_id"), qv.alias("_qv"), sig.alias("_sig")
     )
     scored = cand.join(F.broadcast(q), "_sig").where(
         F.col("query_id") != F.col("neighbor_id")
