@@ -170,3 +170,79 @@ def test_csv_multi_per_object_projection(spark, tmp_path):
     }
     res = run_job(spark, cfg)
     assert res.records_read == 4
+
+
+def test_at_table_placeholder_rendered(spark, tmp_path):
+    """preSql/postSql @table renders to the writer target (reference
+    WriterUtil.java:79-109)."""
+    from tg_data_connector_spark import job as jobmod
+
+    src = tmp_path / "in"
+    spark.range(3).write.parquet(str(src))
+    out = tmp_path / "out"
+    cfg = {
+        "reader": {"type": "parquet", "path": str(src)},
+        "writer": {"type": "parquet", "path": str(out), "table": "tgt_view"},
+        "preSql": ["CREATE OR REPLACE TEMP VIEW pre_marker AS SELECT '@table' AS t"],
+        "postSql": ["CREATE OR REPLACE TEMP VIEW post_marker AS SELECT '@table' AS t"],
+    }
+    jobmod.run_job(spark, cfg)
+    assert spark.table("pre_marker").collect()[0]["t"] == "tgt_view"
+    assert spark.table("post_marker").collect()[0]["t"] == "tgt_view"
+
+
+def test_run_job_single_action_per_source(spark, tmp_path):
+    """Stats must ride the one write action (observe), not extra count()
+    passes: assert exactly ONE job touches the csv source scan."""
+    src = tmp_path / "in.csv"
+    src.write_text("1,a\n2,b\nx,c\n")
+    out = tmp_path / "out"
+    cfg = {
+        "reader": {
+            "type": "csv",
+            "path": str(src),
+            "column": [
+                {"type": "long", "index": 0, "name": "id"},
+                {"type": "string", "index": 1, "name": "v"},
+            ],
+        },
+        "writer": {"type": "parquet", "path": str(out)},
+        "errorLimit": {"record": 5},
+    }
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    before = set(tracker.getJobIdsForGroup() or [])
+    from tg_data_connector_spark.job import run_job
+
+    spark.sparkContext.setJobGroup("single_action_test", "test")
+    try:
+        res = run_job(spark, cfg)
+    finally:
+        spark.sparkContext.setJobGroup(None, None)
+    jobs = [j for j in (tracker.getJobIdsForGroup("single_action_test") or [])
+            if j not in before]
+    assert len(jobs) == 1, f"expected 1 job, saw {len(jobs)}"
+    assert res.records_read == 2 and res.dirty_records == 1 and res.records_written == 2
+
+
+def test_job_csv_skip_lines(spark, tmp_path):
+    src = tmp_path / "in.csv"
+    src.write_text("junk\n1,a\n2,b\n")
+    out = tmp_path / "out"
+    cfg = {
+        "reader": {
+            "type": "csv",
+            "path": str(src),
+            "skipLines": 1,
+            "column": [
+                {"type": "long", "index": 0, "name": "id"},
+                {"type": "string", "index": 1, "name": "v"},
+            ],
+        },
+        "writer": {"type": "parquet", "path": str(out)},
+    }
+    from tg_data_connector_spark.job import run_job
+
+    res = run_job(spark, cfg)
+    assert res.records_read == 2
+    assert spark.read.parquet(str(out)).count() == 2

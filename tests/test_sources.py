@@ -76,3 +76,123 @@ def test_read_typed_csv_null_format(spark, tmp_path):
     clean, _ = read_typed_csv(spark, str(p), entries, null_format="\\N")
     vals = {r["id"]: r["v"] for r in clean.collect()}
     assert vals[1] is None and vals[2] == "val"
+
+
+def test_skip_lines_actually_skips(spark, tmp_path):
+    """Spark 4.1's csv `skipRows` option is a silent no-op; the reader must
+    skip via a real mechanism (reference `UnstructuredStorageReaderUtil.java:
+    239-313`)."""
+    from tg_data_connector_spark.sources.files import ColumnEntry, read_typed_csv
+
+    p = tmp_path / "skippy.csv"
+    p.write_text("junk line 1\njunk line 2\n1,a\n2,b\n3,c\n")
+    clean, dirty = read_typed_csv(
+        spark,
+        str(p),
+        [ColumnEntry(type="long", index=0, name="id"),
+         ColumnEntry(type="string", index=1, name="v")],
+        skip_lines=2,
+    )
+    rows = sorted((r["id"], r["v"]) for r in clean.collect())
+    assert rows == [(1, "a"), (2, "b"), (3, "c")]
+    assert dirty.count() == 0
+
+
+def test_skip_lines_with_header(spark, tmp_path):
+    from tg_data_connector_spark.sources.files import ColumnEntry, read_typed_csv
+
+    p = tmp_path / "hs.csv"
+    p.write_text("garbage\nid,v\n7,x\n8,y\n")
+    clean, _ = read_typed_csv(
+        spark, str(p),
+        [ColumnEntry(type="long", index=0, name="id"),
+         ColumnEntry(type="string", index=1, name="v")],
+        header=True, skip_lines=1,
+    )
+    assert sorted((r["id"], r["v"]) for r in clean.collect()) == [(7, "x"), (8, "y")]
+
+
+def test_gzip_csv_reads(spark, tmp_path):
+    import gzip
+
+    from tg_data_connector_spark.sources.files import ColumnEntry, read_typed_csv
+
+    p = tmp_path / "z.csv.gz"
+    with gzip.open(p, "wt") as f:
+        f.write("1,a\n2,b\n")
+    clean, _ = read_typed_csv(
+        spark, str(p),
+        [ColumnEntry(type="long", index=0, name="id"),
+         ColumnEntry(type="string", index=1, name="v")],
+        compression="gzip",
+    )
+    assert sorted((r["id"], r["v"]) for r in clean.collect()) == [(1, "a"), (2, "b")]
+
+
+def test_gzip_extension_mismatch_rejected(spark, tmp_path):
+    import pytest
+
+    from tg_data_connector_spark.sources.files import read_typed_csv
+
+    p = tmp_path / "plain.csv"
+    p.write_text("1,a\n")
+    with pytest.raises(ValueError, match="lack"):
+        read_typed_csv(spark, str(p), None, compression="gzip")
+
+
+def test_zip_csv_reads(spark, tmp_path):
+    import zipfile
+
+    from tg_data_connector_spark.sources.files import ColumnEntry, read_typed_csv
+
+    p = tmp_path / "a.zip"
+    with zipfile.ZipFile(p, "w") as zf:
+        zf.writestr("part1.csv", "head\n1,a\n2,b\n")
+    clean, _ = read_typed_csv(
+        spark, str(p),
+        [ColumnEntry(type="long", index=0, name="id"),
+         ColumnEntry(type="string", index=1, name="v")],
+        skip_lines=1, compression="zip",
+    )
+    assert sorted((r["id"], r["v"]) for r in clean.collect()) == [(1, "a"), (2, "b")]
+
+
+def test_unsupported_codec_rejected(spark, tmp_path):
+    import pytest
+
+    from tg_data_connector_spark.sources.files import read_typed_csv
+
+    with pytest.raises(ValueError, match="no available codec"):
+        read_typed_csv(spark, str(tmp_path / "x.csv"), None, compression="lzo")
+
+
+def test_string_pk_radix_split_covers_domain(spark):
+    """String-PK predicates must cover the key domain disjointly (reference
+    `RangeSplitUtil.java:105-128` radix-128 split)."""
+    from pyspark.sql import functions as F
+
+    from tg_data_connector_spark.sources.jdbc import string_range_split_predicates
+
+    keys = [f"user_{i:04d}" for i in range(0, 999, 7)] + ["aaa", "zzz~", "m"]
+    df = spark.createDataFrame([(k,) for k in keys], "pk string")
+    preds = string_range_split_predicates(min(keys), max(keys), 8, "pk")
+    assert len(preds) >= 2  # slices + NULL slice
+    total = 0
+    for p in preds:
+        total += df.where(F.expr(p)).count()
+    assert total == len(keys)  # disjoint AND complete
+    # quote escaping survives
+    preds2 = string_range_split_predicates("a'b", "z'x", 4, "pk")
+    for p in preds2:
+        df.where(F.expr(p)).count()  # must parse
+
+
+def test_string_pk_radix_roundtrip():
+    from tg_data_connector_spark.sources.jdbc import (
+        _radix_int_to_str,
+        _str_to_radix_int,
+    )
+
+    for s in ["", "a", "abc", "user_0042", "zz~"]:
+        L = max(len(s), 1)
+        assert _radix_int_to_str(_str_to_radix_int(s, L), L) == s

@@ -82,3 +82,51 @@ def test_transformer_chain(spark):
     )
     rows = out.collect()
     assert len(rows) == 1 and rows[0]["s"] == "hello!!"
+
+
+def test_dx_filter_timestamp_column(spark):
+    """Date columns must compare temporally (reference FilterTransformer
+    long-millis dispatch), never lexicographically as strings."""
+    from pyspark.sql import functions as F
+
+    from tg_data_connector_spark.operators.transformers import dx_filter
+
+    df = spark.createDataFrame(
+        [("2024-01-02 00:00:00",), ("2024-10-01 00:00:00",), (None,)],
+        "ts string",
+    ).select(F.col("ts").cast("timestamp").alias("ts"))
+    # drop rows AFTER 2024-06-01; null never dropped by >
+    out = dx_filter(df, "ts", ">", "2024-06-01 00:00:00")
+    got = sorted(str(r["ts"]) for r in out.collect())
+    assert got == ["2024-01-02 00:00:00", "None"]
+    # epoch-millis constant form
+    epoch_ms = str(int(1717200000) * 1000)  # 2024-06-01T00:00:00Z
+    out2 = dx_filter(df, "ts", ">", epoch_ms)
+    assert out2.count() == 2
+
+
+def test_transformer_registry_custom(spark):
+    from pyspark.sql import functions as F
+
+    from tg_data_connector_spark.operators.transformers import (
+        apply_transformer_chain,
+        register_transformer,
+        unregister_transformer,
+    )
+
+    def upper_col(df, step):
+        c = step["column"]
+        return df.withColumn(c, F.upper(F.col(c)))
+
+    register_transformer("my_upper", upper_col)
+    try:
+        df = spark.createDataFrame([("ab",), ("cd",)], "s string")
+        out = apply_transformer_chain(df, [{"name": "my_upper", "column": "s"}])
+        assert sorted(r["s"] for r in out.collect()) == ["AB", "CD"]
+    finally:
+        unregister_transformer("my_upper")
+    # natives cannot be shadowed
+    import pytest
+
+    with pytest.raises(ValueError, match="shadow"):
+        register_transformer("dx_substr", upper_col)

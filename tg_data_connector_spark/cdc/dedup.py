@@ -45,6 +45,71 @@ from pyspark.sql import functions as F
 
 VERSION_COLS = ("commit_lsn", "seq_no")
 
+# Order-preserving scalar encoding of the (commit_lsn, seq_no) pair:
+# lsn * 2^63 + seq as DECIMAL(38,0). Contract: seq_no in [0, 2^63) — true for
+# every real CDC source (statement index within a transaction) and asserted by
+# the generator. Why not max(struct(lsn, seq)): a struct aggregation buffer is
+# not mutable-fixed-width, so Spark falls back to SortAggregate (two full
+# sorts); the decimal max keeps the whole-stage-codegen'd HashAggregate with
+# map-side partial combine (measured in /tmp plan probe; see BASELINE.md).
+PACK_MULT = 2**63
+
+
+def version_pack(lsn_max: int | None = None, seq_max: int | None = None):
+    """Pick the cheapest exact encoding the caller's bounds allow: when the
+    batch's (max lsn, max seq) — known exactly from the replay prepass stats —
+    fit together in 63 bits, pack into a plain BIGINT (primitive codegen'd
+    max); otherwise fall back to the always-correct decimal(38,0) encoding
+    (16-byte buffer, measurably slower per row)."""
+    if (
+        lsn_max is not None
+        and seq_max is not None
+        and lsn_max >= 0
+        and seq_max >= 0
+    ):
+        s = max(1, int(seq_max).bit_length())
+        if (int(lsn_max) >> (62 - s)) == 0:
+            # lsn < 2^(62-s) and seq < 2^s: product+sum < 2^63, no overflow
+            return (
+                F.col("commit_lsn") * F.lit(1 << s) + F.col("seq_no")
+            ).cast("bigint")
+    from decimal import Decimal
+
+    # Decimal literal: 2^63 exceeds the Java long that F.lit(int) rides on
+    mult = F.lit(Decimal(PACK_MULT)).cast("decimal(38,0)")
+    return F.col("commit_lsn").cast("decimal(38,0)") * mult + F.col("seq_no")
+
+
+def winner_filter(
+    df: DataFrame,
+    key: str = "doc_id",
+    broadcast_winners: bool = True,
+    lsn_max: int | None = None,
+    seq_max: int | None = None,
+):
+    """Filter a change batch to the rows carrying their key's MAX version —
+    entirely JVM-side, no Python, no payload-wide shuffle.
+
+    Plan shape: one narrow hash-aggregate over (key, lsn, seq) — column
+    pruning keeps the payload out of this scan — produces the per-key winning
+    version (~|keys| rows), which joins back against the batch as the SMALL
+    side (broadcast by default: winners:events is ~1:10 at CDC-typical update
+    ratios, and the broadcast prunes losers BEFORE any shuffle, shrinking the
+    downstream exchange by the same ratio; pass broadcast_winners=False for
+    pathologically wide batches to take a shuffled-hash join instead).
+
+    Output may retain exact duplicate DELIVERIES of the winning event (same
+    key, same version, identical payload by contract) — callers collapse those
+    with a cheap per-key dedup over this winners-only stream.
+    """
+    pack = version_pack(lsn_max, seq_max)
+    winners = df.groupBy(key).agg(F.max(pack).alias("_vmax"))
+    if broadcast_winners:
+        winners = F.broadcast(winners)
+    else:
+        winners = winners.hint("shuffle_hash")
+    return df.join(winners, [key]).where(pack == F.col("_vmax")).drop("_vmax")
+
 
 def lww_dedup_arrow(
     df: DataFrame, key: str = "doc_id", num_partitions: int | None = None

@@ -51,13 +51,34 @@ class LineageLog:
                 )
             )
 
-    def flush(self, spark: SparkSession) -> int:
+    def flush(self, spark: SparkSession | None = None) -> int:
+        """Driver-side pyarrow append — lineage is bounded metadata (one row
+        per batch x source-partition), and a Spark job for it measured ~4 s of
+        pure fixed cost per replay (single-task stage: session scheduling +
+        one-file commit protocol). The ``spark`` arg is kept for API compat
+        and unused."""
         if not self.rows:
             return 0
+        import os
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
         n = len(self.rows)
-        spark.createDataFrame(self.rows, LINEAGE_SCHEMA).coalesce(1).write.mode(
-            "append"
-        ).parquet(self.dir)
+        os.makedirs(self.dir, exist_ok=True)
+        cols = list(zip(*self.rows))
+        types = [
+            pa.string(), pa.string(), pa.int32(), pa.int64(),
+            pa.int64(), pa.int64(), pa.int64(), pa.float64(),
+        ]
+        names = [f.split()[0] for f in LINEAGE_SCHEMA.split(", ")]
+        tbl = pa.table(
+            {nm: pa.array(c, type=t) for nm, c, t in zip(names, cols, types)}
+        )
+        pq.write_table(
+            tbl, os.path.join(self.dir, f"lineage-{uuid.uuid4().hex}.parquet")
+        )
         self.rows = []
         return n
 

@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 from ..lake.evolve import apply_schema_change
 from ..lake.merge import merge_upsert
 from ..lake.table import LakeTable
-from .dedup import lww_dedup, lww_dedup_arrow, lww_dedup_salted
+from .dedup import lww_dedup, lww_dedup_arrow, lww_dedup_salted, winner_filter
 from .parse import parse_events
 from .quality import ErrorLimit, split_quarantine
 
@@ -49,14 +49,30 @@ CORE_COLS = ["doc_id", "tokens", "n_tok", "source"]
 class ReplayConfig:
     events_per_batch: int = 1_000_000
     # LWW dedup physical strategy:
-    #   "arrow" (default) — hash(doc_id) repartition + vectorized Arrow kernel
-    #       (the north-rule design; avoids the SortAggregate fallback that
-    #       var-width payloads force on max_by — see dedup.py)
+    #   "winner" (default) — JVM-side two-phase: a narrow hash-aggregate finds
+    #       each key's max (lsn, seq) version (decimal-packed so it stays in
+    #       codegen'd HashAggregate), broadcast-joins back to prune losers
+    #       BEFORE any shuffle, then one winners-only repartition + in-place
+    #       dropDuplicates. The payload-wide shuffle shrinks ~|events|/|keys|x
+    #       and Python sees ONLY the decode of winners (measured: the old
+    #       full-batch Arrow kernel put 16 Python workers next to 16 JVM lanes
+    #       — 2x host oversubscription that collapsed 16-lane scaling).
+    #   "arrow"  — hash(doc_id) repartition of the FULL batch + vectorized
+    #       Arrow kernel (avoids the SortAggregate fallback that var-width
+    #       payloads force on max_by; use when winners ~ events so the winner
+    #       prefilter would not pay for itself)
     #   "maxby"  — single groupBy().agg(max_by(...)) declarative aggregate
     #   "salted" — two-phase (key, salt) partial then key final; only for
     #       non-algebraic kernels where map-side partials can't absorb a hot
     #       key (see dedup.py module docstring)
-    dedup_strategy: str = "arrow"
+    dedup_strategy: str = "winner"
+    # Byte-based batch sizing — the reference's most-documented throttle is
+    # bytes/s per channel (``Channel.java:176-239``, ``core.json``
+    # ``speed.byte``). Batch replay has no wall-clock rate to shape, so the
+    # byte knob maps to batch VOLUME: when set, events_per_batch is derived as
+    # bytes_per_batch / mean event payload size (measured on a bounded sample
+    # at replay start). events_per_batch then acts as a floor of 1.
+    bytes_per_batch: int | None = None
     salted_dedup: bool = False  # back-compat alias for dedup_strategy="salted"
     salt_buckets: int = 16
     error_limit: ErrorLimit = field(default_factory=lambda: ErrorLimit(percentage=0.05))
@@ -124,6 +140,8 @@ class ReplayEngine:
             F.count("*").alias("n"),
             F.sum(contract_predicate(batch).cast("int")).alias("nd"),
             F.collect_set(bucket_expr("doc_id", meta["buckets"])).alias("bks"),
+            F.max("commit_lsn").alias("vl"),
+            F.max("seq_no").alias("vs"),
         ).collect()
 
     # ---------- one batch ----------
@@ -156,6 +174,13 @@ class ReplayEngine:
         events_n = sum(r["n"] for r in stats)
         dirty_n = sum(r["nd"] for r in stats)
         affected_buckets = sorted({b for r in stats for b in r["bks"] if b is not None})
+        # exact version bounds for the batch: unlock the bigint version-pack
+        # fast path in winner_filter (vs the decimal fallback)
+        vls = [r["vl"] for r in stats if r["vl"] is not None]
+        vss = [r["vs"] for r in stats if r["vs"] is not None]
+        self._version_bounds = (
+            (int(max(vls)), int(max(vss))) if vls and vss else (None, None)
+        )
         self._phase_timings = {"stats": round(time.time() - t_stats, 3)}
 
         report = self._apply_batch_inner(
@@ -271,17 +296,48 @@ class ReplayEngine:
             *carry,
         )
         strategy = "salted" if self.cfg.salted_dedup else self.cfg.dedup_strategy
+        nb = self.table.meta()["buckets"]
         if strategy == "salted":
             deduped = lww_dedup_salted(src, "doc_id", self.cfg.salt_buckets)
         elif strategy == "maxby":
             deduped = lww_dedup(src, "doc_id")
+        elif strategy == "winner":
+            # JVM-side winner prune (no Python, no payload-wide shuffle), then
+            # one winners-only repartition to the table bucket count. Decode
+            # runs BEFORE that exchange, map-side: ArrowEvalPython erases the
+            # partitioning a node reports (verified via explain — placing it
+            # after the repartition re-inserts an ENSURE_REQUIREMENTS exchange
+            # ahead of the MERGE join), while placed here it rides the same
+            # stage as the scan+filter and Python still sees only winners.
+            # The dropDuplicates collapses exact duplicate deliveries of a
+            # winning event (identical payloads by contract); its grouping key
+            # matches the repartition, so the aggregate runs IN PLACE and the
+            # HashPartitioning(doc_id, nb) survives through it and the final
+            # projections: the MERGE join and the bucket-aligned write add NO
+            # further exchange — ONE winners-sized shuffle end-to-end.
+            lm, sm = getattr(self, "_version_bounds", (None, None))
+            kept = winner_filter(src, "doc_id", lsn_max=lm, seq_max=sm)
+            if raw_mode:
+                from .parse import decode_tokens
+
+                pos = kept.columns.index("payload")
+                kept = kept.select(
+                    *[
+                        decode_tokens(F.col("payload")).alias("tokens")
+                        if i == pos
+                        else F.col(c)
+                        for i, c in enumerate(kept.columns)
+                    ]
+                )
+                raw_mode = False
+            deduped = kept.repartition(nb, F.col("doc_id")).dropDuplicates(
+                ["doc_id"]
+            )
         else:
             # partition count = table bucket count: this one shuffle feeds the
             # kernel, the MERGE join, AND the per-bucket file write (see
             # lake/table.py bucket_expr)
-            deduped = lww_dedup_arrow(
-                src, "doc_id", num_partitions=self.table.meta()["buckets"]
-            )
+            deduped = lww_dedup_arrow(src, "doc_id", num_partitions=nb)
         if raw_mode:
             deduped = parse_events(deduped)
         # project up to the live table schema: evolved columns arrive either
@@ -354,7 +410,21 @@ class ReplayEngine:
                 return []
             n_parts, lo, hi = int(row["p"]) + 1, int(row["lo"]), int(row["hi"])
         reports: list[BatchReport] = []
-        per_part = max(1, self.cfg.events_per_batch // n_parts)
+        events_per_batch = self.cfg.events_per_batch
+        if self.cfg.bytes_per_batch is not None:
+            sample = remaining.limit(10_000)
+            size_col = (
+                F.octet_length(F.col("payload"))
+                if "payload" in remaining.columns
+                else F.size(F.col("tokens")) * 4
+            )
+            avg = (
+                sample.agg(F.avg(F.coalesce(size_col, F.lit(0))).alias("a"))
+                .collect()[0]["a"]
+            )
+            if avg and avg > 0:
+                events_per_batch = max(1, int(self.cfg.bytes_per_batch / avg))
+        per_part = max(1, events_per_batch // n_parts)
 
         # prepass: the per-batch stats for EVERY offset window in one job —
         # one scan of the remaining log instead of one scan per batch
@@ -372,6 +442,8 @@ class ReplayEngine:
                 F.collect_set(
                     bucket_expr("doc_id", self.table.meta()["buckets"])
                 ).alias("bks"),
+                F.max("commit_lsn").alias("vl"),
+                F.max("seq_no").alias("vs"),
             )
             .collect()
         )

@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 from .cdc.quality import ErrorLimit
 from .lake import LakeTable, TableSchema, merge_upsert
 from .operators.transformers import apply_transformer_chain
-from .sources.files import ColumnEntry, read_typed_csv
+from .sources.files import ColumnEntry, read_typed_csv_flagged
 from .sources.jdbc import read_jdbc_split
 from .sources.tables import expand_sharded_tables
 
@@ -65,29 +65,29 @@ def load_config(path_or_dict) -> dict:
 
 
 # --------------------------------------------------------------- readers
-def _read(spark: SparkSession, cfg: dict) -> tuple[DataFrame, DataFrame]:
-    """Returns (clean, dirty)."""
+def _read_flagged(spark: SparkSession, cfg: dict) -> DataFrame:
+    """One frame per source; readers that can produce dirty rows carry a
+    ``_dirty`` boolean column, clean-only readers carry none. The runner
+    observes counts on this single frame, so no reader is ever scanned twice
+    just for stats."""
     typ = cfg["type"]
-    if typ == "parquet":
-        df = spark.read.parquet(cfg["path"])
+    if typ in ("parquet", "sharded_parquet"):
+        paths = (
+            expand_sharded_tables(cfg["pattern"])
+            if typ == "sharded_parquet"
+            else [cfg["path"]]
+        )
+        df = spark.read.parquet(*paths)
         if cfg.get("column"):
             df = df.select(*cfg["column"])  # projection (P1)
         if cfg.get("where"):
             df = df.where(cfg["where"])  # static predicate pushdown (P2)
-        return df, df.limit(0)
-    if typ == "sharded_parquet":
-        paths = expand_sharded_tables(cfg["pattern"])
-        df = spark.read.parquet(*paths)
-        if cfg.get("column"):
-            df = df.select(*cfg["column"])
-        if cfg.get("where"):
-            df = df.where(cfg["where"])
-        return df, df.limit(0)
+        return df
     if typ == "csv":
         entries = None
         if cfg.get("column"):
             entries = [ColumnEntry(**e) for e in cfg["column"]]
-        return read_typed_csv(
+        return read_typed_csv_flagged(
             spark,
             cfg["path"],
             entries,
@@ -95,6 +95,7 @@ def _read(spark: SparkSession, cfg: dict) -> tuple[DataFrame, DataFrame]:
             sep=cfg.get("fieldDelimiter", ","),
             encoding=cfg.get("encoding", "utf-8"),
             null_format=cfg.get("nullFormat"),
+            skip_lines=int(cfg.get("skipLines", 0)),
             compression=cfg.get("compress"),
         )
     if typ == "sql":
@@ -108,31 +109,27 @@ def _read(spark: SparkSession, cfg: dict) -> tuple[DataFrame, DataFrame]:
         df = spark.sql(stmts[0])
         for s in stmts[1:]:
             df = df.unionByName(spark.sql(s), allowMissingColumns=False)
-        return df, df.limit(0)
+        return df
     if typ == "csv_multi":
         # per-object column-index projection (GcsReader.java:187-205,322-356):
         # each object lists its own column entries; results union by name
         parts = []
-        dirties = []
         for obj in cfg["objects"]:
             entries = [ColumnEntry(**e) for e in obj["column"]]
-            c, d = read_typed_csv(
-                spark,
-                obj["path"],
-                entries,
-                header=obj.get("header", cfg.get("header", False)),
-                sep=cfg.get("fieldDelimiter", ","),
-                null_format=cfg.get("nullFormat"),
+            parts.append(
+                read_typed_csv_flagged(
+                    spark,
+                    obj["path"],
+                    entries,
+                    header=obj.get("header", cfg.get("header", False)),
+                    sep=cfg.get("fieldDelimiter", ","),
+                    null_format=cfg.get("nullFormat"),
+                )
             )
-            parts.append(c)
-            dirties.append(d.select(F.lit(obj["path"]).alias("_object")))
-        clean = parts[0]
+        out = parts[0]
         for p in parts[1:]:
-            clean = clean.unionByName(p)
-        dirty = dirties[0]
-        for d in dirties[1:]:
-            dirty = dirty.unionByName(d)
-        return clean, dirty
+            out = out.unionByName(p)
+        return out
     if typ == "jdbc":
         df = read_jdbc_split(
             spark,
@@ -144,12 +141,27 @@ def _read(spark: SparkSession, cfg: dict) -> tuple[DataFrame, DataFrame]:
         )
         if cfg.get("where"):
             df = df.where(cfg["where"])
-        return df, df.limit(0)
+        return df
     raise JobValidationError(f"unknown reader type {typ!r}")
 
 
+def _read(spark: SparkSession, cfg: dict) -> tuple[DataFrame, DataFrame]:
+    """Returns (clean, dirty) — the two-branch view over ``_read_flagged``."""
+    df = _read_flagged(spark, cfg)
+    if "_dirty" in df.columns:
+        return (
+            df.where(~F.col("_dirty")).drop("_dirty"),
+            df.where(F.col("_dirty")).drop("_dirty"),
+        )
+    return df, df.limit(0)
+
+
 # --------------------------------------------------------------- writers
-def _write(spark: SparkSession, cfg: dict, df: DataFrame) -> int:
+def _write(spark: SparkSession, cfg: dict, df: DataFrame) -> int | None:
+    """Execute the sink action. Returns the written-row count ONLY when the
+    sink itself had to compute one anyway (console's show is row-limited, so
+    it counts); file/lake sinks return None and the caller reads the count
+    from the Observation riding the same action — never a second pass."""
     typ = cfg["type"]
     mode = cfg.get("writeMode", "insert")
     if typ in ("parquet", "csv"):
@@ -160,7 +172,6 @@ def _write(spark: SparkSession, cfg: dict, df: DataFrame) -> int:
             )  # TxtFileWriter nonConflict semantics
         spark_mode = {"truncate": "overwrite", "append": "append",
                       "insert": "append", "nonConflict": "errorifexists"}[mode]
-        n = df.count()
         w = df.write.mode(spark_mode)
         if cfg.get("compress"):
             w = w.option("compression", cfg["compress"])
@@ -173,7 +184,7 @@ def _write(spark: SparkSession, cfg: dict, df: DataFrame) -> int:
             w.csv(path)
         else:
             w.parquet(path)
-        return n
+        return None
     if typ == "console":  # streamwriter analog (debug sink)
         n = df.count()
         df.show(int(cfg.get("print", 20)), truncate=False)
@@ -196,13 +207,10 @@ def _write(spark: SparkSession, cfg: dict, df: DataFrame) -> int:
             for c, d in (("op", "U"), ("commit_lsn", 0), ("seq_no", 0)):
                 if c not in src.columns:
                     src = src.withColumn(c, F.lit(d))
-            n = src.count()
             merge_upsert(table, src, summary_update={"job": True})
-            return n
-        # insert = plain append
-        n = df.count()
-        table.append(df)
-        return n
+            return None
+        table.append(df)  # insert = plain append
+        return None
     raise JobValidationError(f"unknown writer type {typ!r}")
 
 
@@ -225,22 +233,45 @@ def pre_check(spark: SparkSession, config) -> list[str]:
         problems.append(f"writer: unknown type {w.get('type')!r}")
     for stmt in cfg.get("preSql", []) + cfg.get("postSql", []):
         try:
-            spark.sql(stmt).collect() if stmt.lower().startswith("explain") else (
-                spark.sessionState if False else spark._jsparkSession.sessionState()
-                .sqlParser().parsePlan(stmt)
-            )
+            _parse_only(spark, _render_sql(stmt, w))
         except Exception as ex:
             problems.append(f"sql {stmt!r}: {ex}")
+    from .operators.transformers import is_known_transformer
+
     try:
         for t in cfg.get("transformers", []):
-            if t["name"] not in ("dx_substr", "dx_pad", "dx_replace", "dx_filter"):
+            if not is_known_transformer(t["name"]):
                 problems.append(f"transformer: unknown {t['name']!r}")
     except Exception as ex:
         problems.append(f"transformers: {ex}")
     return problems
 
 
+def _parse_only(spark: SparkSession, stmt: str) -> None:
+    """Syntax-validate a SQL statement WITHOUT executing it (the reference
+    preCheck runs statements through the Druid parser, ``WriterUtil.java:
+    170-215``). Spark 4 exposes no public parse-only API from Python, so this
+    is the one deliberate use of the internal session-state handle; it calls
+    the same parser spark.sql would, just stopping before analysis."""
+    spark._jsparkSession.sessionState().sqlParser().parsePlan(stmt)
+
+
+def _render_sql(stmt: str, writer_cfg: dict) -> str:
+    """The reference renders an ``@table`` placeholder into pre/post SQL per
+    split (``WriterUtil.java:79-109``); here it resolves to the writer's
+    table/view name (or path)."""
+    target = writer_cfg.get("table") or writer_cfg.get("path", "")
+    return stmt.replace("@table", target)
+
+
 def run_job(spark: SparkSession, config, dry_run: bool = False) -> JobResult:
+    """Execute one declarative job. Stats protocol: read/dirty/written counts
+    ride the single sink action as ``df.observe`` metrics — the plan executes
+    ONCE end-to-end (the reference's in-flight Communication counters,
+    ``CommunicationTool.java:15-111``; the old count-before-write pattern
+    re-ran the whole read/transform plan 2-3x per job)."""
+    from pyspark.sql import Observation
+
     cfg = load_config(config)
     if dry_run:
         problems = pre_check(spark, cfg)
@@ -249,19 +280,30 @@ def run_job(spark: SparkSession, config, dry_run: bool = False) -> JobResult:
         return JobResult(0, 0, 0, 0.0, {"dry_run": True})
     t0 = time.time()
     for stmt in cfg.get("preSql", []):
-        spark.sql(stmt)
-    clean, dirty = _read(spark, cfg["reader"])
-    read_n = clean.count()
-    dirty_n = dirty.count()
-    clean = apply_transformer_chain(clean, cfg.get("transformers", []))
-    written = _write(spark, cfg["writer"], clean)
+        spark.sql(_render_sql(stmt, cfg.get("writer", {})))
+    flagged = _read_flagged(spark, cfg["reader"])
+    has_dirty = "_dirty" in flagged.columns
+    obs_read = Observation()
+    aggs = [F.count(F.lit(1)).alias("total")]
+    if has_dirty:
+        aggs.append(F.sum(F.col("_dirty").cast("bigint")).alias("dirty"))
+    flagged = flagged.observe(obs_read, *aggs)
+    clean = flagged.where(~F.col("_dirty")).drop("_dirty") if has_dirty else flagged
+    out = apply_transformer_chain(clean, cfg.get("transformers", []))
+    obs_written = Observation()
+    out = out.observe(obs_written, F.count(F.lit(1)).alias("n"))
+    sink_n = _write(spark, cfg["writer"], out)
+    read_stats = obs_read.get
+    dirty_n = int(read_stats.get("dirty") or 0) if has_dirty else 0
+    read_n = int(read_stats["total"]) - dirty_n
+    written = int(sink_n if sink_n is not None else obs_written.get["n"])
     limit = cfg.get("errorLimit")
     if limit:
         ErrorLimit(
             record=limit.get("record"), percentage=limit.get("percentage")
         ).check(dirty_n, max(read_n + dirty_n, 1))
     for stmt in cfg.get("postSql", []):
-        spark.sql(stmt)
+        spark.sql(_render_sql(stmt, cfg.get("writer", {})))
     return JobResult(
         records_read=read_n,
         records_written=written,

@@ -42,6 +42,15 @@ BUCKET_COL = "_b"
 # layout) would be silently corrupted by bucket pruning / replace_buckets /
 # the b= directory mapping, so it is refused instead.
 BUCKET_HASH_ID = "murmur3_pmod"
+# Above this bucket count the per-bucket observe() metric list stops being
+# codegen-friendly; row counts then come from a DISTRIBUTED footer-read job.
+_OBSERVE_BUCKET_LIMIT = 512
+
+
+def _footer_rows(path: str) -> int:
+    import pyarrow.parquet as pq
+
+    return int(pq.ParquetFile(path).metadata.num_rows)
 LSN_COL = "_lsn"
 SEQ_COL = "_seq"
 DELETED_COL = "_deleted"
@@ -127,9 +136,12 @@ class LakeTable:
     files + atomic pointer swap + summary watermarks) is unchanged by that.
     """
 
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str, fs=None):
+        from .fs import LocalTableFS
+
         self.spark = spark
         self.root = root
+        self.fs = fs or LocalTableFS()
 
     # ---------- paths ----------
     def _vdir(self) -> str:
@@ -149,10 +161,11 @@ class LakeTable:
         schema: TableSchema,
         key: str,
         n_buckets: int = 16,
+        fs=None,
     ) -> "LakeTable":
-        os.makedirs(os.path.join(root, "_versions"), exist_ok=True)
-        os.makedirs(os.path.join(root, "data"), exist_ok=True)
-        t = LakeTable(spark, root)
+        t = LakeTable(spark, root, fs=fs)
+        t.fs.makedirs(os.path.join(root, "_versions"))
+        t.fs.makedirs(os.path.join(root, "data"))
         snap = Snapshot(
             version=0,
             parent=None,
@@ -162,7 +175,7 @@ class LakeTable:
             summary={"key": key, "buckets": n_buckets, "watermarks": {}, "applied": []},
         )
         # meta that never changes lives in a sidecar
-        with open(os.path.join(root, "_meta.json"), "w") as f:
+        with t.fs.write_text_atomic(os.path.join(root, "_meta.json")) as f:
             json.dump(
                 {"key": key, "buckets": n_buckets, "bucket_hash": BUCKET_HASH_ID}, f
             )
@@ -177,8 +190,7 @@ class LakeTable:
     def meta(self) -> dict:
         m = getattr(self, "_meta_cache", None)
         if m is None:
-            with open(os.path.join(self.root, "_meta.json")) as f:
-                m = json.load(f)
+            m = json.loads(self.fs.read_text(os.path.join(self.root, "_meta.json")))
             got = m.get("bucket_hash")
             if got != BUCKET_HASH_ID:
                 raise RuntimeError(
@@ -192,13 +204,11 @@ class LakeTable:
         return m
 
     def current_version(self) -> int:
-        with open(self._current_path()) as f:
-            return int(f.read().strip())
+        return int(self.fs.read_text(self._current_path()).strip())
 
     def snapshot(self, version: int | None = None) -> Snapshot:
         v = self.current_version() if version is None else version
-        with open(self._vpath(v)) as f:
-            d = json.load(f)
+        d = json.loads(self.fs.read_text(self._vpath(v)))
         return Snapshot(
             version=d["version"],
             parent=d["parent"],
@@ -210,7 +220,7 @@ class LakeTable:
 
     def history(self) -> list[int]:
         vs = []
-        for fn in sorted(os.listdir(self._vdir())):
+        for fn in self.fs.listdir(self._vdir()):
             if fn.startswith("v") and fn.endswith(".json"):
                 vs.append(int(fn[1:-5]))
         return vs
@@ -277,30 +287,24 @@ class LakeTable:
 
     # ---------- write / commit ----------
     def _write_manifest(self, snap: Snapshot) -> None:
-        path = self._vpath(snap.version)
-        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        with os.fdopen(fd, "w") as f:
-            json.dump(snap.to_json(), f)
+        # create-if-absent (O_EXCL-style): two racing writers cannot both
+        # claim this snapshot version
+        self.fs.write_text_excl(self._vpath(snap.version), json.dumps(snap.to_json()))
 
     def _publish(self, version: int, expected_parent: int | None) -> None:
         cur = self._current_path()
         if expected_parent is not None:
-            with open(cur) as f:
-                now = int(f.read().strip())
+            now = int(self.fs.read_text(cur).strip())
             if now != expected_parent:
                 raise CommitConflict(
                     f"current={now}, expected parent={expected_parent}"
                 )
-        tmp = cur + f".tmp-{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
+        with self.fs.write_text_atomic(cur) as f:  # phase-2: the atomic publish
             f.write(str(version))
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, cur)  # phase-2: the atomic publish
 
     def _next_version(self, parent: int) -> int:
         v = parent + 1
-        while os.path.exists(self._vpath(v)):
+        while self.fs.exists(self._vpath(v)):
             v += 1  # orphaned staged manifest from a crashed writer — skip over
         return v
 
@@ -320,38 +324,71 @@ class LakeTable:
         holds bucket i only and ``partitionBy`` writes one file per task with
         NO shuffle. False -> an explicit repartition establishes that layout.
         """
+        from pyspark.sql import Observation
+
         commit_dir = f"data/c-{uuid.uuid4().hex}"
         out_path = os.path.join(self.root, commit_dir)
         nb = self.meta()["buckets"]
         key = self.meta()["key"]
         if not bucket_aligned:
             df = df.repartition(nb, F.col(key))
+        # per-bucket row counts ride the write action itself as observe()
+        # metrics — the old driver-side loop of parquet-footer reads was an
+        # O(files) serial bottleneck AND a hard local-FS dependency; nb
+        # conditional sums stay inside the write's whole-stage codegen.
+        obs = None
+        if nb <= _OBSERVE_BUCKET_LIMIT:
+            obs = Observation()
+            df = df.observe(
+                obs,
+                *[
+                    F.sum((F.col(BUCKET_COL) == b).cast("bigint")).alias(f"b{b}")
+                    for b in range(nb)
+                ],
+            )
         (
             df.withColumnRenamed(BUCKET_COL, "b")
             .write.partitionBy("b")
             .mode("overwrite")
             .parquet(out_path)
         )
-        # per-file row counts from parquet footers (driver-side metadata read —
-        # no second Spark job, the expensive plan runs exactly once)
-        import pyarrow.parquet as pq
-
+        bucket_rows = {}
+        if obs is not None:
+            got = obs.get
+            bucket_rows = {b: int(got[f"b{b}"] or 0) for b in range(nb)}
         entries = []
-        for bdir in sorted(os.listdir(out_path)):
+        footer_fallback = []
+        for bdir in self.fs.listdir(out_path):
             if not bdir.startswith("b="):
                 continue
             b = int(bdir.split("=", 1)[1])
-            for fn in sorted(os.listdir(os.path.join(out_path, bdir))):
-                if fn.endswith(".parquet"):
-                    full = os.path.join(out_path, bdir, fn)
-                    entries.append(
-                        {
-                            "path": f"{commit_dir}/{bdir}/{fn}",
-                            "bucket": b,
-                            "schema_id": schema_id,
-                            "rows": int(pq.ParquetFile(full).metadata.num_rows),
-                        }
-                    )
+            files = [
+                fn
+                for fn in self.fs.listdir(os.path.join(out_path, bdir))
+                if fn.endswith(".parquet")
+            ]
+            for fn in files:
+                e = {
+                    "path": f"{commit_dir}/{bdir}/{fn}",
+                    "bucket": b,
+                    "schema_id": schema_id,
+                }
+                if obs is not None and len(files) == 1:
+                    e["rows"] = bucket_rows[b]
+                else:
+                    footer_fallback.append(e)  # rare: multi-file bucket / big nb
+                entries.append(e)
+        if footer_fallback:
+            # distributed footer read: executors open the footers in parallel —
+            # never an O(files) loop on the driver
+            paths = [os.path.join(self.root, e["path"]) for e in footer_fallback]
+            counts = (
+                self.spark.sparkContext.parallelize(paths, max(1, len(paths) // 64))
+                .map(_footer_rows)
+                .collect()
+            )
+            for e, n in zip(footer_fallback, counts):
+                e["rows"] = n
         if crash_after_stage:  # test hook: simulate dying between the two phases
             raise RuntimeError("simulated crash after stage, before publish")
         return entries

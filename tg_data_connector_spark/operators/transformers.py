@@ -68,10 +68,23 @@ def dx_replace(col: Column, start_index: int, length: int, replace: str) -> Colu
 
 
 def _typed_lit(value: str, like_col_type: str):
+    like_col_type = like_col_type.split("(")[0]  # decimal(10,2) -> decimal
     if like_col_type in ("double", "float", "decimal"):
         return F.lit(float(value))
     if like_col_type in ("bigint", "int", "long", "smallint"):
         return F.lit(int(value))
+    if like_col_type in ("timestamp", "date", "timestamp_ntz"):
+        # reference dispatch: Date columns compare as epoch millis
+        # (``FilterTransformer.java:45-68``); the constant goes through the
+        # string->Date cast chain (``ColumnCast.java:87-117``). Here: an
+        # all-digits constant is epoch MILLIS, anything else parses with the
+        # default datetime format — producing a temporal comparison, never the
+        # lexicographic string compare a bare lit would fall into.
+        if value.isdigit():
+            ts = (F.lit(int(value)) / F.lit(1000.0)).cast("timestamp")
+        else:
+            ts = F.to_timestamp(F.lit(value))
+        return ts.cast(like_col_type)
     return F.lit(value)
 
 
@@ -98,13 +111,46 @@ def dx_filter(df: DataFrame, col_name: str, op: str, value: str) -> DataFrame:
     return df.where(~F.coalesce(drop, F.lit(False)))
 
 
+# ---------------------------------------------------------------- registry
+# The reference's extension point: user transformers loaded dynamically from
+# local_storage/transformer/ jars (``TransformerRegistry.java:41-104``; SPI
+# ``transformer/src/main/java/.../ComplexTransformer.java:1-30``). Here a
+# registered transformer is a Python callable shipped with the job
+# (spark-submit --py-files) that receives the WHOLE DataFrame + its config
+# step and returns a DataFrame — so custom transforms stay vectorized
+# (Column expressions or pandas_udf), never per-row.
+_REGISTRY: dict = {}
+
+
+def register_transformer(name: str, fn) -> None:
+    """Register a custom transformer: fn(df, step: dict) -> DataFrame.
+    Native dx_* names cannot be shadowed (same rule as the reference, which
+    registers natives first and refuses duplicate names,
+    ``TransformerRegistry.java:28-39``)."""
+    if name in _NATIVES:
+        raise ValueError(f"cannot shadow native transformer {name!r}")
+    _REGISTRY[name] = fn
+
+
+def unregister_transformer(name: str) -> None:
+    _REGISTRY.pop(name, None)
+
+
+def is_known_transformer(name: str) -> bool:
+    return name in _NATIVES or name in _REGISTRY
+
+
+_NATIVES = ("dx_substr", "dx_pad", "dx_replace", "dx_filter")
+
+
 def apply_transformer_chain(df: DataFrame, chain: list[dict]) -> DataFrame:
     """Config-driven chain, the job.json `transformer` analog
     (``core/.../util/TransformerUtil.java:22-106``). Each step:
     {"name": "dx_substr"|"dx_pad"|"dx_replace", "column": c, "paras": [...]}
-    or {"name": "dx_filter", "column": c, "paras": [op, value]}."""
+    or {"name": "dx_filter", "column": c, "paras": [op, value]} or any name
+    previously passed to ``register_transformer``."""
     for step in chain:
-        name, coln, paras = step["name"], step["column"], step.get("paras", [])
+        name, coln, paras = step["name"], step.get("column"), step.get("paras", [])
         if name == "dx_substr":
             df = df.withColumn(coln, dx_substr(F.col(coln), int(paras[0]), int(paras[1])))
         elif name == "dx_pad":
@@ -115,6 +161,8 @@ def apply_transformer_chain(df: DataFrame, chain: list[dict]) -> DataFrame:
             )
         elif name == "dx_filter":
             df = dx_filter(df, coln, paras[0], paras[1])
+        elif name in _REGISTRY:
+            df = _REGISTRY[name](df, step)
         else:
             raise ValueError(f"unknown transformer {name!r}")
     return df

@@ -65,6 +65,158 @@ def _cast(col, entry: ColumnEntry):
     raise AssertionError(t)
 
 
+# Codecs Spark's text/csv sources decode transparently by file extension
+# (reference codec switch: ``UnstructuredStorageReaderUtil.java:117-213``).
+_EXTENSION_CODECS = {"gzip": ".gz", "bzip2": ".bz2", "deflate": ".deflate"}
+_UNSUPPORTED_CODECS = {"lzo", "lzo_deflate", "hadoop-snappy", "framing-snappy"}
+
+
+def _list_files(spark: SparkSession, path: str) -> list[str]:
+    """List data files under a path through the Hadoop FS API — works for any
+    scheme the session supports (file://, hdfs://, s3a://, gs://...)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        raise FileNotFoundError(path)
+    out = []
+    if fs.getFileStatus(hpath).isDirectory():
+        it = fs.listStatus(hpath)
+        for st in it:
+            name = st.getPath().getName()
+            if st.isFile() and not name.startswith(("_", ".")):
+                out.append(st.getPath().toString())
+    else:
+        out.append(hpath.toString())
+    return sorted(out)
+
+
+def _lines_skipping(spark: SparkSession, path: str, skip: int, compression: str | None):
+    """Per-file line stream with the first `skip` lines of EACH file dropped —
+    the reference's skipHeader/line-skip (``UnstructuredStorageReaderUtil.java:
+    239-313``) which Spark's CSV reader cannot express (its `skipRows` option
+    is a silent no-op on 4.1, verified empirically). zipWithIndex on a per-file
+    textFile is order-correct (Hadoop input splits enumerate in file offset
+    order), and this is the one genuinely per-partition-imperative corner of
+    the reader, hence the RDD. ZIP archives (reference supports them; no Spark
+    codec exists) decompress member-by-member inside the same pass."""
+    sc = spark.sparkContext
+    rdds = []
+    for f in _list_files(spark, path):
+        if compression == "zip":
+            import io
+            import zipfile
+
+            def unzip(pair):
+                _, content = pair
+                with zipfile.ZipFile(io.BytesIO(bytes(content))) as zf:
+                    for member in zf.namelist():
+                        with zf.open(member) as fh:
+                            for i, line in enumerate(
+                                io.TextIOWrapper(fh, encoding="utf-8")
+                            ):
+                                yield (i, line.rstrip("\r\n"))
+
+            indexed = sc.binaryFiles(f).flatMap(unzip).filter(
+                lambda t: t[0] >= skip
+            ).map(lambda t: t[1])
+        else:
+            indexed = (
+                sc.textFile(f)
+                .zipWithIndex()
+                .filter(lambda t: t[1] >= skip)
+                .map(lambda t: t[0])
+            )
+        rdds.append(indexed)
+    return sc.union(rdds) if len(rdds) > 1 else rdds[0]
+
+
+def _raw_csv(
+    spark: SparkSession,
+    path: str,
+    header: bool,
+    sep: str,
+    encoding: str,
+    null_format: str | None,
+    skip_lines: int,
+    compression: str | None,
+    n_cols: int | None = None,
+) -> tuple[DataFrame, bool]:
+    """Raw all-string CSV frame + the effective header flag (False when the
+    skip path consumed per-file headers itself)."""
+    if compression in _UNSUPPORTED_CODECS:
+        raise ValueError(
+            f"compression {compression!r} has no available codec; supported: "
+            f"auto/gzip/bzip2/deflate (by extension) and zip"
+        )
+    if compression in _EXTENSION_CODECS:
+        ext = _EXTENSION_CODECS[compression]
+        bad = [f for f in _list_files(spark, path) if not f.endswith(ext)]
+        if bad:
+            raise ValueError(
+                f"compression={compression!r} but files lack {ext!r} (Spark "
+                f"decodes by extension): {bad[:3]}"
+            )
+    if skip_lines or compression == "zip":
+        # per-file skip: a header line (if any) is consumed per file here —
+        # the RDD union of many files could not otherwise distinguish each
+        # file's own header — so the csv parse itself runs headerless and
+        # columns are positional (_c0.. — exactly how index-typed entries
+        # address them anyway)
+        eff_skip = skip_lines + (1 if header else 0)
+        lines = _lines_skipping(spark, path, eff_skip, compression)
+        reader = spark.read.option("header", False)
+        header = False
+    else:
+        lines = None
+        reader = spark.read.option("header", header)
+    reader = (
+        reader.option("sep", sep)
+        .option("encoding", encoding)
+        .option("mode", "PERMISSIVE")
+    )
+    if null_format is not None:
+        reader = reader.option("nullValue", null_format)
+    if n_cols is not None and not header:
+        # explicit all-string schema: without one, the csv source runs a
+        # first-row probe JOB just to learn the column count — with
+        # index-typed entries the needed width is already known
+        reader = reader.schema(
+            ", ".join(f"_c{i} string" for i in range(n_cols))
+        )
+    df = reader.csv(lines) if lines is not None else reader.csv(path)
+    return df, header
+
+
+def read_typed_csv_flagged(
+    spark: SparkSession,
+    path: str,
+    entries: list[ColumnEntry] | None,
+    header: bool = False,
+    sep: str = ",",
+    encoding: str = "utf-8",
+    null_format: str | None = None,
+    skip_lines: int = 0,
+    compression: str | None = None,
+) -> DataFrame:
+    """Typed rows + a ``_dirty`` boolean column in ONE frame. The job runner
+    observes (count, sum(_dirty)) on it so read/dirty/written stats all fall
+    out of the single write action — no count-before-write re-execution of the
+    plan (the reference reads stats from in-flight counters,
+    ``CommunicationTool.java:15-111``, never extra passes)."""
+    n_cols = None
+    if entries is not None and not header:
+        idx = [e.index for e in entries if e.index is not None]
+        n_cols = (max(idx) + 1) if idx else None
+    df, eff_header = _raw_csv(
+        spark, path, header, sep, encoding, null_format, skip_lines,
+        compression, n_cols=n_cols,
+    )
+    if entries is None:
+        return df.withColumn("_dirty", F.lit(False))
+    return _typed_flagged(df, entries, eff_header)
+
+
 def read_typed_csv(
     spark: SparkSession,
     path: str,
@@ -79,22 +231,22 @@ def read_typed_csv(
     """Returns (clean, dirty): typed rows and rows where any non-const cast
     failed on a non-null cell (the reference's per-record convert-error ->
     dirty-record policy). With ``entries=None`` all columns pass through as
-    strings (``UnstructuredStorageReaderUtil.java:350-360``)."""
-    reader = (
-        spark.read.option("header", header)
-        .option("sep", sep)
-        .option("encoding", encoding)
-        .option("mode", "PERMISSIVE")
-    )
-    if null_format is not None:
-        reader = reader.option("nullValue", null_format)
-    if skip_lines and not header:
-        # header-skip generalization; the reference's skipHeader skips one line
-        reader = reader.option("skipRows", skip_lines)
-    df = reader.csv(path)
-    if entries is None:
-        return df, df.limit(0)
+    strings (``UnstructuredStorageReaderUtil.java:350-360``).
 
+    ``compression``: None/"auto" = extension-based auto-detect (gzip/bzip2/
+    deflate decode transparently); "zip" = archive members decompressed in a
+    per-file pass; lzo/snappy variants are REJECTED explicitly (no codec in
+    this environment) rather than silently ignored."""
+    flagged = read_typed_csv_flagged(
+        spark, path, entries, header=header, sep=sep, encoding=encoding,
+        null_format=null_format, skip_lines=skip_lines, compression=compression,
+    )
+    clean = flagged.where(~F.col("_dirty")).drop("_dirty")
+    dirty = flagged.where(F.col("_dirty")).drop("_dirty")
+    return clean, dirty
+
+
+def _typed_flagged(df: DataFrame, entries, header: bool) -> DataFrame:
     raw_cols = df.columns
     out, bad_preds = [], []
     for i, e in enumerate(entries):
@@ -108,13 +260,9 @@ def read_typed_csv(
         out.append(casted.alias(name))
         if e.type != "string":
             bad_preds.append(src.isNotNull() & casted.isNull())
-    typed = df.select(*out, *[p.alias(f"_bad{i}") for i, p in enumerate(bad_preds)])
     if not bad_preds:
-        return typed, typed.limit(0)
-    any_bad = F.greatest(*[F.col(f"_bad{i}") for i in range(len(bad_preds))]) if len(
-        bad_preds
-    ) > 1 else F.col("_bad0")
-    bad_cols = [f"_bad{i}" for i in range(len(bad_preds))]
-    clean = typed.where(~F.coalesce(any_bad, F.lit(False))).drop(*bad_cols)
-    dirty = typed.where(F.coalesce(any_bad, F.lit(False))).drop(*bad_cols)
-    return clean, dirty
+        return df.select(*out, F.lit(False).alias("_dirty"))
+    any_bad = bad_preds[0]
+    for p in bad_preds[1:]:
+        any_bad = any_bad | p
+    return df.select(*out, F.coalesce(any_bad, F.lit(False)).alias("_dirty"))

@@ -49,6 +49,83 @@ def range_split_predicates(
     return preds
 
 
+def _str_to_radix_int(s: str, length: int, radix: int = 128) -> int:
+    """String -> integer in radix-`radix` positional space, right-padded with
+    zero digits to `length` (the reference's stringToBigInteger,
+    ``RangeSplitUtil.java:105-128``: each char is one base-128 digit)."""
+    v = 0
+    for i in range(length):
+        d = ord(s[i]) if i < len(s) else 0
+        if d >= radix:
+            raise ValueError(
+                f"character {s[i]!r} (U+{d:04X}) outside radix-{radix} space"
+            )
+        v = v * radix + d
+    return v
+
+
+def _radix_int_to_str(v: int, length: int, radix: int = 128) -> str:
+    digits = []
+    for _ in range(length):
+        digits.append(v % radix)
+        v //= radix
+    return "".join(chr(d) for d in reversed(digits)).rstrip("\x00")
+
+
+def _sql_str(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def string_range_split_predicates(
+    min_s: str,
+    max_s: str,
+    n: int,
+    pk: str,
+    include_null_slice: bool = True,
+    radix: int = 128,
+) -> list[str]:
+    """Equal-width split of a STRING primary key in radix-128 ASCII space —
+    the reference's string-PK path (``RangeSplitUtil.java:14-30,105-128``):
+    both bounds map to base-128 integers over a common digit length, the
+    integer range splits equal-width, and the cut points map back to strings.
+
+    Caveat (shared with the reference): the split points order by BYTE value;
+    a database collation that orders differently can route rows into a
+    neighboring slice. The slices still cover the whole domain (first/last
+    slices are open toward the bounds), so rows are never lost — coverage is
+    what the disjointness test pins.
+    """
+    length = max(len(min_s), len(max_s), 1)
+    lo, hi = _str_to_radix_int(min_s, length, radix), _str_to_radix_int(
+        max_s, length, radix
+    )
+    if hi < lo:
+        lo, hi = hi, lo
+        min_s, max_s = max_s, min_s
+    if n <= 1 or hi == lo:
+        preds = [f"{pk} >= {_sql_str(min_s)} AND {pk} <= {_sql_str(max_s)}"]
+    else:
+        width = (hi - lo) // n
+        cuts_i = [lo + i * width for i in range(1, n)]
+        cuts = [_radix_int_to_str(c, length, radix) for c in cuts_i]
+        # dedupe degenerate cuts (possible when the range is narrow)
+        uniq = []
+        for c in cuts:
+            if c > min_s and c < max_s and (not uniq or c != uniq[-1]):
+                uniq.append(c)
+        bounds = [min_s] + uniq + [max_s]
+        preds = []
+        for i in range(len(bounds) - 1):
+            lo_s, hi_s = _sql_str(bounds[i]), _sql_str(bounds[i + 1])
+            if i == len(bounds) - 2:
+                preds.append(f"{pk} >= {lo_s} AND {pk} <= {hi_s}")
+            else:
+                preds.append(f"{pk} >= {lo_s} AND {pk} < {hi_s}")
+    if include_null_slice:
+        preds.append(f"{pk} IS NULL")
+    return preds
+
+
 def quantile_split_predicates(
     df: DataFrame, pk: str, n: int, error: float = 0.001, include_null_slice: bool = True
 ) -> list[str]:
@@ -92,6 +169,11 @@ def read_jdbc_split(
             f"(SELECT MIN({pk}) AS lo, MAX({pk}) AS hi FROM {table}) b",
             properties=props,
         ).collect()[0]
-        lower, upper = int(bounds["lo"]), int(bounds["hi"])
-    preds = range_split_predicates(lower, upper, num_partitions, pk)
+        lower, upper = bounds["lo"], bounds["hi"]
+    if isinstance(lower, str):
+        # string primary key (UUIDs, natural keys): radix-128 split, the
+        # reference's RangeSplitUtil string path
+        preds = string_range_split_predicates(lower, upper, num_partitions, pk)
+    else:
+        preds = range_split_predicates(int(lower), int(upper), num_partitions, pk)
     return spark.read.jdbc(url, table, predicates=preds, properties=props)
