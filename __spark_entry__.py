@@ -4,9 +4,9 @@ entry()    — flagship: the full CDC engine (seed -> changelog replay with
              snapshot/watermark commits -> final table) at sf0.001.
 queries()  — one entry per implemented operator (SURVEY.md §2 + the
              training-data-pipeline additions); each runs at (spark, sf_dir).
-oracle_sql() — DuckDB-equivalent SQL per query (omitted only for the two
-             rows-only entries whose outputs are not portably SQL-expressible:
-             the float-sign LSH bucketer and the stubbed media decoder).
+oracle_sql() — DuckDB-equivalent SQL per query (every entry has one: the LSH
+             bucketer is integer-quantized so its bucket assignment is exact,
+             and the stub media featurizer is closed-form).
 """
 
 from __future__ import annotations

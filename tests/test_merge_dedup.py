@@ -114,3 +114,88 @@ def test_merge_idempotent_reapply(spark, tmp_table_root):
     state1 = sorted(t.read().collect())
     merge_upsert(t, batch)  # re-apply the same batch
     assert sorted(t.read().collect()) == state1
+
+
+def test_winner_filter_both_variants(spark):
+    """winner_filter (broadcast and shuffle-join) must keep exactly the rows
+    carrying each key's max (commit_lsn, seq_no) — including duplicate
+    deliveries of the winner, which the downstream dropDuplicates collapses."""
+    from tg_data_connector_spark.cdc.dedup import winner_filter
+
+    rows = [
+        ("k1", 5, 1, "a"), ("k1", 5, 3, "b"), ("k1", 2, 9, "c"),
+        ("k2", 7, 0, "d"), ("k2", 7, 0, "d"),  # duplicate delivery of winner
+        ("k3", 1, 1, "e"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id string, commit_lsn long, seq_no long, v string"
+    )
+    for bcast in (True, False):
+        kept = winner_filter(df, "doc_id", broadcast_winners=bcast)
+        got = sorted((r["doc_id"], r["commit_lsn"], r["seq_no"], r["v"])
+                     for r in kept.collect())
+        assert got == [("k1", 5, 3, "b"), ("k2", 7, 0, "d"), ("k2", 7, 0, "d"),
+                       ("k3", 1, 1, "e")], bcast
+
+
+def test_version_pack_fast_path_matches_decimal(spark):
+    """The bigint fast path (bounds-gated) must order versions identically to
+    the decimal fallback, including the boundary where seq needs all its
+    bits."""
+    from pyspark.sql import functions as F
+
+    from tg_data_connector_spark.cdc.dedup import version_pack
+
+    rows = [(0, 0), (0, 7), (1, 0), (5, 6), (2**40 - 1, 1023), (7, 1023)]
+    df = spark.createDataFrame(rows, "commit_lsn long, seq_no long")
+    fast = df.select(
+        version_pack(lsn_max=2**40 - 1, seq_max=1023).alias("p"),
+        "commit_lsn", "seq_no",
+    ).orderBy("p").collect()
+    slow = df.select(
+        version_pack().alias("p"), "commit_lsn", "seq_no"
+    ).orderBy("p").collect()
+    assert [(r["commit_lsn"], r["seq_no"]) for r in fast] == [
+        (r["commit_lsn"], r["seq_no"]) for r in slow
+    ]
+    # bounds that DON'T fit 63 bits must fall back to decimal (no overflow)
+    wide = version_pack(lsn_max=2**62, seq_max=2**62)
+    t = df.select(wide.alias("p")).schema["p"].dataType.simpleString()
+    assert t.startswith("decimal")
+
+
+def test_replay_winner_shuffle_variant_e2e(spark, tmp_table_root):
+    """Full replay equivalence with broadcast_winners=False (the all-shuffle
+    scaling shape)."""
+    from tg_data_connector_spark.cdc import ReplayConfig, ReplayEngine
+    from tg_data_connector_spark.cdc.genlog import (
+        gen_changelog,
+        gen_seed_sequences,
+        with_binary_payload,
+    )
+    from tg_data_connector_spark.lake import LakeTable, TableSchema
+    from oracle import oracle_final_state
+
+    n, d = 8_000, 600
+    log_t = gen_changelog(spark, n, d, n_parts=4)
+    log = with_binary_payload(log_t).drop("tokens")
+    seed = gen_seed_sequences(spark, d)
+    table = LakeTable.create(
+        spark, tmp_table_root,
+        TableSchema([("doc_id", "string"), ("tokens", "array<int>"),
+                     ("n_tok", "int"), ("source", "string")]),
+        key="doc_id", n_buckets=8,
+    )
+    table.append(seed)
+    eng = ReplayEngine(
+        spark, table,
+        ReplayConfig(events_per_batch=3_000, parse_payload=True,
+                     broadcast_winners=False),
+    )
+    eng.replay(log, run_id="shufv")
+    final = table.read().select("doc_id", "tokens", "n_tok", "source")
+    exp = oracle_final_state(seed, log_t).select(
+        "doc_id", "tokens", "n_tok", "source"
+    )
+    assert final.exceptAll(exp).count() == 0
+    assert exp.exceptAll(final).count() == 0

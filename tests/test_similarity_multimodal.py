@@ -85,3 +85,47 @@ def test_decode_fake_featurizer_shape_and_determinism(spark):
            decode_and_featurize(df, feature_dim=4, use_fake_decoder=True).collect()}
     assert len(out[1]) == 4 and out[2] is None
     assert out[1][0] == pytest.approx(7.5)  # mean of bytes 0..15
+
+
+def test_embedding_near_dup_pairs_exact_at_threshold(spark):
+    """Bucketed near-dup candidates re-checked with exact quantized cosine:
+    identical vectors always collide (same signature) and score 1.0."""
+    from tg_data_connector_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    base = [0.1 * ((i * 7) % 13 - 6) for i in range(8)]
+    other = [0.1 * ((i * 11) % 17 - 8) for i in range(8)]
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, other)],
+        "vec_id long, embedding array<float>",
+    )
+    out = embedding_near_dup_pairs(df, dim=8, threshold=0.99, n_planes=4)
+    got = [(r["a"], r["b"], r["cos"]) for r in out.collect()]
+    assert got == [(1, 2, 1.0)]
+
+
+def test_ivf_ann_matches_brute_force_on_probed_cells(spark):
+    """IVF with n_probe == n_cells degenerates to exact search: results must
+    equal brute force."""
+    from tg_data_connector_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_ann_topk,
+        quantize,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [
+        (i, [float(((i * 13 + d * 7) % 19) - 9) / 9.0 for d in range(8)])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.where(F.col("vec_id") < 3)
+    ivf = ivf_ann_topk(df, q, dim=8, k=4, n_cells=4, n_probe=4, centroid_stride=11)
+    qq = df.select("vec_id", quantize(F.col("embedding")).alias("embedding"))
+    bf = brute_force_topk(
+        qq, qq.where(F.col("vec_id") < 3), "vec_id", "embedding", k=4
+    )
+    a = sorted(tuple(r) for r in ivf.collect())
+    b = sorted(tuple(r) for r in bf.collect())
+    assert a == b

@@ -110,3 +110,19 @@ def test_fingerprint64_stable(spark):
     df = _docs(spark, ["Some   Text", "some text", "different"])
     out = [r[0] for r in df.select(fingerprint64(F.col("text")).alias("f")).collect()]
     assert out[0] == out[1] != out[2]
+
+
+def test_ngram_jaccard_broadcasts_blocklist_not_keeplist(spark):
+    """The only broadcast in the ngram-jaccard plan must be the tiny
+    hot-shingle blocklist via LEFT ANTI join — broadcasting the corpus-sized
+    keep-list OOMs executors at scale (round-1 verdict)."""
+    from tg_data_connector_spark.operators.dedup_text import ngram_jaccard_pairs
+
+    df = spark.createDataFrame(
+        [(i, f"common prefix text number {i}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    plan = ngram_jaccard_pairs(df, "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti, BuildRight" in plan or (
+        "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    ), plan[:2000]

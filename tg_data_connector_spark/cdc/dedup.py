@@ -68,7 +68,7 @@ def version_pack(lsn_max: int | None = None, seq_max: int | None = None):
         and seq_max >= 0
     ):
         s = max(1, int(seq_max).bit_length())
-        if (int(lsn_max) >> (62 - s)) == 0:
+        if s <= 62 and (int(lsn_max) >> (62 - s)) == 0:
             # lsn < 2^(62-s) and seq < 2^s: product+sum < 2^63, no overflow
             return (
                 F.col("commit_lsn") * F.lit(1 << s) + F.col("seq_no")
@@ -86,6 +86,7 @@ def winner_filter(
     broadcast_winners: bool = True,
     lsn_max: int | None = None,
     seq_max: int | None = None,
+    winners_from: DataFrame | None = None,
 ):
     """Filter a change batch to the rows carrying their key's MAX version —
     entirely JVM-side, no Python, no payload-wide shuffle.
@@ -103,7 +104,13 @@ def winner_filter(
     with a cheap per-key dedup over this winners-only stream.
     """
     pack = version_pack(lsn_max, seq_max)
-    winners = df.groupBy(key).agg(F.max(pack).alias("_vmax"))
+    # ``winners_from``: logically-identical upstream frame to aggregate from —
+    # callers that filter an already-shuffled df pass the pre-shuffle scan
+    # here so the agg runs off a column-pruned parquet read instead of
+    # re-reading the wide exchange
+    winners = (winners_from if winners_from is not None else df).groupBy(key).agg(
+        F.max(pack).alias("_vmax")
+    )
     if broadcast_winners:
         winners = F.broadcast(winners)
     else:

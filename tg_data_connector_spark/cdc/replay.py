@@ -73,6 +73,13 @@ class ReplayConfig:
     # bytes_per_batch / mean event payload size (measured on a bounded sample
     # at replay start). events_per_batch then acts as a floor of 1.
     bytes_per_batch: int | None = None
+    # winner strategy: broadcast the per-key winner versions (fastest wall
+    # clock — losers are pruned map-side before ANY shuffle, at the cost of a
+    # driver-side broadcast build that is FIXED time regardless of cluster
+    # width) vs shuffle-join them (every byte of work parallelizes — the
+    # better choice when winners-per-batch outgrow broadcast, and the purer
+    # scaling shape). Default broadcast; flip for very wide batches.
+    broadcast_winners: bool = True
     salted_dedup: bool = False  # back-compat alias for dedup_strategy="salted"
     salt_buckets: int = 16
     error_limit: ErrorLimit = field(default_factory=lambda: ErrorLimit(percentage=0.05))
@@ -316,23 +323,42 @@ class ReplayEngine:
             # projections: the MERGE join and the bucket-aligned write add NO
             # further exchange — ONE winners-sized shuffle end-to-end.
             lm, sm = getattr(self, "_version_bounds", (None, None))
-            kept = winner_filter(src, "doc_id", lsn_max=lm, seq_max=sm)
-            if raw_mode:
+
+            def decode_proj(frame):
                 from .parse import decode_tokens
 
-                pos = kept.columns.index("payload")
-                kept = kept.select(
+                pos = frame.columns.index("payload")
+                return frame.select(
                     *[
                         decode_tokens(F.col("payload")).alias("tokens")
                         if i == pos
                         else F.col(c)
-                        for i, c in enumerate(kept.columns)
+                        for i, c in enumerate(frame.columns)
                     ]
                 )
-                raw_mode = False
-            deduped = kept.repartition(nb, F.col("doc_id")).dropDuplicates(
-                ["doc_id"]
-            )
+
+            if self.cfg.broadcast_winners:
+                kept = winner_filter(src, "doc_id", lsn_max=lm, seq_max=sm)
+                if raw_mode:
+                    kept = decode_proj(kept)
+                    raw_mode = False
+                deduped = kept.repartition(nb, F.col("doc_id")).dropDuplicates(
+                    ["doc_id"]
+                )
+            else:
+                # all-shuffle variant: one hash(key) exchange of the full
+                # batch (the explicit north-rule shuffle), winners joined
+                # shuffled-hash in place, dedup agg in place, decode after —
+                # no driver-side fixed cost anywhere in the pipeline
+                parted = src.repartition(nb, F.col("doc_id"))
+                kept = winner_filter(
+                    parted, "doc_id", broadcast_winners=False,
+                    lsn_max=lm, seq_max=sm, winners_from=src,
+                )
+                deduped = kept.dropDuplicates(["doc_id"])
+                if raw_mode:
+                    deduped = decode_proj(deduped)
+                    raw_mode = False
         else:
             # partition count = table bucket count: this one shuffle feeds the
             # kernel, the MERGE join, AND the per-bucket file write (see

@@ -35,8 +35,14 @@ from .operators.dedup_text import (
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash_dedup,
+    simhash_near_pairs,
 )
-from .operators.similarity import brute_force_topk, lsh_ann_topk
+from .operators.similarity import (
+    brute_force_topk,
+    embedding_near_dup_pairs,
+    ivf_ann_topk,
+    lsh_ann_topk,
+)
 from .operators.text import (
     STOPWORDS,
     bpe_ish_token_count,
@@ -687,6 +693,38 @@ def sql_simhash() -> str:
     """
 
 
+def q_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded simhash near-dup pairs within hamming<=3 (pigeonhole over 4
+    8-bit bands)."""
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return simhash_near_pairs(docs, "doc_id", "text", k=_SHINGLE_K, bands=4,
+                              max_hamming=3)
+
+
+def sql_simhash_hamming() -> str:
+    bits = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> {b}) & 1 = 1"
+        f" THEN 1 ELSE -1 END)) > 0 THEN {2**b} ELSE 0 END)"
+        for b in range(32)
+    )
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {i} AS band,"
+        f" (simhash // {2 ** (8 * i)}) % 256 AS key FROM sims"
+        for i in range(4)
+    )
+    return f"""
+    WITH sh AS (SELECT doc_id, list_transform({_SHINGLES}, s -> {_H32}) AS hs
+                FROM documents),
+    sims AS (SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM sh),
+    banded AS ({bands}),
+    pairs AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b,
+                     CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+              FROM banded a JOIN banded b
+              ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+    SELECT a, b, hamming FROM pairs WHERE hamming <= 3
+    """
+
+
 # ---------------------------------------------------------------- similarity
 _N_QUERIES, _TOPK = 20, 5
 
@@ -767,6 +805,84 @@ def sql_lsh_ann() -> str:
       SELECT *, row_number() OVER (PARTITION BY query_id
                 ORDER BY cos DESC, neighbor_id) AS rank
       FROM scored)
+    WHERE rank <= {_TOPK}
+    """
+
+
+_Q64 = "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+
+
+def _sql_cos(a: str, b: str) -> str:
+    dot = f"list_sum(list_transform(range(1, 65), i -> {a}[CAST(i AS INT)] * {b}[CAST(i AS INT)]))"
+    return (
+        f"round({dot} / (sqrt(list_sum(list_transform({a}, x -> x*x))) * "
+        f"sqrt(list_sum(list_transform({b}, x -> x*x)))), 6)"
+    )
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    return embedding_near_dup_pairs(emb, dim=64, threshold=0.2, n_planes=_LSH_PLANES,
+                                    seed=_LSH_SEED)
+
+
+def sql_embedding_near_dup() -> str:
+    from .operators.similarity import plane_components
+
+    comps = plane_components(_LSH_PLANES, 64, seed=_LSH_SEED)
+    sig_terms = []
+    for p, row in enumerate(comps):
+        arr = "[" + ", ".join(str(c) for c in row) + "]"
+        sig_terms.append(
+            f"(CASE WHEN list_sum(list_transform(range(1, 65),"
+            f" i -> q[CAST(i AS INT)] * ({arr})[CAST(i AS INT)])) >= 0"
+            f" THEN {2**p} ELSE 0 END)"
+        )
+    sig = " + ".join(sig_terms)
+    return f"""
+    WITH qv AS (SELECT vec_id, {_Q64} AS q FROM embeddings),
+    sigs AS (SELECT vec_id, q, CAST({sig} AS INT) AS sig FROM qv)
+    SELECT sa.vec_id AS a, sb.vec_id AS b, {_sql_cos('sa.q', 'sb.q')} AS cos
+    FROM sigs sa JOIN sigs sb ON sa.sig = sb.sig AND sa.vec_id < sb.vec_id
+    WHERE {_sql_cos('sa.q', 'sb.q')} >= 0.2
+    """
+
+
+_IVF_CELLS, _IVF_PROBE, _IVF_STRIDE = 16, 4, 97
+
+
+def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    queries = emb.where(F.col("vec_id") < _N_QUERIES)
+    return ivf_ann_topk(emb, queries, dim=64, k=_TOPK, n_cells=_IVF_CELLS,
+                        n_probe=_IVF_PROBE, centroid_stride=_IVF_STRIDE)
+
+
+def sql_ivf_ann() -> str:
+    return f"""
+    WITH qv AS (SELECT vec_id, {_Q64} AS q FROM embeddings),
+    cents AS (SELECT vec_id AS cent_id, q AS cv FROM qv
+              WHERE vec_id % {_IVF_STRIDE} = 0 ORDER BY vec_id LIMIT {_IVF_CELLS}),
+    assign AS (
+      SELECT vec_id, q, cell FROM (
+        SELECT v.vec_id, v.q, c.cent_id AS cell,
+               row_number() OVER (PARTITION BY v.vec_id
+                 ORDER BY {_sql_cos('v.q', 'c.cv')} DESC, c.cent_id) AS rn
+        FROM qv v CROSS JOIN cents c) WHERE rn = 1),
+    probed AS (
+      SELECT vec_id AS query_id, q AS qq, cell FROM (
+        SELECT v.vec_id, v.q, c.cent_id AS cell,
+               row_number() OVER (PARTITION BY v.vec_id
+                 ORDER BY {_sql_cos('v.q', 'c.cv')} DESC, c.cent_id) AS rn
+        FROM qv v CROSS JOIN cents c WHERE v.vec_id < {_N_QUERIES})
+      WHERE rn <= {_IVF_PROBE}),
+    scored AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id, {_sql_cos('p.qq', 'a.q')} AS cos
+      FROM probed p JOIN assign a ON p.cell = a.cell
+      WHERE p.query_id <> a.vec_id)
+    SELECT query_id, neighbor_id, cos, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY cos DESC, neighbor_id) AS rank FROM scored)
     WHERE rank <= {_TOPK}
     """
 
@@ -862,8 +978,11 @@ QUERIES = {
     "dedup_ngram_jaccard": (q_ngram_jaccard, sql_ngram_jaccard),
     "dedup_minhash_lsh": (q_minhash_lsh, sql_minhash_lsh),
     "dedup_simhash": (q_simhash, sql_simhash),
+    "dedup_simhash_hamming": (q_simhash_hamming, sql_simhash_hamming),
     "ann_cosine_topk": (q_cosine_topk, sql_cosine_topk),
     "ann_lsh_bucketed": (q_lsh_ann, sql_lsh_ann),
+    "ann_ivf_cells": (q_ivf_ann, sql_ivf_ann),
+    "dedup_embedding_cosine": (q_embedding_near_dup, sql_embedding_near_dup),
     "multimodal_meta": (q_multimodal_meta, sql_multimodal_meta),
     "multimodal_features": (q_multimodal_features, sql_multimodal_features),
 }

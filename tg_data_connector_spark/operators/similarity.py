@@ -117,6 +117,121 @@ def quantize(vec: Column, scale: int = 1000) -> Column:
     return F.transform(vec, lambda x: F.round(x.cast("double") * scale).cast("bigint"))
 
 
+def embedding_near_dup_pairs(
+    vectors: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    seed: int = 11,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (a < b, cos >= threshold) — the
+    vector twin of MinHash text dedup. Candidates are hyperplane-bucket
+    collisions (O(N x planes) shuffle, never all-pairs: two vectors at
+    cos >= 0.95 disagree on a random hyperplane with prob ~= acos(0.95)/pi ~=
+    0.10, so with 8 planes recall of a true near-dup bucket match is
+    ~(1-0.1)^8 ~= 0.43 per table — production stacks more tables; plumbing is
+    identical). Exact integer-quantized cosine re-checks each candidate."""
+    qv = quantize(F.col(vec_col))
+    sig = hyperplane_signature(qv, dim, n_planes, seed)
+    side = vectors.select(F.col(id_col).alias("_id"), qv.alias("_v"), sig.alias("_sig"))
+    a = side.select(F.col("_id").alias("a"), F.col("_v").alias("_va"), "_sig")
+    b = side.select(F.col("_id").alias("b"), F.col("_v").alias("_vb"), "_sig")
+    # each vector carries exactly ONE signature, so the self-join already
+    # yields unique pairs — no distinct (and no extra shuffle) needed
+    return (
+        a.join(b, "_sig")
+        .where(F.col("a") < F.col("b"))
+        .select(
+            "a", "b", F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("cos")
+        )
+        .where(F.col("cos") >= threshold)
+    )
+
+
+def ivf_ann_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    centroid_stride: int = 97,
+) -> DataFrame:
+    """IVF-style ANN: vectors partition into cells by nearest centroid; a
+    query probes its n_probe nearest cells and re-ranks exactly inside them.
+
+    Centroids here are a deterministic strided sample of the vector set
+    (id % stride == 0, first n_cells) rather than k-means means — the
+    assignment/probe/re-rank plumbing (the part that must scale: cell
+    partitioning, bounded probe fan-out, per-cell exact math) is identical,
+    and determinism makes the whole operator reproducible by an external SQL
+    oracle. Swapping in trained centroids is a drop-in (they arrive as just
+    another small table).
+
+    Scale shape: assignment is a broadcast of n_cells centroids (tiny) +
+    argmin over them per vector — no shuffle; candidate generation joins on
+    cell id, O(N x n_probe / n_cells) expected fan-in per query."""
+    qv = quantize(F.col(vec_col))
+    cents = (
+        vectors.where((F.col(id_col) % centroid_stride) == 0)
+        .orderBy(id_col)
+        .limit(n_cells)
+        .select(F.col(id_col).alias("cent_id"), qv.alias("cv"))
+    )
+    cent_rows = cents.collect()  # n_cells rows — bounded, by construction
+
+    def nearest_cells(v, n: int):
+        """ids of the n nearest centroids by exact quantized cosine,
+        tie-broken by centroid id (deterministic)."""
+        scored = F.array(
+            *[
+                F.struct(
+                    F.round(
+                        cosine(v, F.array(*[F.lit(int(x)) for x in r["cv"]])), 6
+                    ).alias("c"),
+                    F.lit(-int(r["cent_id"])).alias("nid"),
+                )
+                for r in cent_rows
+            ]
+        )
+        top = F.slice(F.reverse(F.array_sort(scored)), 1, n)
+        return F.transform(top, lambda s: -s["nid"])
+
+    cand = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        qv.alias("_nv"),
+        nearest_cells(qv, 1)[0].alias("cell"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        qv.alias("_qv"),
+        F.explode(nearest_cells(qv, n_probe)).alias("cell"),
+    )
+    # a vector lives in exactly ONE cell, so (query, neighbor) pairs are
+    # already unique across the probe fan-out — no distinct needed
+    scored = (
+        cand.join(F.broadcast(q), "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("_qv"), F.col("_nv")), 6).alias("cos"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
 def lsh_ann_topk(
     vectors: DataFrame,
     queries: DataFrame,
