@@ -135,3 +135,34 @@ def test_bucket_hash_format_validated(spark, tmp_table_root):
     t3 = LakeTable(spark, tmp_table_root)
     with _pytest.raises(RuntimeError, match="bucket hash"):
         t3.meta()
+
+
+def test_local_table_fs_primitives(tmp_path):
+    """The two guarantees the commit protocol needs from any FS backend:
+    create-fails-if-exists (version claim) and atomic pointer replace."""
+    import os
+
+    import pytest as _pytest
+
+    from tg_data_connector_spark.lake.fs import LocalTableFS
+
+    fs = LocalTableFS()
+    d = str(tmp_path / "t")
+    fs.makedirs(d)
+    p = os.path.join(d, "v1.json")
+    fs.write_text_excl(p, "{}")
+    with _pytest.raises(FileExistsError):
+        fs.write_text_excl(p, "{}")  # second writer loses the version claim
+    cur = os.path.join(d, "_current")
+    with fs.write_text_atomic(cur) as f:
+        f.write("1")
+    assert fs.read_text(cur) == "1"
+    # a failed atomic write leaves the old value intact and no temp litter
+    try:
+        with fs.write_text_atomic(cur) as f:
+            f.write("2")
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    assert fs.read_text(cur) == "1"
+    assert [x for x in fs.listdir(d) if ".tmp-" in x] == []

@@ -51,3 +51,56 @@ def test_stream_tail_matches_oracle(spark, tmp_path):
     )
     q2.awaitTermination(300)
     assert sorted(table.read().select("doc_id", "tokens", "n_tok", "source").collect()) == state
+
+
+def test_stateful_sessionize_stream(spark, tmp_path):
+    """applyInPandasWithState sessionization: sessions closed by the event-time
+    watermark must match the batch gap-sessionizer for the same events."""
+    import pandas as pd
+
+    from tg_data_connector_spark.streaming.stateful import sessionize_stream
+
+    GAP = 1800
+    base = 1_700_000_000
+    rows = []
+    for u in (1, 2):
+        # session A: 3 events inside the gap; session B: 2 events much later;
+        # then a far-future flush event that pushes the watermark past B+gap
+        rows += [
+            (u, base + 0), (u, base + 600), (u, base + 1200),
+            (u, base + 10_000), (u, base + 10_300),
+            (u, base + 100_000),
+        ]
+    src_dir = str(tmp_path / "events")
+    pdf = pd.DataFrame(rows, columns=["user_id", "epoch"])
+    df = spark.createDataFrame(pdf).select(
+        F.col("user_id").cast("bigint"),
+        F.col("epoch").cast("timestamp").alias("ts"),
+    )
+    df.coalesce(1).write.parquet(src_dir)
+
+    stream = spark.readStream.schema("user_id bigint, ts timestamp").parquet(src_dir)
+    out = sessionize_stream(stream, "ts", gap_sec=GAP, watermark="10 seconds")
+    sink = str(tmp_path / "out")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = sorted(
+        tuple(r)
+        for r in spark.read.schema(
+            "user_id bigint, session_start bigint, session_end bigint, n_events bigint"
+        ).parquet(sink).collect()
+    )
+    # closed sessions (the final base+100000 event stays open — watermark
+    # never passes it): A(3 events) and B(2 events) per user
+    expected = sorted(
+        [(u, base, base + 1200, 3) for u in (1, 2)]
+        + [(u, base + 10_000, base + 10_300, 2) for u in (1, 2)]
+    )
+    assert got == expected
