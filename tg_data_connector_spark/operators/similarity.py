@@ -21,6 +21,15 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _spread(df: DataFrame, key: str) -> DataFrame:
+    """Fan vectors across the cluster before expression-heavy math — a small
+    embeddings table is one input split, serializing every projection/cosine
+    pass onto one task without this (explicit count so AQE cannot coalesce
+    the tiny input back to one partition)."""
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism, F.col(key))
+
+
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
@@ -50,7 +59,7 @@ def brute_force_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
     )
-    cand = vectors.select(
+    cand = _spread(vectors, id_col).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_nv")
     )
     scored = cand.crossJoin(F.broadcast(q)).where(
@@ -135,7 +144,9 @@ def embedding_near_dup_pairs(
     identical). Exact integer-quantized cosine re-checks each candidate."""
     qv = quantize(F.col(vec_col))
     sig = hyperplane_signature(qv, dim, n_planes, seed)
-    side = vectors.select(F.col(id_col).alias("_id"), qv.alias("_v"), sig.alias("_sig"))
+    side = _spread(vectors, id_col).select(
+        F.col(id_col).alias("_id"), qv.alias("_v"), sig.alias("_sig")
+    )
     a = side.select(F.col("_id").alias("a"), F.col("_v").alias("_va"), "_sig")
     b = side.select(F.col("_id").alias("b"), F.col("_v").alias("_vb"), "_sig")
     # each vector carries exactly ONE signature, so the self-join already
@@ -201,7 +212,7 @@ def ivf_ann_topk(
         top = F.slice(F.reverse(F.array_sort(scored)), 1, n)
         return F.transform(top, lambda s: -s["nid"])
 
-    cand = vectors.select(
+    cand = _spread(vectors, id_col).select(
         F.col(id_col).alias("neighbor_id"),
         qv.alias("_nv"),
         nearest_cells(qv, 1)[0].alias("cell"),
@@ -249,7 +260,7 @@ def lsh_ann_topk(
     re-rank score are engine-exact."""
     qv = quantize(F.col(vec_col))
     sig = hyperplane_signature(qv, dim, n_planes, seed)
-    cand = vectors.select(
+    cand = _spread(vectors, id_col).select(
         F.col(id_col).alias("neighbor_id"), qv.alias("_nv"), sig.alias("_sig")
     )
     q = queries.select(
