@@ -40,7 +40,7 @@ from ..lake.merge import merge_upsert
 from ..lake.table import LakeTable
 from .dedup import lww_dedup, lww_dedup_arrow, lww_dedup_salted, winner_filter
 from .parse import parse_events
-from .quality import ErrorLimit, split_quarantine
+from .quality import ErrorLimit
 
 CORE_COLS = ["doc_id", "tokens", "n_tok", "source"]
 
@@ -136,16 +136,22 @@ class ReplayEngine:
     # ---------- batch stats ----------
     def _batch_stats(self, batch: DataFrame) -> list:
         """Single-pass per-part stats for one batch: high-watermark, event
-        count, dirty count, and the set of target buckets touched (feeds the
-        merge so it never runs a separate probe job over the dedup plan)."""
-        from .quality import contract_predicate
+        count, version bounds, and the set of target buckets touched (feeds
+        the merge so it never runs a separate probe job over the dedup plan).
+
+        Deliberately PAYLOAD-FREE: dirty counting needs octet_length(payload),
+        which would force this scan to read the whole payload column; dirty
+        counts instead ride the merge job itself as observe() metrics (see
+        apply_batch) and the error limit is asserted post-write, pre-publish —
+        the reference's own end-of-transfer checkLimit semantics. The bucket
+        set here includes dirty rows' buckets: a superset is safe (extra
+        buckets are read and rewritten unchanged)."""
         from ..lake.table import bucket_expr
 
         meta = self.table.meta()
         return batch.groupBy("part").agg(
             F.max("offset").alias("hwm"),
             F.count("*").alias("n"),
-            F.sum(contract_predicate(batch).cast("int")).alias("nd"),
             F.collect_set(bucket_expr("doc_id", meta["buckets"])).alias("bks"),
             F.max("commit_lsn").alias("vl"),
             F.max("seq_no").alias("vs"),
@@ -160,6 +166,7 @@ class ReplayEngine:
         crash_after_stage: bool = False,
         run_id: str = "adhoc",
         stats: list | None = None,
+        observe_metrics: bool = True,
     ) -> BatchReport:
         t0 = time.time()
         snap = self.table.snapshot()
@@ -179,7 +186,6 @@ class ReplayEngine:
             stats = self._batch_stats(batch)
         watermarks = {int(r["part"]): int(r["hwm"]) for r in stats}
         events_n = sum(r["n"] for r in stats)
-        dirty_n = sum(r["nd"] for r in stats)
         affected_buckets = sorted({b for r in stats for b in r["bks"] if b is not None})
         # exact version bounds for the batch: unlock the bigint version-pack
         # fast path in winner_filter (vs the decimal fallback)
@@ -190,13 +196,18 @@ class ReplayEngine:
         )
         self._phase_timings = {"stats": round(time.time() - t_stats, 3)}
 
-        report = self._apply_batch_inner(
-            batch, batch_id, t0, events_n, dirty_n, watermarks,
+        report, dirty_by_part = self._apply_batch_inner(
+            batch, batch_id, t0, events_n, watermarks,
             affected_buckets, crash_before_publish, crash_after_stage,
+            observe_metrics,
         )
         report.phases = dict(self._phase_timings)
         per_part = {
-            int(r["part"]): {"hwm": r["hwm"], "events": r["n"], "dirty": r["nd"]}
+            int(r["part"]): {
+                "hwm": r["hwm"],
+                "events": r["n"],
+                "dirty": dirty_by_part.get(int(r["part"]), 0),
+            }
             for r in stats
         }
         self.lineage.record_batch(
@@ -211,17 +222,20 @@ class ReplayEngine:
         batch_id: str,
         t0: float,
         events_n: int,
-        dirty_n: int,
         watermarks: dict,
         affected_buckets: list[int],
         crash_before_publish: bool,
         crash_after_stage: bool,
-    ) -> BatchReport:
-        clean, dirty = split_quarantine(batch)  # raw- or decoded-shape aware
-        if self.cfg.quarantine_dir and dirty_n:
-            dirty.withColumn("_batch_id", F.lit(batch_id)).write.mode("append").parquet(
-                self.cfg.quarantine_dir
-            )
+        observe_metrics: bool = True,
+    ) -> tuple[BatchReport, dict]:
+        from .quality import contract_predicate
+
+        pred = contract_predicate(batch)
+        clean = batch.where(~pred)
+        if self.cfg.quarantine_dir:
+            batch.where(pred).withColumn(
+                "_batch_id", F.lit(batch_id)
+            ).write.mode("append").parquet(self.cfg.quarantine_dir)
 
         # schema-change events order sub-batches; they are few -> driver-side list
         schema_events = []
@@ -232,14 +246,16 @@ class ReplayEngine:
                 .collect()
             )
             schema_events.sort(key=lambda r: (r["commit_lsn"], r["seq_no"]))
-            clean = clean.where(F.col("op") != "S")
-
-        self.cfg.error_limit.check(dirty_n, max(events_n, 1))
+            batch = batch.where(F.col("op") != "S")
+            pred = contract_predicate(batch)
 
         deduped_total = 0
+        dirty_n = 0
+        dirty_by_part: dict[int, int] = {}
+        parts = sorted(watermarks)
         bounds = [(r["commit_lsn"], r["seq_no"]) for r in schema_events]
         for k in range(len(bounds) + 1):
-            sub = clean
+            sub = batch
             if k > 0:
                 lsn, seq = bounds[k - 1]
                 sub = sub.where(
@@ -252,42 +268,117 @@ class ReplayEngine:
                     F.struct(F.col("commit_lsn"), F.col("seq_no"))
                     < F.struct(F.lit(lsn).cast("bigint"), F.lit(seq).cast("bigint"))
                 )
-            deduped_total += self._merge_sub_batch(
+            applied, dstats = self._merge_sub_batch(
                 sub,
+                dirty_pred=contract_predicate(sub),
+                parts=parts,
+                events_n=events_n,
+                prior_dirty=dirty_n,
+                observe_metrics=observe_metrics,
                 batch_id=f"{batch_id}/{k}" if bounds else batch_id,
                 watermarks=watermarks if k == len(bounds) else None,
                 final=(k == len(bounds)),
-                batch_meta={"events": events_n, "dirty": dirty_n},
                 affected_buckets=affected_buckets,
                 crash_before_publish=crash_before_publish,
                 crash_after_stage=crash_after_stage,
             )
+            deduped_total += applied
+            dirty_n += dstats.pop("_total", 0)
+            for p, v in dstats.items():
+                dirty_by_part[p] = dirty_by_part.get(p, 0) + v
             if k < len(bounds):
                 apply_schema_change(self.table, schema_events[k]["schema_change"])
 
-        return BatchReport(
-            batch_id,
-            events_n,
-            dirty_n,
-            deduped_total,
-            time.time() - t0,
-            schema_changes=len(bounds),
+        # all-dirty / empty-merge edge: no write job ran, so the observe
+        # metrics never fired — assert the limit with a dedicated narrow count
+        if deduped_total == 0 and events_n > 0 and dirty_n == 0:
+            dirty_n = batch.where(pred).count()
+            self.cfg.error_limit.check(dirty_n, max(events_n, 1))
+
+        return (
+            BatchReport(
+                batch_id,
+                events_n,
+                dirty_n,
+                deduped_total,
+                time.time() - t0,
+                schema_changes=len(bounds),
+            ),
+            dirty_by_part,
         )
 
     def _merge_sub_batch(
         self,
         sub: DataFrame,
+        dirty_pred,
+        parts: list[int],
+        events_n: int,
+        prior_dirty: int,
+        observe_metrics: bool,
         batch_id: str,
         watermarks: dict | None,
         final: bool,
-        batch_meta: dict,
         affected_buckets: list[int] | None,
         crash_before_publish: bool,
         crash_after_stage: bool,
-    ) -> int:
+    ) -> tuple[int, dict]:
+        """Returns (applied 0/1, dirty stats {part -> n, "_total": n}).
+
+        ``sub`` arrives UNFILTERED (dirty rows included): the quarantine split
+        happens here so the dirty counts can ride the merge job itself as
+        observe() metrics on the kept-scan — the one pass that reads the
+        payload anyway — instead of a dedicated full-payload scan per batch.
+        The error limit is asserted post-write/pre-publish via the merge's
+        hook: on violation the staged files orphan and the table is untouched.
+        """
+        from pyspark.sql import Observation
+
         schema = self.table.snapshot().schema()
         cols = schema.names()
         raw_mode = "tokens" not in sub.columns and "payload" in sub.columns
+
+        obs = None
+        static_dirty: dict = {}
+        if observe_metrics:
+            aggs = [F.sum(dirty_pred.cast("long")).alias("nd")]
+            track_parts = (
+                parts if len(parts) <= 64 and "part" in sub.columns else []
+            )
+            aggs += [
+                F.sum((dirty_pred & (F.col("part") == p)).cast("long")).alias(
+                    f"nd_{p}"
+                )
+                for p in track_parts
+            ]
+            obs = Observation()
+            # the observe node goes on the KEPT branch only; the winners-
+            # aggregate branch gets an observe-free twin of the same filter,
+            # so the metric node executes exactly once per write job (no
+            # double counting)
+            clean_kept = sub.observe(obs, *aggs).where(~dirty_pred)
+            clean_agg = sub.where(~dirty_pred)
+        else:
+            # foreachBatch micro-batches: Observation's listener handshake
+            # deadlocks inside the streaming clone session (verified), so the
+            # dirty counts take a dedicated narrow action up front instead
+            if "part" in sub.columns:
+                rows = (
+                    sub.where(dirty_pred)
+                    .groupBy("part")
+                    .agg(F.count("*").alias("nd"))
+                    .collect()
+                )
+                static_dirty = {
+                    f"nd_{int(r['part'])}": int(r["nd"]) for r in rows
+                }
+                static_dirty["nd"] = sum(int(r["nd"]) for r in rows)
+            else:
+                static_dirty = {"nd": sub.where(dirty_pred).count()}
+            self.cfg.error_limit.check(
+                prior_dirty + static_dirty["nd"], max(events_n, 1)
+            )
+            clean_kept = clean_agg = sub.where(~dirty_pred)
+
         # Dedup FIRST, on the narrowest projection that can still reconstruct
         # the row: key + version + op + whichever payload-bearing columns exist.
         # The shuffle then carries one binary cell per event instead of a
@@ -295,13 +386,18 @@ class ReplayEngine:
         # ~|keys| winners, not the |events| input.
         want = set(cols) | {"extra", "payload"}
         carry = [c for c in sub.columns if c in want and c != "doc_id"]
-        src = sub.select(
-            "doc_id",
-            F.col("op"),
-            F.col("commit_lsn").cast("bigint").alias("commit_lsn"),
-            F.col("seq_no").cast("bigint").alias("seq_no"),
-            *carry,
-        )
+
+        def project(frame):
+            return frame.select(
+                "doc_id",
+                F.col("op"),
+                F.col("commit_lsn").cast("bigint").alias("commit_lsn"),
+                F.col("seq_no").cast("bigint").alias("seq_no"),
+                *carry,
+            )
+
+        src = project(clean_kept)
+        src_agg = project(clean_agg)
         strategy = "salted" if self.cfg.salted_dedup else self.cfg.dedup_strategy
         nb = self.table.meta()["buckets"]
         if strategy == "salted":
@@ -338,7 +434,9 @@ class ReplayEngine:
                 )
 
             if self.cfg.broadcast_winners:
-                kept = winner_filter(src, "doc_id", lsn_max=lm, seq_max=sm)
+                kept = winner_filter(
+                    src, "doc_id", lsn_max=lm, seq_max=sm, winners_from=src_agg
+                )
                 if raw_mode:
                     kept = decode_proj(kept)
                     raw_mode = False
@@ -353,7 +451,7 @@ class ReplayEngine:
                 parted = src.repartition(nb, F.col("doc_id"))
                 kept = winner_filter(
                     parted, "doc_id", broadcast_winners=False,
-                    lsn_max=lm, seq_max=sm, winners_from=src,
+                    lsn_max=lm, seq_max=sm, winners_from=src_agg,
                 )
                 deduped = kept.dropDuplicates(["doc_id"])
                 if raw_mode:
@@ -381,11 +479,27 @@ class ReplayEngine:
                 typ = dict(schema.fields)[c]
                 out_cols.append(F.lit(None).cast(typ).alias(c))
         deduped = deduped.select(*out_cols, "op", "commit_lsn", "seq_no")
-        summary = {"batch_id": batch_id, "metrics": batch_meta} if final else {
+        metrics = {"events": events_n}
+        summary = {"batch_id": batch_id, "metrics": metrics} if final else {
             "batch_id": batch_id
         }
         if final and watermarks is not None:
             summary["watermarks"] = watermarks
+        holder: dict = {}
+
+        def pre_publish():
+            # runs after the write job, before the snapshot publishes: the
+            # observe metrics are final here
+            if obs is None:
+                holder.update(static_dirty)
+                metrics["dirty"] = static_dirty.get("nd", 0)
+                return  # limit already asserted up front in this mode
+            got = obs.get
+            holder.update(got)
+            nd = int(got.get("nd") or 0)
+            metrics["dirty"] = nd
+            self.cfg.error_limit.check(prior_dirty + nd, max(events_n, 1))
+
         snap = merge_upsert(
             self.table,
             deduped,
@@ -394,12 +508,21 @@ class ReplayEngine:
             crash_before_publish=crash_before_publish and final,
             crash_after_stage=crash_after_stage and final,
             timings=getattr(self, "_phase_timings", None),
+            pre_publish_check=pre_publish,
         )
         if snap is None and final and watermarks is not None:
             # nothing to merge but the watermark still advances (all-dirty or
             # empty range): commit a data-less snapshot carrying it
             self.table.commit([], replace_buckets=None, summary_update=summary)
-        return 0 if snap is None else 1
+        if not holder and obs is None:
+            holder.update(static_dirty)  # merge never ran (empty/all-dirty)
+        dstats: dict = {}
+        if holder:
+            dstats["_total"] = int(holder.get("nd") or 0)
+            for key, v in holder.items():
+                if key.startswith("nd_"):
+                    dstats[int(key[3:])] = int(v or 0)
+        return (0 if snap is None else 1, dstats)
 
     # ---------- full replay ----------
     def replay(
@@ -453,8 +576,10 @@ class ReplayEngine:
         per_part = max(1, events_per_batch // n_parts)
 
         # prepass: the per-batch stats for EVERY offset window in one job —
-        # one scan of the remaining log instead of one scan per batch
-        from .quality import contract_predicate
+        # one NARROW scan of the remaining log instead of one scan per batch.
+        # Payload-free by design (see _batch_stats): reading the payload
+        # column here just to pre-count dirty records measured ~25 CPU-s per
+        # 16.8M events; dirty counts ride the merge jobs as observe metrics.
         from ..lake.table import bucket_expr
 
         t_pre = time.time()
@@ -464,7 +589,6 @@ class ReplayEngine:
             .agg(
                 F.max("offset").alias("hwm"),
                 F.count("*").alias("n"),
-                F.sum(contract_predicate(remaining).cast("int")).alias("nd"),
                 F.collect_set(
                     bucket_expr("doc_id", self.table.meta()["buckets"])
                 ).alias("bks"),

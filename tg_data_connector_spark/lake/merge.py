@@ -49,6 +49,7 @@ def merge_upsert(
     crash_before_publish: bool = False,
     crash_after_stage: bool = False,
     timings: dict | None = None,
+    pre_publish_check=None,
 ) -> Snapshot | None:
     """Apply one deduplicated change batch to the table and commit a snapshot.
 
@@ -158,6 +159,13 @@ def merge_upsert(
         if timings is not None:
             timings["write"] = round(_time.time() - t0, 3)
             t0 = _time.time()
+        if pre_publish_check is not None:
+            # post-write, pre-publish validation hook (error-limit assertion
+            # from in-flight observe metrics — the reference checks dirty
+            # limits at END of transfer, ``JobContainer.checkLimit``). A
+            # raise here aborts BEFORE the snapshot publishes: staged files
+            # become unreferenced orphans, the table is untouched.
+            pre_publish_check()
         snap_out = table.commit(
             files,
             replace_buckets=affected,

@@ -57,7 +57,13 @@ def stream_replay(
     stream = reader.parquet(source_dir)
 
     def apply(batch_df, batch_id: int):
-        engine.apply_batch(batch_df, batch_id=f"stream:{batch_id}")
+        # observe_metrics=False: Observation.get deadlocks inside a
+        # foreachBatch callback (the micro-batch runs on a cloned session
+        # whose listener events never reach the Observation — verified);
+        # dirty stats take a dedicated count per micro-batch here instead
+        engine.apply_batch(
+            batch_df, batch_id=f"stream:{batch_id}", observe_metrics=False
+        )
 
     writer = (
         stream.writeStream.foreachBatch(apply)
