@@ -199,3 +199,48 @@ def test_replay_winner_shuffle_variant_e2e(spark, tmp_table_root):
     )
     assert final.exceptAll(exp).count() == 0
     assert exp.exceptAll(final).count() == 0
+
+
+def test_winner_join_auto_switch_by_batch_shape(spark, tmp_path):
+    """broadcast_winners=None (auto): the engine picks broadcast vs shuffled-
+    hash winner join from the prepass's distinct-key estimate ALONE — no
+    manual flag — and both shapes produce the oracle state."""
+    from tg_data_connector_spark.cdc import ReplayConfig, ReplayEngine
+    from tg_data_connector_spark.cdc.genlog import gen_changelog, gen_seed_sequences
+    from oracle import oracle_final_state
+
+    n, d = 4_000, 500
+    log = gen_changelog(spark, n, d, n_parts=4)
+    seed = gen_seed_sequences(spark, d)
+    for max_keys, expect in ((10_000_000, "broadcast"), (50, "shuffle")):
+        root = str(tmp_path / f"tbl_{expect}")
+        table = LakeTable.create(spark, root, SCHEMA, key="doc_id", n_buckets=8)
+        table.append(seed)
+        eng = ReplayEngine(
+            spark, table,
+            ReplayConfig(events_per_batch=n, broadcast_winners=None,
+                         broadcast_winners_max_keys=max_keys),
+        )
+        eng.replay(log, run_id=f"auto_{expect}")
+        assert eng._last_winner_join == expect, (max_keys, expect)
+        final = table.read().select("doc_id", "tokens", "n_tok", "source")
+        exp = oracle_final_state(seed, log).select(
+            "doc_id", "tokens", "n_tok", "source"
+        )
+        assert final.exceptAll(exp).count() == 0
+        assert exp.exceptAll(final).count() == 0
+
+
+def test_winner_filter_plan_shape(spark):
+    """Plan assertion: broadcast variant plans a BroadcastExchange; the
+    shuffled variant must NOT build a driver-side broadcast anywhere."""
+    from tg_data_connector_spark.cdc.dedup import winner_filter
+
+    df = spark.createDataFrame(
+        [("k%d" % i, i, 0, "v") for i in range(100)],
+        "doc_id string, commit_lsn long, seq_no long, v string",
+    )
+    plan_b = winner_filter(df, "doc_id", broadcast_winners=True)._jdf.queryExecution().executedPlan().toString()
+    plan_s = winner_filter(df, "doc_id", broadcast_winners=False)._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in plan_b
+    assert "Broadcast" not in plan_s

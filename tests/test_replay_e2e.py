@@ -185,3 +185,35 @@ def test_lineage_rows_written(spark, tmp_table_root):
     # lineage watermarks agree with the snapshot's
     wm = t.snapshot().watermarks()
     assert all(int(wm[str(p)]) == per_part[p]["h"] for p in per_part)
+
+
+def test_schema_boundary_version_collision_applied_once(spark, tmp_table_root):
+    """Adversarial: a data event sharing a schema event's EXACT
+    (commit_lsn, seq_no) must be applied exactly once — in the sub-batch
+    AFTER the schema change (inclusive lower bound), never dropped by two
+    strict windows."""
+    t, _ = _setup(spark, tmp_table_root, seed_docs=10)
+    rows = [
+        (1, "I", 50, 0, "dA", [1], 1, "s", 0, 0, None),
+        (2, "S", 100, 5, "dX", None, None, "s", 0, 1,
+         '{"add_column": {"name": "lang", "type": "string"}}'),
+        (3, "U", 100, 5, "dA", [2, 3], 2, "s", 0, 2, None),  # collides with S
+        (4, "I", 120, 0, "dB", [4], 1, "s", 0, 3, None),
+    ]
+    log = spark.createDataFrame(
+        rows,
+        "event_id long, op string, commit_lsn long, seq_no long, "
+        "doc_id string, tokens array<int>, n_tok int, source string, "
+        "part int, offset long, schema_change string",
+    )
+    eng = ReplayEngine(spark, t, ReplayConfig(events_per_batch=100))
+    reports = eng.replay(log, run_id="collide")
+    assert sum(r.schema_changes for r in reports) == 1
+    got = {
+        r["doc_id"]: r
+        for r in t.read().where(F.col("doc_id").isin("dA", "dB")).collect()
+    }
+    assert set(got) == {"dA", "dB"}
+    # the colliding event won LWW for dA and was applied exactly once
+    assert got["dA"]["tokens"] == [2, 3] and got["dA"]["n_tok"] == 2
+    assert "lang" in t.read().columns

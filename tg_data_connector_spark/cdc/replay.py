@@ -78,8 +78,15 @@ class ReplayConfig:
     # driver-side broadcast build that is FIXED time regardless of cluster
     # width) vs shuffle-join them (every byte of work parallelizes — the
     # better choice when winners-per-batch outgrow broadcast, and the purer
-    # scaling shape). Default broadcast; flip for very wide batches.
-    broadcast_winners: bool = True
+    # scaling shape). None (default) = AUTO: the stats prepass already scans
+    # each batch, so it carries an approx_count_distinct(key) for free and the
+    # engine flips to the shuffled-hash variant when the estimated winner set
+    # exceeds ``broadcast_winners_max_keys``. True/False force one path.
+    broadcast_winners: bool | None = None
+    # auto-switch threshold: ~key-count at which a driver-built broadcast of
+    # (key, packed-version) rows stops paying for itself (build + per-executor
+    # transfer vs one more shuffled-hash stage). 2M keys ~ 50-80 MB broadcast.
+    broadcast_winners_max_keys: int = 2_000_000
     salted_dedup: bool = False  # back-compat alias for dedup_strategy="salted"
     salt_buckets: int = 16
     error_limit: ErrorLimit = field(default_factory=lambda: ErrorLimit(percentage=0.05))
@@ -155,6 +162,9 @@ class ReplayEngine:
             F.collect_set(bucket_expr("doc_id", meta["buckets"])).alias("bks"),
             F.max("commit_lsn").alias("vl"),
             F.max("seq_no").alias("vs"),
+            # distinct-key estimate (HLL sketch, rides the same narrow scan):
+            # feeds the broadcast-vs-shuffle winner-join auto-switch
+            F.approx_count_distinct("doc_id").alias("k"),
         ).collect()
 
     # ---------- one batch ----------
@@ -194,6 +204,13 @@ class ReplayEngine:
         self._version_bounds = (
             (int(max(vls)), int(max(vss))) if vls and vss else (None, None)
         )
+        # winner-set estimate for the broadcast auto-switch: sum of per-part
+        # HLL distinct counts — an upper bound (keys spanning parts double-
+        # count), which errs toward the safe all-shuffle path
+        try:
+            self._est_keys = sum(int(r["k"]) for r in stats)
+        except (ValueError, KeyError, TypeError):
+            self._est_keys = None  # stats from a pre-k caller
         self._phase_timings = {"stats": round(time.time() - t_stats, 3)}
 
         report, dirty_by_part = self._apply_batch_inner(
@@ -257,10 +274,15 @@ class ReplayEngine:
         for k in range(len(bounds) + 1):
             sub = batch
             if k > 0:
+                # INCLUSIVE lower / exclusive upper: a data event that shares a
+                # schema event's exact (commit_lsn, seq_no) — contract-unusual
+                # but possible from a coarse-versioned source — falls in the
+                # window AFTER that schema change and is applied exactly once.
+                # (Strict bounds on both sides would silently drop it.)
                 lsn, seq = bounds[k - 1]
                 sub = sub.where(
                     F.struct(F.col("commit_lsn"), F.col("seq_no"))
-                    > F.struct(F.lit(lsn).cast("bigint"), F.lit(seq).cast("bigint"))
+                    >= F.struct(F.lit(lsn).cast("bigint"), F.lit(seq).cast("bigint"))
                 )
             if k < len(bounds):
                 lsn, seq = bounds[k]
@@ -419,6 +441,16 @@ class ReplayEngine:
             # projections: the MERGE join and the bucket-aligned write add NO
             # further exchange — ONE winners-sized shuffle end-to-end.
             lm, sm = getattr(self, "_version_bounds", (None, None))
+            use_broadcast = self.cfg.broadcast_winners
+            if use_broadcast is None:
+                # AUTO: broadcast only while the estimated winner set is small
+                # enough that the driver-side build beats an extra shuffled-
+                # hash stage; unknown estimate -> broadcast (small-batch path)
+                est = getattr(self, "_est_keys", None)
+                use_broadcast = (
+                    est is None or est <= self.cfg.broadcast_winners_max_keys
+                )
+            self._last_winner_join = "broadcast" if use_broadcast else "shuffle"
 
             def decode_proj(frame):
                 from .parse import decode_tokens
@@ -433,7 +465,7 @@ class ReplayEngine:
                     ]
                 )
 
-            if self.cfg.broadcast_winners:
+            if use_broadcast:
                 kept = winner_filter(
                     src, "doc_id", lsn_max=lm, seq_max=sm, winners_from=src_agg
                 )
@@ -594,6 +626,7 @@ class ReplayEngine:
                 ).alias("bks"),
                 F.max("commit_lsn").alias("vl"),
                 F.max("seq_no").alias("vs"),
+                F.approx_count_distinct("doc_id").alias("k"),
             )
             .collect()
         )
