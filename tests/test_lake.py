@@ -166,3 +166,62 @@ def test_local_table_fs_primitives(tmp_path):
         pass
     assert fs.read_text(cur) == "1"
     assert [x for x in fs.listdir(d) if ".tmp-" in x] == []
+
+
+def test_commit_writes_only_touched_bucket_shards(spark, tmp_path):
+    """Sharded metadata: a merge touching ONE bucket of a many-bucket table
+    writes exactly one manifest shard (+ the version file) — commit cost is
+    independent of total table file count."""
+    import json
+
+    from tg_data_connector_spark.lake import merge_upsert
+
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, key="doc_id",
+                         n_buckets=16)
+    t.append(_seed(spark, 200))  # populates many buckets
+    batch = spark.createDataFrame(
+        [("d7", [9, 9], 2, "s1", "U", 5, 0)],
+        "doc_id string, tokens array<int>, n_tok int, source string, "
+        "op string, commit_lsn bigint, seq_no bigint",
+    )
+    merge_upsert(t, batch)
+    assert t._last_commit_shard_writes == 1
+    d = json.loads(t.fs.read_text(t._vpath(t.current_version())))
+    assert "files" not in d  # refs only, never the inline file list
+    assert len(d["manifests"]) >= 10
+    assert t.read().where(F.col("doc_id") == "d7").collect()[0]["tokens"] == [9, 9]
+
+
+def test_legacy_inline_manifest_still_readable_and_migrates(spark, tmp_path):
+    """A version file written by the pre-sharding layout (inline `files`) must
+    load, and the next commit resharding-migrates it."""
+    import json
+    import os
+
+    from tg_data_connector_spark.lake import merge_upsert
+
+    root = str(tmp_path / "t")
+    t = LakeTable.create(spark, root, SCHEMA, key="doc_id", n_buckets=4)
+    t.append(_seed(spark, 40))
+    snap = t.snapshot()
+    legacy = snap.to_json()
+    legacy.pop("manifests")
+    legacy["files"] = snap.files
+    with open(t._vpath(snap.version), "w") as f:  # simulate old writer
+        json.dump(legacy, f)
+    t2 = LakeTable(spark, root)  # fresh handle, fresh cache
+    s2 = t2.snapshot()
+    assert s2.manifests == {} and len(s2.files) == len(snap.files)
+    assert t2.read().count() == 40
+    batch = spark.createDataFrame(
+        [("d3", [1], 1, "s1", "U", 5, 0)],
+        "doc_id string, tokens array<int>, n_tok int, source string, "
+        "op string, commit_lsn bigint, seq_no bigint",
+    )
+    merge_upsert(t2, batch)  # migration commit: reshards every bucket
+    s3 = t2.snapshot()
+    assert s3.manifests and "files" not in json.loads(
+        t2.fs.read_text(t2._vpath(s3.version))
+    )
+    assert t2.read().count() == 40
+    assert t2.read().where(F.col("doc_id") == "d3").collect()[0]["tokens"] == [1]

@@ -88,3 +88,60 @@ def test_expire_snapshots_bounds_history(spark, tmp_table_root):
     # expired versions' exclusive files become orphans, GC keeps live ones
     gc_orphans(t)
     assert t.read().count() == 10
+
+
+class _RecordingFS:
+    """FS-seam spy: every maintenance delete must go through the interface
+    (never raw os.*), so a DFS-backed TableFS would fully cover maintenance."""
+
+    def __init__(self):
+        from tg_data_connector_spark.lake.fs import LocalTableFS
+
+        self._inner = LocalTableFS()
+        self.deletes = []
+
+    def __getattr__(self, name):
+        return getattr(self._inner, name)
+
+    def remove(self, path):
+        self.deletes.append(("remove", path))
+        self._inner.remove(path)
+
+    def rmtree(self, path):
+        self.deletes.append(("rmtree", path))
+        self._inner.rmtree(path)
+
+
+def test_maintenance_routes_through_fs_seam(spark, tmp_table_root):
+    fs = _RecordingFS()
+    t = LakeTable.create(spark, tmp_table_root, SCHEMA, "doc_id", 4, fs=fs)
+    t.append(
+        spark.range(30).select(
+            F.concat(F.lit("d"), F.col("id")).alias("doc_id"),
+            F.array(F.col("id").cast("int")).alias("tokens"),
+            F.lit(1).alias("n_tok"),
+            F.lit("s").alias("source"),
+        )
+    )
+    # orphan a staged commit dir (crash between stage and publish)
+    import pytest
+
+    with pytest.raises(RuntimeError):
+        t.write_data_files(
+            t.read().withColumn("_lsn", F.lit(0)).withColumn("_seq", F.lit(0))
+            .withColumn("_deleted", F.lit(False))
+            .withColumn("_b", F.lit(0)),
+            t.snapshot().schema_id,
+            crash_after_stage=True,
+        )
+    removed = gc_orphans(t)
+    assert removed  # the orphaned staged files were GC'd
+    assert any(kind == "rmtree" for kind, _ in fs.deletes)
+    # expire old snapshots through the seam, then GC their shards
+    before = len(t.history())
+    expired = expire_snapshots(t, keep_last=1)
+    assert expired and len(t.history()) == before - len(expired)
+    assert any(kind == "remove" for kind, _ in fs.deletes)
+    shard_orphans = [p for p in gc_orphans(t) if p.startswith("_manifests/")]
+    assert t.read().count() == 30  # current snapshot untouched throughout
+    assert isinstance(shard_orphans, list)

@@ -196,3 +196,58 @@ def test_string_pk_radix_roundtrip():
     for s in ["", "a", "abc", "user_0042", "zz~"]:
         L = max(len(s), 1)
         assert _radix_int_to_str(_str_to_radix_int(s, L), L) == s
+
+
+def test_many_small_files_skip_plans_one_rdd(spark, tmp_path, monkeypatch):
+    """Skip-path DAG bound: above _MAX_UNION_FILES the reader must build ONE
+    whole-file RDD over all objects (O(1) RDDs at 10^5 objects), never a
+    per-file textFile union."""
+    import tg_data_connector_spark.sources.files as files_mod
+    from tg_data_connector_spark.sources.files import ColumnEntry, read_typed_csv
+
+    d = tmp_path / "many"
+    d.mkdir()
+    n_files = 60
+    for i in range(n_files):
+        (d / f"part{i:04d}.csv").write_text(f"junk header\n{i},v{i}\n")
+    calls = {"textFile": 0}
+    orig = spark.sparkContext.textFile
+
+    def counting_textfile(*a, **kw):
+        calls["textFile"] += 1
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(spark.sparkContext, "textFile", counting_textfile)
+    clean, dirty = read_typed_csv(
+        spark, str(d),
+        [ColumnEntry(type="long", index=0, name="id"),
+         ColumnEntry(type="string", index=1, name="v")],
+        skip_lines=1,
+    )
+    rows = sorted((r["id"], r["v"]) for r in clean.collect())
+    assert rows == [(i, f"v{i}") for i in range(n_files)]
+    assert dirty.count() == 0
+    assert calls["textFile"] == 0  # batched whole-file path, not per-file RDDs
+    assert n_files > files_mod._MAX_UNION_FILES
+
+
+def test_many_files_gzip_mixed_sizes(spark, tmp_path):
+    """The batched whole-file path must decompress by extension per object."""
+    import gzip
+
+    from tg_data_connector_spark.sources.files import ColumnEntry, read_typed_csv
+
+    d = tmp_path / "manyz"
+    d.mkdir()
+    for i in range(40):
+        with gzip.open(d / f"g{i:03d}.csv.gz", "wt") as f:
+            f.write(f"skipme\n{i},z{i}\n")
+    clean, _ = read_typed_csv(
+        spark, str(d),
+        [ColumnEntry(type="long", index=0, name="id"),
+         ColumnEntry(type="string", index=1, name="v")],
+        skip_lines=1, compression="gzip",
+    )
+    assert sorted((r["id"], r["v"]) for r in clean.collect()) == [
+        (i, f"z{i}") for i in range(40)
+    ]

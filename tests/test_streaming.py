@@ -104,3 +104,62 @@ def test_stateful_sessionize_stream(spark, tmp_path):
         + [(u, base + 10_000, base + 10_300, 2) for u in (1, 2)]
     )
     assert got == expected
+
+
+def test_stateful_sessionize_stream_matches_batch_sf001(spark, tmp_path):
+    """Replay the sf0.01 events table through the stateful streaming
+    sessionizer and pin its closed sessions against the batch `sessionize`
+    gate query: every closed session must be a batch session, and every batch
+    session except a user's LAST (which stays open — the watermark never
+    passes it) must have closed."""
+    from pyspark.sql import Window
+
+    from tg_data_connector_spark.gate import q_sessionize
+    from tg_data_connector_spark.streaming.stateful import sessionize_stream
+
+    sf_dir = "/root/testdata/sf0.01"
+    batch = q_sessionize(spark, sf_dir).select(
+        "user_id",
+        F.col("start_epoch").alias("session_start"),
+        F.col("end_epoch").alias("session_end"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.col("session_id"),
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("session_id").desc())
+    batch_rows = batch.withColumn("rk", F.row_number().over(w)).collect()
+    all_sessions = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in batch_rows
+    }
+    non_last = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in batch_rows
+        if r["rk"] > 1
+    }
+
+    src = str(tmp_path / "events_src")
+    spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("user_id").cast("bigint"), F.col("ts").cast("timestamp")
+    ).coalesce(2).write.parquet(src)
+    stream = spark.readStream.schema("user_id bigint, ts timestamp").parquet(src)
+    out = sessionize_stream(stream, "ts", gap_sec=1800, watermark="10 seconds")
+    sink = str(tmp_path / "sessions_out")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.read.schema(
+            "user_id bigint, session_start bigint, session_end bigint, "
+            "n_events bigint"
+        ).parquet(sink).collect()
+    }
+    assert got <= all_sessions          # nothing invented
+    assert non_last <= got              # everything closeable closed
+    assert len(got) >= len(non_last) > 0

@@ -412,6 +412,35 @@ def sql_sessionize() -> str:
     """
 
 
+def q_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming sessionization (applyInPandasWithState) over the
+    events table, availableNow replay. No SQL oracle — closed-session
+    emission depends on the event-time watermark, which DuckDB cannot model;
+    the batch-parity invariant is pinned by
+    ``tests/test_streaming.py::test_stateful_sessionize_stream_matches_batch_sf001``."""
+    from .streaming.stateful import sessionize_stream
+
+    root = tempfile.mkdtemp(prefix="tgspark_gate_stream_")
+    src, sink, ck = f"{root}/src", f"{root}/out", f"{root}/ck"
+    spark.read.parquet(_t(sf_dir, "events")).select(
+        F.col("user_id").cast("bigint"), F.col("ts").cast("timestamp")
+    ).coalesce(2).write.parquet(src)
+    stream = spark.readStream.schema("user_id bigint, ts timestamp").parquet(src)
+    q = (
+        sessionize_stream(stream, "ts", gap_sec=1800, watermark="10 seconds")
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.schema(
+        "user_id bigint, session_start bigint, session_end bigint, n_events bigint"
+    ).parquet(sink)
+
+
 def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = spark.read.parquet(_t(sf_dir, "lineitem"))
     return (
@@ -967,6 +996,7 @@ QUERIES = {
     "q3_segment_revenue": (q_segment_revenue, sql_segment_revenue),
     "window_running": (q_running_window, sql_running_window),
     "sessionize": (q_sessionize, sql_sessionize),
+    "sessionize_stream": (q_sessionize_stream, None),
     "rollup_revenue": (q_rollup_revenue, sql_rollup_revenue),
     "dx_transform_chain": (q_dx_chain, sql_dx_chain),
     "dx_filter_like": (q_dx_filter_like, sql_dx_filter_like),
@@ -986,3 +1016,17 @@ QUERIES = {
     "multimodal_meta": (q_multimodal_meta, sql_multimodal_meta),
     "multimodal_features": (q_multimodal_features, sql_multimodal_features),
 }
+
+
+def _merge_job_queries() -> None:
+    # gate_jobs covers the config-driven job surface (SURVEY §2 rows S2-S7,
+    # W2-W4, T5/T6, E3/E4, E6, X3); kept in its own module, merged here so
+    # the driver sees ONE queries()/oracle_sql() registry
+    from .gate_jobs import JOB_QUERIES
+
+    for name, pair in JOB_QUERIES.items():
+        assert name not in QUERIES, name
+        QUERIES[name] = pair
+
+
+_merge_job_queries()

@@ -1,0 +1,483 @@
+"""Gate queries for the config-driven job surface, split planners, and
+engine-protocol rows of SURVEY §2 that previously had only pytest evidence:
+S2/S3 (split predicates), S4 (sharded tables), S5 (querySql), S6 (csv_multi),
+S7 (typed CSV: codec/skip/nullFormat/const/quarantine), W2 (writeMode MERGE),
+W3 (preSql/postSql/@table), W4 (file writer), T5/T6 (transformer registry),
+E3/E4 (crash/resume idempotence), E6 (dryRun), X3 (byte-based batch sizing).
+
+Pattern (same as gate.py's flagship): each query fn STAGES deterministic
+input derived from the driver's parquet tables (so the DuckDB oracle can
+recompute the expected result from those same tables), drives the REAL
+public surface (run_job / pre_check / ReplayEngine / read_typed_csv), and
+returns the observable result as a DataFrame.
+
+Split-planner entries verify the reference's semantic contract — the emitted
+predicates DISJOINTLY COVER the key domain (every row matched by exactly one
+slice; ``SingleTableSplitUtil.java:33-124``, ``RangeSplitUtil.java:43-128``) —
+by tagging each row with its match count; the oracle states the invariant
+(covered_once == total == count(*)) directly from the base table.
+"""
+
+from __future__ import annotations
+
+import gzip
+import tempfile
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .job import pre_check, run_job
+from .lake import LakeTable
+from .sources.jdbc import (
+    quantile_split_predicates,
+    range_split_predicates,
+    string_range_split_predicates,
+)
+
+
+def _t(sf_dir: str, name: str) -> str:
+    return f"{sf_dir}/{name}.parquet"
+
+
+def _match_counts(df: DataFrame, preds: list[str]) -> DataFrame:
+    """(total, covered_once) from a predicate list: every row must fall in
+    exactly one slice for a correct split plan."""
+    matches = reduce(
+        lambda a, b: a + b, [F.expr(p).cast("int") for p in preds]
+    )
+    return df.select(matches.alias("m")).agg(
+        F.count("*").alias("total"),
+        F.sum((F.col("m") == 1).cast("bigint")).alias("covered_once"),
+    )
+
+
+# ------------------------------------------------------- S2: numeric PK split
+def q_split_range_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = spark.read.parquet(_t(sf_dir, "orders"))
+    row = o.agg(F.min("o_orderkey").alias("lo"), F.max("o_orderkey").alias("hi")).collect()[0]
+    preds = range_split_predicates(int(row["lo"]), int(row["hi"]), 8, "o_orderkey")
+    out = _match_counts(o, preds)
+    return out.select(
+        F.lit(len(preds)).cast("int").alias("n_slices"), "total", "covered_once"
+    )
+
+
+def sql_split_range_cover() -> str:
+    # 8 range slices + the dedicated NULL slice = 9 predicates, and a correct
+    # plan covers every row exactly once
+    return "SELECT 9 AS n_slices, count(*) AS total, count(*) AS covered_once FROM orders"
+
+
+# ------------------------------------------- S2: string PK split (radix-128)
+def q_split_string_radix_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = spark.read.parquet(_t(sf_dir, "customer"))
+    row = c.agg(F.min("c_name").alias("lo"), F.max("c_name").alias("hi")).collect()[0]
+    preds = string_range_split_predicates(row["lo"], row["hi"], 8, "c_name")
+    return _match_counts(c, preds)
+
+
+def sql_split_string_radix_cover() -> str:
+    return "SELECT count(*) AS total, count(*) AS covered_once FROM customer"
+
+
+# --------------------------------------------- S3: equi-depth (sample) split
+def q_split_quantile_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(_t(sf_dir, "lineitem")).select("l_orderkey")
+    preds = quantile_split_predicates(li, "l_orderkey", 8)
+    return _match_counts(li, preds)
+
+
+def sql_split_quantile_cover() -> str:
+    return "SELECT count(*) AS total, count(*) AS covered_once FROM lineitem"
+
+
+# ----------------------------------------------------- S4: sharded expansion
+def q_sharded_table_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage `region` as 3 physical shards, read back through the job reader's
+    sharded_parquet pattern — the union must reconstruct the table."""
+    from .job import _read_flagged
+
+    root = tempfile.mkdtemp(prefix="tg_gate_shard_")
+    r = spark.read.parquet(_t(sf_dir, "region"))
+    for i in range(3):
+        r.where(F.pmod(F.col("r_regionkey"), F.lit(3)) == i).write.mode(
+            "overwrite"
+        ).parquet(f"{root}/shard{i}")
+    df = _read_flagged(
+        spark, {"type": "sharded_parquet", "pattern": f"{root}/shard[0-2]"}
+    )
+    return df.select("r_regionkey", "r_name")
+
+
+def sql_sharded_table_union() -> str:
+    return "SELECT r_regionkey, r_name FROM region"
+
+
+# ------------------------------------------------------------- S5: querySql
+def q_query_sql_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .job import _read_flagged
+
+    return _read_flagged(
+        spark,
+        {
+            "type": "sql",
+            "views": {"nation_v": _t(sf_dir, "nation")},
+            "querySql": [
+                "SELECT n_nationkey, n_name FROM nation_v WHERE n_regionkey < 2",
+                "SELECT n_nationkey, n_name FROM nation_v WHERE n_regionkey >= 2",
+            ],
+        },
+    )
+
+
+def sql_query_sql_union() -> str:
+    return "SELECT n_nationkey, n_name FROM nation"
+
+
+# ----------------------------------- S6: per-object column-index projection
+def q_csv_multi_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two staged CSV objects with DIFFERENT column orders; per-object entry
+    lists project each into the same output schema (GcsReader.java:187-205)."""
+    root = tempfile.mkdtemp(prefix="tg_gate_csvmulti_")
+    n = spark.read.parquet(_t(sf_dir, "nation")).collect()
+    a, b = f"{root}/a.csv", f"{root}/b.csv"
+    with open(a, "w") as f:  # (key, name) for region < 2
+        for r in n:
+            if r["n_regionkey"] < 2:
+                f.write(f"{r['n_nationkey']},{r['n_name']}\n")
+    with open(b, "w") as f:  # (junk, name, key) for region >= 2
+        for r in n:
+            if r["n_regionkey"] >= 2:
+                f.write(f"x,{r['n_name']},{r['n_nationkey']}\n")
+    from .job import _read_flagged
+
+    df = _read_flagged(
+        spark,
+        {
+            "type": "csv_multi",
+            "objects": [
+                {"path": a, "column": [
+                    {"type": "long", "index": 0, "name": "key"},
+                    {"type": "string", "index": 1, "name": "name"},
+                ]},
+                {"path": b, "column": [
+                    {"type": "long", "index": 2, "name": "key"},
+                    {"type": "string", "index": 1, "name": "name"},
+                ]},
+            ],
+        },
+    )
+    return df.where(~F.col("_dirty")).select("key", "name")
+
+
+def sql_csv_multi_projection() -> str:
+    return "SELECT CAST(n_nationkey AS BIGINT) AS key, n_name AS name FROM nation"
+
+
+# ------- S7: typed CSV (gzip codec, per-file skip, nullFormat, const, dirty)
+def q_csv_typed_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One staged gzip CSV derived from `customer`: 2 junk lines to skip, a
+    nullFormat marker, a const column, and rows whose double cell fails the
+    typed cast (quarantined — excluded from the clean output)."""
+    from .sources.files import ColumnEntry, read_typed_csv
+
+    root = tempfile.mkdtemp(prefix="tg_gate_csv_")
+    path = f"{root}/cust.csv.gz"
+    rows = spark.read.parquet(_t(sf_dir, "customer")).select(
+        "c_custkey", "c_name", "c_acctbal"
+    ).collect()
+    with gzip.open(path, "wt") as f:
+        f.write("# staged by gate\n# second junk line\n")
+        for r in rows:
+            k = int(r["c_custkey"])
+            name = r"\N" if k % 53 == 0 else r["c_name"]
+            acct = "bad!" if k % 97 == 0 else repr(float(r["c_acctbal"]))
+            f.write(f"{k},{name},{acct}\n")
+    clean, dirty = read_typed_csv(
+        spark,
+        path,
+        [
+            ColumnEntry(type="long", index=0, name="custkey"),
+            ColumnEntry(type="string", index=1, name="name"),
+            ColumnEntry(type="double", index=2, name="acct"),
+            ColumnEntry(type="string", value="gate", name="tag"),
+        ],
+        skip_lines=2,
+        compression="gzip",
+        null_format=r"\N",
+    )
+    return clean.select(
+        "custkey", "name", F.round(F.col("acct"), 2).alias("acct"), "tag"
+    )
+
+
+def sql_csv_typed_read() -> str:
+    return """
+    SELECT c_custkey AS custkey,
+           CASE WHEN c_custkey % 53 = 0 THEN NULL ELSE c_name END AS name,
+           round(c_acctbal, 2) AS acct,
+           'gate' AS tag
+    FROM customer WHERE c_custkey % 97 <> 0
+    """
+
+
+# --------------------- W4 (+P1/P2/T-chain/E5): run_job parquet -> csv sink
+def q_job_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = tempfile.mkdtemp(prefix="tg_gate_jobcsv_") + "/out"
+    res = run_job(
+        spark,
+        {
+            "reader": {
+                "type": "parquet",
+                "path": _t(sf_dir, "customer"),
+                "column": ["c_custkey", "c_mktsegment", "c_acctbal"],
+                "where": "c_acctbal > 1000",
+            },
+            "transformers": [
+                {"name": "dx_pad", "column": "c_mktsegment", "paras": ["l", 12, "*"]}
+            ],
+            "writer": {
+                "type": "csv",
+                "path": out,
+                "writeMode": "truncate",
+                "header": True,
+            },
+            "errorLimit": {"record": 0},
+        },
+    )
+    assert res.records_read == res.records_written  # stats rode the sink action
+    return (
+        spark.read.option("header", True)
+        .schema("c_custkey bigint, c_mktsegment string, c_acctbal double")
+        .csv(out)
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.round(F.col("c_acctbal"), 2).alias("acct"),
+        )
+    )
+
+
+def sql_job_csv_roundtrip() -> str:
+    return """
+    SELECT c_custkey,
+           CASE WHEN length(coalesce(c_mktsegment, '')) >= 12
+                  THEN substr(coalesce(c_mktsegment, ''), 1, 12)
+                ELSE lpad(coalesce(c_mktsegment, ''), 12, '*') END AS c_mktsegment,
+           round(c_acctbal, 2) AS acct
+    FROM customer WHERE c_acctbal > 1000
+    """
+
+
+# ----------------------- W2: writeMode insert -> MERGE update (LWW) via jobs
+def q_job_lake_merge_writemode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    root = tempfile.mkdtemp(prefix="tg_gate_lake_") + "/t"
+    views = {"docs_v": _t(sf_dir, "documents")}
+    run_job(
+        spark,
+        {
+            "reader": {
+                "type": "sql",
+                "views": views,
+                "querySql": "SELECT doc_id, substr(text, 1, 8) AS head "
+                            "FROM docs_v WHERE doc_id < 300",
+            },
+            "writer": {"type": "lake_merge", "path": root, "key": "doc_id",
+                       "writeMode": "insert", "buckets": 8},
+        },
+    )
+    run_job(
+        spark,
+        {
+            "reader": {
+                "type": "sql",
+                "views": views,
+                "querySql": "SELECT doc_id, 'UPD' AS head, 'U' AS op, "
+                            "CAST(1 AS BIGINT) AS commit_lsn, "
+                            "CAST(0 AS BIGINT) AS seq_no "
+                            "FROM docs_v WHERE doc_id < 150",
+            },
+            "writer": {"type": "lake_merge", "path": root, "key": "doc_id",
+                       "writeMode": "update"},
+        },
+    )
+    return LakeTable(spark, root).read().select("doc_id", "head")
+
+
+def sql_job_lake_merge_writemode() -> str:
+    return """
+    SELECT doc_id,
+           CASE WHEN doc_id < 150 THEN 'UPD' ELSE substr(text, 1, 8) END AS head
+    FROM documents WHERE doc_id < 300
+    """
+
+
+# ------------------------------------- W3: preSql/postSql with @table render
+def q_job_presql_atable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = tempfile.mkdtemp(prefix="tg_gate_presql_") + "/out"
+    run_job(
+        spark,
+        {
+            "preSql": [
+                "CREATE OR REPLACE TEMP VIEW @table AS "
+                f"SELECT n_nationkey, n_name FROM parquet.`{_t(sf_dir, 'nation')}` "
+                "WHERE n_regionkey < 3"
+            ],
+            "reader": {"type": "sql", "querySql": "SELECT * FROM gate_pre_view"},
+            "writer": {"type": "parquet", "path": out, "table": "gate_pre_view",
+                       "writeMode": "truncate"},
+            "postSql": ["DROP VIEW @table"],
+        },
+    )
+    return spark.read.parquet(out)
+
+
+def sql_job_presql_atable() -> str:
+    return "SELECT n_nationkey, n_name FROM nation WHERE n_regionkey < 3"
+
+
+# ------------------------------------------------- E6: dryRun problem report
+def q_job_dry_run_problems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    problems = pre_check(
+        spark,
+        {
+            "reader": {"type": "parquet", "path": "/nonexistent/gate_dryrun"},
+            "transformers": [{"name": "dx_nope"}],
+            "writer": {"type": "kafka"},
+            "preSql": ["SELEKT 1"],
+        },
+    )
+    kinds = sorted(p.split(":", 1)[0].split(" ", 1)[0] for p in problems)
+    return spark.createDataFrame([(k,) for k in kinds], "kind string")
+
+
+def sql_job_dry_run_problems() -> str:
+    return (
+        "SELECT 'reader' AS kind UNION ALL SELECT 'sql' "
+        "UNION ALL SELECT 'transformer' UNION ALL SELECT 'writer'"
+    )
+
+
+# -------------------------------------- T5/T6: custom transformer registry
+def q_transformer_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.transformers import (
+        apply_transformer_chain,
+        register_transformer,
+        unregister_transformer,
+    )
+
+    def upper_head(df, step):
+        c = step["column"]
+        return df.withColumn(
+            c, F.upper(F.substring(F.col(c), 1, int(step["paras"][0])))
+        )
+
+    register_transformer("upper_head", upper_head)
+    try:
+        c = spark.read.parquet(_t(sf_dir, "customer")).select("c_custkey", "c_name")
+        return apply_transformer_chain(
+            c,
+            [
+                {"name": "upper_head", "column": "c_name", "paras": [10]},
+                {"name": "dx_filter", "column": "c_custkey", "paras": ["<", "100"]},
+            ],
+        )
+    finally:
+        unregister_transformer("upper_head")
+
+
+def sql_transformer_registry() -> str:
+    return """
+    SELECT c_custkey, upper(substr(c_name, 1, 10)) AS c_name
+    FROM customer
+    WHERE NOT (c_custkey IS NOT NULL AND c_custkey < 100)
+    """
+
+
+# ------------------- E3/E4: crash between stage and publish, then resume
+def q_cdc_resume_after_crash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kill the engine between staging and publishing a mid-replay snapshot,
+    then re-run the whole replay: watermarks + batch-ids + LWW must converge
+    to the same final state as the uncrashed run (oracle identical to
+    cdc_merge_final_state)."""
+    from .cdc.replay import ReplayConfig, ReplayEngine
+    from .gate import SEQ_SCHEMA, derive_changelog, derive_seed
+    from .lake import LakeTable as LT
+
+    root = tempfile.mkdtemp(prefix="tg_gate_resume_")
+    table = LT.create(spark, f"{root}/seq", SEQ_SCHEMA, key="doc_id", n_buckets=16)
+    table.append(derive_seed(spark, sf_dir), lsn_col=F.lit(-1), seq_col=F.lit(0))
+    eng = ReplayEngine(spark, table, ReplayConfig(events_per_batch=5_000))
+    log = derive_changelog(spark, sf_dir)
+    try:
+        eng.replay(log, run_id="gate_crash", crash_before_publish_at=1)
+        raise AssertionError("crash hook did not fire")
+    except RuntimeError:
+        pass
+    eng.replay(log, run_id="gate_crash")  # resume from snapshot watermarks
+    return table.read().select(
+        "doc_id", F.array_join(F.col("tokens"), ",").alias("tokens_csv"),
+        "n_tok", "source",
+    )
+
+
+def sql_cdc_resume_after_crash() -> str:
+    from .gate import sql_cdc_merge_final_state
+
+    return sql_cdc_merge_final_state()
+
+
+# ----------------------------------- X3: byte-based batch sizing (bytes/s)
+def q_cdc_bytes_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay with batch volume derived from bytes_per_batch (the reference's
+    ``speed.byte`` channel throttle) — final state must be invariant to the
+    batching knob."""
+    from .cdc.replay import ReplayConfig, ReplayEngine
+    from .gate import SEQ_SCHEMA, derive_changelog, derive_seed
+    from .lake import LakeTable as LT
+
+    root = tempfile.mkdtemp(prefix="tg_gate_bytes_")
+    table = LT.create(spark, f"{root}/seq", SEQ_SCHEMA, key="doc_id", n_buckets=16)
+    table.append(derive_seed(spark, sf_dir), lsn_col=F.lit(-1), seq_col=F.lit(0))
+    eng = ReplayEngine(
+        spark, table, ReplayConfig(events_per_batch=1, bytes_per_batch=300_000)
+    )
+    reports = eng.replay(derive_changelog(spark, sf_dir), run_id="gate_bytes")
+    assert len(reports) >= 2  # the byte knob actually split the replay
+    return table.read().select(
+        "doc_id", F.array_join(F.col("tokens"), ",").alias("tokens_csv"),
+        "n_tok", "source",
+    )
+
+
+def sql_cdc_bytes_batched() -> str:
+    from .gate import sql_cdc_merge_final_state
+
+    return sql_cdc_merge_final_state()
+
+
+JOB_QUERIES = {
+    "split_range_cover": (q_split_range_cover, sql_split_range_cover),
+    "split_string_radix_cover": (
+        q_split_string_radix_cover, sql_split_string_radix_cover,
+    ),
+    "split_quantile_cover": (q_split_quantile_cover, sql_split_quantile_cover),
+    "sharded_table_union": (q_sharded_table_union, sql_sharded_table_union),
+    "query_sql_union": (q_query_sql_union, sql_query_sql_union),
+    "csv_multi_projection": (q_csv_multi_projection, sql_csv_multi_projection),
+    "csv_typed_read": (q_csv_typed_read, sql_csv_typed_read),
+    "job_csv_roundtrip": (q_job_csv_roundtrip, sql_job_csv_roundtrip),
+    "job_lake_merge_writemode": (
+        q_job_lake_merge_writemode, sql_job_lake_merge_writemode,
+    ),
+    "job_presql_atable": (q_job_presql_atable, sql_job_presql_atable),
+    "job_dry_run_problems": (q_job_dry_run_problems, sql_job_dry_run_problems),
+    "transformer_registry_custom": (
+        q_transformer_registry, sql_transformer_registry,
+    ),
+    "cdc_resume_after_crash": (
+        q_cdc_resume_after_crash, sql_cdc_resume_after_crash,
+    ),
+    "cdc_bytes_batched": (q_cdc_bytes_batched, sql_cdc_bytes_batched),
+}

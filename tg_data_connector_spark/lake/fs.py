@@ -31,6 +31,19 @@ class LocalTableFS:
     def listdir(self, path: str) -> list[str]:
         return sorted(os.listdir(path))
 
+    def isdir(self, path: str) -> bool:
+        return os.path.isdir(path)
+
+    def remove(self, path: str) -> None:
+        """Delete one file (maintenance: orphan GC, snapshot expiry)."""
+        os.remove(path)
+
+    def rmtree(self, path: str) -> None:
+        """Delete a directory tree (maintenance: orphaned commit dirs)."""
+        import shutil
+
+        shutil.rmtree(path)
+
     def read_text(self, path: str) -> str:
         with open(path) as f:
             return f.read()

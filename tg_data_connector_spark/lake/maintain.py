@@ -19,7 +19,6 @@ Safety rules:
 from __future__ import annotations
 
 import os
-import shutil
 
 from pyspark.sql import functions as F
 
@@ -48,44 +47,57 @@ def compact(
 
 
 def gc_orphans(table: LakeTable) -> list[str]:
-    """Delete data files referenced by no manifest (stage-then-crash leftovers).
-    Returns the removed paths (relative)."""
+    """Delete data files referenced by no snapshot (stage-then-crash leftovers)
+    and manifest shards referenced by no version file. Returns the removed
+    paths (relative). All I/O goes through the table's FS seam (``lake/fs.py``)
+    so a DFS-backed table is maintainable without touching this code."""
+    fs = table.fs
     referenced: set[str] = set()
+    shard_refs: set[str] = set()
     for v in table.history():
-        for f in table.snapshot(v).files:
+        snap = table.snapshot(v)
+        for f in snap.files:
             referenced.add(f["path"])
+        shard_refs.update(snap.manifests.values())
     removed = []
     data_root = os.path.join(table.root, "data")
-    for commit_dir in sorted(os.listdir(data_root)):
+    for commit_dir in fs.listdir(data_root):
         cpath = os.path.join(data_root, commit_dir)
-        if not os.path.isdir(cpath):
+        if not fs.isdir(cpath):
             continue
-        bdirs = [
-            d for d in os.listdir(cpath) if os.path.isdir(os.path.join(cpath, d))
-        ]
+        bdirs = [d for d in fs.listdir(cpath) if fs.isdir(os.path.join(cpath, d))]
         live = False
         for bdir in bdirs:
-            for fn in os.listdir(os.path.join(cpath, bdir)):
+            for fn in fs.listdir(os.path.join(cpath, bdir)):
                 if f"data/{commit_dir}/{bdir}/{fn}" in referenced:
                     live = True
         if not live:
             for bdir in bdirs:
-                for fn in os.listdir(os.path.join(cpath, bdir)):
+                for fn in fs.listdir(os.path.join(cpath, bdir)):
                     removed.append(f"data/{commit_dir}/{bdir}/{fn}")
-            shutil.rmtree(cpath)
+            fs.rmtree(cpath)
+    mdir = table._mdir()
+    if fs.exists(mdir):
+        for fn in fs.listdir(mdir):
+            rel = f"_manifests/{fn}"
+            if rel not in shard_refs:
+                fs.remove(os.path.join(mdir, fn))
+                removed.append(rel)
     return removed
 
 
 def expire_snapshots(table: LakeTable, keep_last: int = 10) -> list[int]:
-    """Drop manifests older than the last N (current is always kept). Data files
-    still referenced by retained snapshots survive; newly unreferenced files
-    become orphans for gc_orphans. Returns expired version numbers."""
+    """Drop version files older than the last N (current is always kept). Data
+    files and manifest shards still referenced by retained snapshots survive;
+    newly unreferenced ones become orphans for gc_orphans. Returns expired
+    version numbers."""
     history = table.history()
     current = table.current_version()
     keep = set(history[-keep_last:]) | {current}
     expired = []
     for v in history:
         if v not in keep:
-            os.remove(table._vpath(v))
+            table.fs.remove(table._vpath(v))
+            table._snap_cache.pop(v, None)
             expired.append(v)
     return expired

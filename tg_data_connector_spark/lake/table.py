@@ -101,8 +101,13 @@ class Snapshot:
     parent: int | None
     schema_id: int
     schemas: dict[str, list[dict]]  # schema_id -> fields json
-    files: list[dict]  # {path, bucket, schema_id, rows}
+    files: list[dict]  # {path, bucket, schema_id, rows} — materialized on load
     summary: dict = field(default_factory=dict)
+    # bucket -> relative path of the immutable manifest shard listing that
+    # bucket's files (Iceberg's manifest-list idea): the version file carries
+    # only these O(n_buckets) refs, so a commit touching b buckets writes b
+    # shard files + one version file — independent of TOTAL table file count.
+    manifests: dict[str, str] = field(default_factory=dict)
 
     def schema(self) -> TableSchema:
         return TableSchema.from_json(self.schemas[str(self.schema_id)])
@@ -119,7 +124,7 @@ class Snapshot:
             "parent": self.parent,
             "schema_id": self.schema_id,
             "schemas": self.schemas,
-            "files": self.files,
+            "manifests": self.manifests,
             "summary": self.summary,
         }
 
@@ -131,9 +136,13 @@ class CommitConflict(RuntimeError):
 class LakeTable:
     """Handle to one table rooted at a local/DFS-visible directory.
 
-    At 100 TB the manifest lists O(file-count) entries; a production version
-    would shard manifests (Iceberg's manifest lists) — the protocol (immutable
-    files + atomic pointer swap + summary watermarks) is unchanged by that.
+    Metadata layout is SHARDED (Iceberg's manifest-list idea): each version
+    file carries only {bucket -> manifest-shard path}; the immutable shard
+    under ``_manifests/`` lists that one bucket's data files. A commit
+    touching b buckets writes b shards + one version file — commit cost is
+    independent of total table file count. Untouched buckets' shard refs are
+    copied by reference (no I/O). Snapshots are cached per version (version
+    files and shards are immutable, so the cache needs no invalidation).
     """
 
     def __init__(self, spark: SparkSession, root: str, fs=None):
@@ -142,6 +151,7 @@ class LakeTable:
         self.spark = spark
         self.root = root
         self.fs = fs or LocalTableFS()
+        self._snap_cache: dict[int, Snapshot] = {}
 
     # ---------- paths ----------
     def _vdir(self) -> str:
@@ -149,6 +159,9 @@ class LakeTable:
 
     def _vpath(self, v: int) -> str:
         return os.path.join(self._vdir(), f"v{v:08d}.json")
+
+    def _mdir(self) -> str:
+        return os.path.join(self.root, "_manifests")
 
     def _current_path(self) -> str:
         return os.path.join(self.root, "_current")
@@ -165,6 +178,7 @@ class LakeTable:
     ) -> "LakeTable":
         t = LakeTable(spark, root, fs=fs)
         t.fs.makedirs(os.path.join(root, "_versions"))
+        t.fs.makedirs(os.path.join(root, "_manifests"))
         t.fs.makedirs(os.path.join(root, "data"))
         snap = Snapshot(
             version=0,
@@ -208,15 +222,33 @@ class LakeTable:
 
     def snapshot(self, version: int | None = None) -> Snapshot:
         v = self.current_version() if version is None else version
+        hit = self._snap_cache.get(v)
+        if hit is not None:
+            return hit
         d = json.loads(self.fs.read_text(self._vpath(v)))
-        return Snapshot(
+        manifests = d.get("manifests")
+        if manifests is None:
+            files = d["files"]  # legacy inline layout (pre-sharding version file)
+            manifests = {}
+        else:
+            files = []
+            for b in sorted(manifests, key=int):
+                files.extend(
+                    json.loads(
+                        self.fs.read_text(os.path.join(self.root, manifests[b]))
+                    )
+                )
+        snap = Snapshot(
             version=d["version"],
             parent=d["parent"],
             schema_id=d["schema_id"],
             schemas=d["schemas"],
-            files=d["files"],
+            files=files,
             summary=d["summary"],
+            manifests=manifests,
         )
+        self._snap_cache[v] = snap  # version files are immutable
+        return snap
 
     def history(self) -> list[int]:
         vs = []
@@ -410,10 +442,54 @@ class LakeTable:
         in the same atomic commit (transactional evolution).
         """
         parent = self.snapshot()
-        keep = parent.files
-        if replace_buckets is not None:
-            drop = set(replace_buckets)
-            keep = [f for f in parent.files if f["bucket"] not in drop]
+        drop = set(replace_buckets) if replace_buckets is not None else set()
+        keep = [f for f in parent.files if f["bucket"] not in drop]
+
+        # ---- sharded manifest bookkeeping: write O(touched buckets) shards --
+        new_by_bucket: dict[int, list[dict]] = {}
+        for f in new_files:
+            new_by_bucket.setdefault(int(f["bucket"]), []).append(f)
+        if parent.manifests or not parent.files:
+            manifests = dict(parent.manifests)
+            touched = set(new_by_bucket) | {
+                b for b in drop if str(b) in manifests
+            }
+            parent_of = None
+        else:
+            # legacy parent (inline file list): one-time migration — reshard
+            # every bucket this commit
+            parent_of: dict[int, list[dict]] = {}
+            for f in parent.files:
+                parent_of.setdefault(int(f["bucket"]), []).append(f)
+            manifests = {}
+            touched = set(new_by_bucket) | set(parent_of)
+        shard_writes = 0
+        for b in sorted(touched):
+            if parent_of is not None:
+                prev = [] if b in drop else parent_of.get(b, [])
+            elif b in drop:
+                prev = []
+            else:
+                ref = manifests.get(str(b))
+                prev = (
+                    json.loads(
+                        self.fs.read_text(os.path.join(self.root, ref))
+                    )
+                    if ref is not None
+                    else []
+                )
+            entries = prev + new_by_bucket.get(b, [])
+            if not entries:
+                manifests.pop(str(b), None)
+                continue
+            relpath = f"_manifests/m-{uuid.uuid4().hex[:12]}-b{b:05d}.json"
+            self.fs.write_text_excl(
+                os.path.join(self.root, relpath), json.dumps(entries)
+            )
+            manifests[str(b)] = relpath
+            shard_writes += 1
+        self._last_commit_shard_writes = shard_writes  # test/ops introspection
+
         schemas = dict(parent.schemas)
         schema_id = parent.schema_id
         if schema_update is not None:
@@ -440,8 +516,10 @@ class LakeTable:
             schemas=schemas,
             files=keep + new_files,
             summary=summary,
+            manifests=manifests,
         )
         self._write_manifest(snap)
+        self._snap_cache[snap.version] = snap
         if crash_before_publish:
             raise RuntimeError("simulated crash between stage and publish")
         self._publish(snap.version, expected_parent=parent.version)

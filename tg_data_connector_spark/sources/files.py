@@ -91,43 +91,85 @@ def _list_files(spark: SparkSession, path: str) -> list[str]:
     return sorted(out)
 
 
+# Above this file count the skip path stops building one splittable textFile
+# RDD per file (driver-side O(files) plan construction) and switches to ONE
+# whole-file RDD over all objects — O(1) RDDs regardless of object count, at
+# the cost of each file being read unsplit (the object-store shape the
+# reference reads anyway: many small objects, one reader per object).
+_MAX_UNION_FILES = 32
+
+
+def _whole_file_lines(sc, files: list[str], skip: int):
+    """ONE binaryFiles RDD over all objects; per-file decompress (gzip/bzip2/
+    deflate by extension) + decode + drop the first `skip` lines, executor-side."""
+
+    def decode(pair):
+        path, content = pair
+        data = bytes(content)
+        if path.endswith(".gz"):
+            import gzip
+
+            data = gzip.decompress(data)
+        elif path.endswith(".bz2"):
+            import bz2
+
+            data = bz2.decompress(data)
+        elif path.endswith(".deflate"):
+            import zlib
+
+            data = zlib.decompress(data)
+        for i, line in enumerate(data.decode("utf-8").splitlines()):
+            if i >= skip:
+                yield line
+
+    return sc.binaryFiles(
+        ",".join(files), minPartitions=min(len(files), sc.defaultParallelism)
+    ).flatMap(decode)
+
+
 def _lines_skipping(spark: SparkSession, path: str, skip: int, compression: str | None):
     """Per-file line stream with the first `skip` lines of EACH file dropped —
     the reference's skipHeader/line-skip (``UnstructuredStorageReaderUtil.java:
     239-313``) which Spark's CSV reader cannot express (its `skipRows` option
-    is a silent no-op on 4.1, verified empirically). zipWithIndex on a per-file
-    textFile is order-correct (Hadoop input splits enumerate in file offset
-    order), and this is the one genuinely per-partition-imperative corner of
-    the reader, hence the RDD. ZIP archives (reference supports them; no Spark
-    codec exists) decompress member-by-member inside the same pass."""
+    is a silent no-op on 4.1, verified empirically). This is the one genuinely
+    per-partition-imperative corner of the reader, hence the RDD. ZIP archives
+    (reference supports them; no Spark codec exists) decompress member-by-member
+    inside the same pass.
+
+    DAG shape: few files -> one splittable textFile+zipWithIndex per file
+    (large files parallelize across their blocks); many files (or zip) -> ONE
+    whole-file RDD over every object, so the driver plan stays O(1) RDDs at
+    10^5 objects instead of O(files) union nodes."""
     sc = spark.sparkContext
+    files = _list_files(spark, path)
+    if compression == "zip":
+        import io
+        import zipfile
+
+        def unzip(pair):
+            _, content = pair
+            with zipfile.ZipFile(io.BytesIO(bytes(content))) as zf:
+                for member in zf.namelist():
+                    with zf.open(member) as fh:
+                        for i, line in enumerate(
+                            io.TextIOWrapper(fh, encoding="utf-8")
+                        ):
+                            if i >= skip:
+                                yield line.rstrip("\r\n")
+
+        return sc.binaryFiles(
+            ",".join(files), minPartitions=min(len(files), sc.defaultParallelism)
+        ).flatMap(unzip)
+    if len(files) > _MAX_UNION_FILES:
+        return _whole_file_lines(sc, files, skip)
     rdds = []
-    for f in _list_files(spark, path):
-        if compression == "zip":
-            import io
-            import zipfile
-
-            def unzip(pair):
-                _, content = pair
-                with zipfile.ZipFile(io.BytesIO(bytes(content))) as zf:
-                    for member in zf.namelist():
-                        with zf.open(member) as fh:
-                            for i, line in enumerate(
-                                io.TextIOWrapper(fh, encoding="utf-8")
-                            ):
-                                yield (i, line.rstrip("\r\n"))
-
-            indexed = sc.binaryFiles(f).flatMap(unzip).filter(
-                lambda t: t[0] >= skip
-            ).map(lambda t: t[1])
-        else:
-            indexed = (
-                sc.textFile(f)
-                .zipWithIndex()
-                .filter(lambda t: t[1] >= skip)
-                .map(lambda t: t[0])
-            )
-        rdds.append(indexed)
+    for f in files:
+        rdds.append(
+            sc.textFile(f)
+            .zipWithIndex()
+            .filter(lambda t: t[1] >= skip)
+            .map(lambda t: t[0])
+        )
     return sc.union(rdds) if len(rdds) > 1 else rdds[0]
 
 
