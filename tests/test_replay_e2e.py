@@ -217,3 +217,26 @@ def test_schema_boundary_version_collision_applied_once(spark, tmp_table_root):
     # the colliding event won LWW for dA and was applied exactly once
     assert got["dA"]["tokens"] == [2, 3] and got["dA"]["n_tok"] == 2
     assert "lang" in t.read().columns
+
+
+def test_replay_into_uri_rooted_table(spark, tmp_path):
+    """Replay into a table whose root is a file:// URI with ALL metadata
+    routed through HadoopTableFS (the hdfs:///warehouse shape): commit
+    protocol, manifest shards, and the driver-side lineage flush must all
+    resolve the URI rather than treating it as a POSIX path."""
+    from tg_data_connector_spark.cdc.genlog import with_binary_payload
+    from tg_data_connector_spark.lake import HadoopTableFS
+
+    root = f"file://{tmp_path}/wh/t"
+    fs = HadoopTableFS(spark, root)
+    t = LakeTable.create(spark, root, SCHEMA, key="doc_id", n_buckets=8, fs=fs)
+    seed = gen_seed_sequences(spark, 300)
+    t.append(seed)
+    log_tok = gen_changelog(spark, 2000, 300, n_parts=4)
+    eng = ReplayEngine(
+        spark, t, ReplayConfig(events_per_batch=1000, parse_payload=True)
+    )
+    eng.replay(with_binary_payload(log_tok).drop("tokens"), run_id="uri")
+    _assert_equiv(t.read(), oracle_final_state(seed, log_tok))
+    assert eng.lineage.read(spark).count() > 0  # flush resolved the URI
+    assert len(fs.listdir(f"{root}/_manifests")) > 0

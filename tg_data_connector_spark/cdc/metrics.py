@@ -55,8 +55,10 @@ class LineageLog:
         """Driver-side pyarrow append — lineage is bounded metadata (one row
         per batch x source-partition), and a Spark job for it measured ~4 s of
         pure fixed cost per replay (single-task stage: session scheduling +
-        one-file commit protocol). The ``spark`` arg is kept for API compat
-        and unused."""
+        one-file commit protocol). URI-rooted tables (file://, hdfs://, s3://)
+        resolve through pyarrow's FileSystem; a scheme pyarrow can't reach
+        falls back to one Spark append (the ``spark`` arg), trading the fixed
+        cost for reachability."""
         if not self.rows:
             return 0
         import os
@@ -66,7 +68,6 @@ class LineageLog:
         import pyarrow.parquet as pq
 
         n = len(self.rows)
-        os.makedirs(self.dir, exist_ok=True)
         cols = list(zip(*self.rows))
         types = [
             pa.string(), pa.string(), pa.int32(), pa.int64(),
@@ -76,9 +77,25 @@ class LineageLog:
         tbl = pa.table(
             {nm: pa.array(c, type=t) for nm, c, t in zip(names, cols, types)}
         )
-        pq.write_table(
-            tbl, os.path.join(self.dir, f"lineage-{uuid.uuid4().hex}.parquet")
-        )
+        fname = f"lineage-{uuid.uuid4().hex}.parquet"
+        try:
+            if "://" in self.dir:
+                from pyarrow import fs as pafs
+
+                fsys, path = pafs.FileSystem.from_uri(self.dir)
+            else:
+                from pyarrow import fs as pafs
+
+                fsys, path = pafs.LocalFileSystem(), self.dir
+            fsys.create_dir(path, recursive=True)
+            with fsys.open_output_stream(f"{path}/{fname}") as out:
+                pq.write_table(tbl, out)
+        except (pa.ArrowException, OSError):
+            if spark is None:
+                raise
+            spark.createDataFrame(self.rows, LINEAGE_SCHEMA).coalesce(1).write.mode(
+                "append"
+            ).parquet(self.dir)
         self.rows = []
         return n
 

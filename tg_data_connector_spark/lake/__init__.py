@@ -1,2 +1,3 @@
+from .fs import HadoopTableFS, LocalTableFS  # noqa: F401
 from .table import LakeTable, Snapshot, TableSchema  # noqa: F401
 from .merge import merge_upsert  # noqa: F401

@@ -198,7 +198,9 @@ class LakeTable:
         return t
 
     @staticmethod
-    def exists(root: str) -> bool:
+    def exists(root: str, fs=None) -> bool:
+        if fs is not None:
+            return fs.exists(os.path.join(root, "_current"))
         return os.path.exists(os.path.join(root, "_current"))
 
     def meta(self) -> dict:
