@@ -251,3 +251,22 @@ def test_many_files_gzip_mixed_sizes(spark, tmp_path):
     assert sorted((r["id"], r["v"]) for r in clean.collect()) == [
         (i, f"z{i}") for i in range(40)
     ]
+
+
+def test_hinted_select_renders_hint():
+    """HintUtil parity (HintUtil.java:27-66): pattern#expr with @table
+    substitution; bare expr matches every table; non-matching pattern or
+    broken regex leaves the query untouched."""
+    from tg_data_connector_spark.sources.jdbc import hinted_select
+
+    assert (
+        hinted_select("sch.orders", ["a", "b"], "ord.*#/*+ parallel(@table 4) */")
+        == "SELECT /*+ parallel(orders 4) */ a, b FROM sch.orders"
+    )
+    assert (
+        hinted_select("t", None, "/*+ full(@table) */", where="x > 0")
+        == "SELECT /*+ full(t) */ * FROM t WHERE x > 0"
+    )
+    assert hinted_select("other", ["a"], "ord.*#/*+ p */") == "SELECT a FROM other"
+    assert hinted_select("t", ["a"], "[broken#/*+ p */") == "SELECT a FROM t"
+    assert hinted_select("t") == "SELECT * FROM t"

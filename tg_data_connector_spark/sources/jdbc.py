@@ -149,6 +149,39 @@ def quantile_split_predicates(
     return preds
 
 
+def hinted_select(
+    table: str,
+    columns: list[str] | None = None,
+    hint: str | None = None,
+    where: str | None = None,
+) -> str:
+    """Render the per-table SELECT the JDBC scan pushes down, with the
+    reference's optimizer-hint injection (``HintUtil.java:27-66``): ``hint``
+    is ``"tablePattern#hintExpression"`` (pattern optional — a bare expression
+    applies to every table); when the pattern matches, the expression — with
+    ``@table`` replaced by the unqualified table name — is spliced between
+    SELECT and the column list, e.g. ``/*+ parallel(4) */``. A non-matching
+    pattern or a malformed hint leaves the query untouched, as the reference
+    does (it warns and proceeds)."""
+    import re
+
+    cols = ", ".join(columns) if columns else "*"
+    prefix = ""
+    if hint:
+        pattern, _, expr = hint.rpartition("#")
+        pattern = pattern or ".*"
+        try:
+            if re.search(pattern, table):
+                unqualified = table.rsplit(".", 1)[-1]
+                prefix = expr.replace("@table", unqualified).strip() + " "
+        except re.error:
+            prefix = ""
+    q = f"SELECT {prefix}{cols} FROM {table}"
+    if where:
+        q += f" WHERE {where}"
+    return q
+
+
 def read_jdbc_split(
     spark: SparkSession,
     url: str,
@@ -158,10 +191,16 @@ def read_jdbc_split(
     properties: dict | None = None,
     lower: int | None = None,
     upper: int | None = None,
+    columns: list[str] | None = None,
+    hint: str | None = None,
+    where: str | None = None,
 ) -> DataFrame:
     """Partitioned JDBC read (requires a JDBC driver jar on the classpath).
     When bounds are not given, they are fetched with a MIN/MAX pushdown query —
-    exactly the reference's ``genPKSql`` (``SingleTableSplitUtil.java:279-289``)."""
+    exactly the reference's ``genPKSql`` (``SingleTableSplitUtil.java:279-289``).
+    ``columns``/``hint``/``where`` push projection, optimizer hints and the
+    static predicate into the source query (``SingleTableSplitUtil.java:
+    126-149`` builds the same querySql per slice)."""
     props = properties or {}
     if lower is None or upper is None:
         bounds = spark.read.jdbc(
@@ -176,4 +215,7 @@ def read_jdbc_split(
         preds = string_range_split_predicates(lower, upper, num_partitions, pk)
     else:
         preds = range_split_predicates(int(lower), int(upper), num_partitions, pk)
-    return spark.read.jdbc(url, table, predicates=preds, properties=props)
+    src = table
+    if columns or hint or where:
+        src = f"({hinted_select(table, columns, hint, where)}) dx_src"
+    return spark.read.jdbc(url, src, predicates=preds, properties=props)
