@@ -246,3 +246,32 @@ def test_job_csv_skip_lines(spark, tmp_path):
     res = run_job(spark, cfg)
     assert res.records_read == 2
     assert spark.read.parquet(str(out)).count() == 2
+
+
+def test_cli_entry_point(spark, tmp_path, capsys):
+    """`python -m tg_data_connector_spark job.json` — the reference's
+    datax.py launcher (core/src/main/bin/datax.py:30-34). Run + dryRun both
+    reuse the active session (master=None -> getOrCreate)."""
+    import json as _json
+
+    from tg_data_connector_spark.__main__ import main
+
+    out = str(tmp_path / "out")
+    cfgp = tmp_path / "job.json"
+    cfgp.write_text(_json.dumps({
+        "reader": {"type": "parquet",
+                   "path": "/root/testdata/sf0.001/nation.parquet",
+                   "column": ["n_nationkey", "n_name"],
+                   "where": "n_regionkey < 3"},
+        "writer": {"type": "csv", "path": out, "writeMode": "truncate",
+                   "header": True},
+    }))
+    assert main([str(cfgp)]) == 0
+    stats = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["records_read"] == stats["records_written"] > 0
+    assert main([str(cfgp), "--dry-run"]) == 0
+    bad = tmp_path / "bad.json"
+    bad.write_text(_json.dumps({"reader": {"type": "parquet",
+                                           "path": "/nonexistent"},
+                                "writer": {"type": "kafka"}}))
+    assert main([str(bad), "--dry-run"]) == 1
