@@ -259,6 +259,60 @@ def sql_cdc_merge_final_state() -> str:
     """
 
 
+def q_cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule schema evolution: an ``op='S'`` event (add_column lang)
+    spliced mid-log must be applied transactionally as its own snapshot
+    commit BEFORE the events that follow it in (commit_lsn, seq_no) order;
+    the final table carries the evolved schema with null-filled history.
+    Mirrors the reference's column-mapping config semantics (SURVEY §1.3);
+    the data outcome equals the flagship oracle plus the null lang column —
+    proving evolution changes the schema, never the data."""
+    root = tempfile.mkdtemp(prefix="tgspark_gate_evo_")
+    table = LakeTable.create(
+        spark, f"{root}/seq", SEQ_SCHEMA, key="doc_id", n_buckets=16
+    )
+    table.append(derive_seed(spark, sf_dir), lsn_col=F.lit(-1), seq_col=F.lit(0))
+    log = derive_changelog(spark, sf_dir).withColumn(
+        "schema_change", F.lit(None).cast("string")
+    )
+    mid = log.agg(F.floor(F.max("commit_lsn") / 2).cast("bigint")).collect()[0][0]
+    s_event = spark.createDataFrame(
+        [(-1, "S", mid, 100, None, None, None, None, 0, 0,
+          '{"add_column": {"name": "lang", "type": "string"}}')],
+        "event_id bigint, op string, commit_lsn bigint, seq_no bigint, "
+        "doc_id string, tokens array<int>, n_tok int, source string, "
+        "part int, offset bigint, schema_change string",
+    )
+    eng = ReplayEngine(spark, table, ReplayConfig(events_per_batch=50_000))
+    reports = eng.replay(log.unionByName(s_event), run_id="gate_evo")
+    assert sum(r.schema_changes for r in reports) == 1
+    final = table.read()
+    assert "lang" in final.columns
+    return final.select(
+        "doc_id", _csv(F.col("tokens")).alias("tokens_csv"), "n_tok", "source",
+        "lang",
+    )
+
+
+def sql_cdc_schema_evolution() -> str:
+    return f"""
+    WITH log AS ({CHANGELOG_SQL}),
+    clean AS (SELECT * FROM log WHERE NOT {DIRTY_SQL}),
+    latest AS (
+      SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                     ORDER BY commit_lsn DESC, seq_no DESC) AS rn FROM clean)
+      WHERE rn = 1),
+    seed AS ({SEED_SQL})
+    SELECT doc_id, {_CSV} AS tokens_csv, n_tok, source,
+           CAST(NULL AS VARCHAR) AS lang
+    FROM latest WHERE op <> 'D'
+    UNION ALL
+    SELECT s.doc_id, array_to_string(s.tokens, ',') AS tokens_csv, s.n_tok,
+           s.source, CAST(NULL AS VARCHAR) AS lang
+    FROM seed s ANTI JOIN latest l ON s.doc_id = l.doc_id
+    """
+
+
 def q_cdc_watermarks(spark: SparkSession, sf_dir: str) -> DataFrame:
     log = derive_changelog(spark, sf_dir)
     return log.groupBy("part").agg(
@@ -997,6 +1051,7 @@ QUERIES = {
     "window_running": (q_running_window, sql_running_window),
     "sessionize": (q_sessionize, sql_sessionize),
     "sessionize_stream": (q_sessionize_stream, None),
+    "cdc_schema_evolution": (q_cdc_schema_evolution, sql_cdc_schema_evolution),
     "rollup_revenue": (q_rollup_revenue, sql_rollup_revenue),
     "dx_transform_chain": (q_dx_chain, sql_dx_chain),
     "dx_filter_like": (q_dx_filter_like, sql_dx_filter_like),
