@@ -275,3 +275,31 @@ def test_cli_entry_point(spark, tmp_path, capsys):
                                            "path": "/nonexistent"},
                                 "writer": {"type": "kafka"}}))
     assert main([str(bad), "--dry-run"]) == 1
+
+
+def test_job_lake_merge_uri_root(spark, tmp_path):
+    """A lake_merge writer pointed at a URI root must route table metadata
+    through the Hadoop FS seam (hdfs:///warehouse shape; file:// here)."""
+    from tg_data_connector_spark.lake import HadoopTableFS, LakeTable
+
+    root = f"file://{tmp_path}/wh/t"
+    run_job(spark, {
+        "reader": {"type": "parquet",
+                   "path": "/root/testdata/sf0.001/nation.parquet",
+                   "column": ["n_nationkey", "n_name"]},
+        "writer": {"type": "lake_merge", "path": root, "key": "n_nationkey",
+                   "writeMode": "insert", "buckets": 4},
+    })
+    run_job(spark, {
+        "reader": {"type": "sql", "views":
+                   {"n": "/root/testdata/sf0.001/nation.parquet"},
+                   "querySql": "SELECT n_nationkey, 'X' AS n_name, 'U' AS op, "
+                               "CAST(1 AS BIGINT) AS commit_lsn, "
+                               "CAST(0 AS BIGINT) AS seq_no FROM n "
+                               "WHERE n_nationkey < 5"},
+        "writer": {"type": "lake_merge", "path": root, "writeMode": "update",
+                   "key": "n_nationkey"},
+    })
+    t = LakeTable(spark, root, fs=HadoopTableFS(spark, root))
+    got = {r["n_nationkey"]: r["n_name"] for r in t.read().collect()}
+    assert len(got) == 25 and got[1] == "X" and got[10] != "X"

@@ -192,16 +192,24 @@ def _write(spark: SparkSession, cfg: dict, df: DataFrame) -> int | None:
     if typ == "lake_merge":
         root = cfg["path"]
         key = cfg.get("key", "doc_id")
-        if not LakeTable.exists(root):
+        # URI roots (hdfs://, s3a://, file://) route metadata through the
+        # Hadoop FS seam; bare paths stay on the POSIX implementation
+        fs = None
+        if "://" in root:
+            from .lake.fs import HadoopTableFS
+
+            fs = HadoopTableFS(spark, root)
+        if not LakeTable.exists(root, fs=fs):
             schema = TableSchema(
                 [(f.name, f.dataType.simpleString()) for f in df.schema.fields
                  if f.name not in ("op", "commit_lsn", "seq_no")]
             )
             table = LakeTable.create(
-                spark, root, schema, key=key, n_buckets=int(cfg.get("buckets", 16))
+                spark, root, schema, key=key,
+                n_buckets=int(cfg.get("buckets", 16)), fs=fs,
             )
         else:
-            table = LakeTable(spark, root)
+            table = LakeTable(spark, root, fs=fs)
         if mode in ("replace", "update", "merge"):
             src = df
             for c, d in (("op", "U"), ("commit_lsn", 0), ("seq_no", 0)):
