@@ -107,11 +107,20 @@ def string_range_split_predicates(
     else:
         width = (hi - lo) // n
         cuts_i = [lo + i * width for i in range(1, n)]
-        cuts = [_radix_int_to_str(c, length, radix) for c in cuts_i]
-        # dedupe degenerate cuts (possible when the range is narrow)
+        # A cut integer can carry zero digits MID-string -> embedded NUL
+        # bytes, which SQL string literals cannot hold (and real DBs reject).
+        # Bumping NUL to \x01 moves a cut slightly UP; the strictly-increasing
+        # filter below then drops any cut the bump leapfrogged — slice
+        # boundaries only balance sizes, so adjusting them never breaks the
+        # disjoint-cover contract (pinned by the hypothesis property test).
+        cuts = [
+            _radix_int_to_str(c, length, radix).replace("\x00", "\x01")
+            for c in cuts_i
+        ]
+        # dedupe degenerate/reordered cuts (narrow ranges, NUL bumps)
         uniq = []
         for c in cuts:
-            if c > min_s and c < max_s and (not uniq or c != uniq[-1]):
+            if c > min_s and c < max_s and (not uniq or c > uniq[-1]):
                 uniq.append(c)
         bounds = [min_s] + uniq + [max_s]
         preds = []
