@@ -83,10 +83,16 @@ class ReplayConfig:
     # engine flips to the shuffled-hash variant when the estimated winner set
     # exceeds ``broadcast_winners_max_keys``. True/False force one path.
     broadcast_winners: bool | None = None
-    # auto-switch threshold: ~key-count at which a driver-built broadcast of
+    # auto-switch threshold: key-count at which a driver-built broadcast of
     # (key, packed-version) rows stops paying for itself (build + per-executor
-    # transfer vs one more shuffled-hash stage). 2M keys ~ 50-80 MB broadcast.
-    broadcast_winners_max_keys: int = 2_000_000
+    # transfer vs shuffling the FULL pre-dedup batch — the alternative is not
+    # free: at 10 events/key the shuffle moves ~10x the bytes). Measured on
+    # this engine: 2.7M-key batches broadcast ~80 MB and beat the all-shuffle
+    # variant >2x at both 4 and 16 lanes (BENCH.md round 2/3); 10M keys
+    # ~300 MB is still well under executor memory at production sizes. Batches
+    # beyond that are better served by LOWERING events_per_batch than by the
+    # full-batch shuffle, but the shuffle variant remains the safe fallback.
+    broadcast_winners_max_keys: int = 10_000_000
     salted_dedup: bool = False  # back-compat alias for dedup_strategy="salted"
     salt_buckets: int = 16
     error_limit: ErrorLimit = field(default_factory=lambda: ErrorLimit(percentage=0.05))
@@ -156,14 +162,19 @@ class ReplayEngine:
         from ..lake.table import bucket_expr
 
         meta = self.table.meta()
-        return batch.groupBy("part").agg(
+        # GROUPING SETS ((part), ()) — per-part rows PLUS one batch-total row
+        # (part IS NULL; `part` is non-null by the changelog contract) in the
+        # same narrow scan. The total row's HLL distinct-key count feeds the
+        # broadcast-vs-shuffle winner-join auto-switch: summing per-part
+        # distincts OVERCOUNTS keys that span parts (measured ~16x on a
+        # 16-part log), which silently forced the all-shuffle variant for
+        # every realistic batch.
+        return batch.groupingSets([["part"], []], "part").agg(
             F.max("offset").alias("hwm"),
             F.count("*").alias("n"),
             F.collect_set(bucket_expr("doc_id", meta["buckets"])).alias("bks"),
             F.max("commit_lsn").alias("vl"),
             F.max("seq_no").alias("vs"),
-            # distinct-key estimate (HLL sketch, rides the same narrow scan):
-            # feeds the broadcast-vs-shuffle winner-join auto-switch
             F.approx_count_distinct("doc_id").alias("k"),
         ).collect()
 
@@ -194,6 +205,11 @@ class ReplayEngine:
         t_stats = time.time()
         if stats is None:
             stats = self._batch_stats(batch)
+        # the grouping-sets total row (part IS NULL) carries the batch-global
+        # distinct-key estimate; everything positional below uses the real
+        # per-part rows
+        totals = [r for r in stats if r["part"] is None]
+        stats = [r for r in stats if r["part"] is not None]
         watermarks = {int(r["part"]): int(r["hwm"]) for r in stats}
         events_n = sum(r["n"] for r in stats)
         affected_buckets = sorted({b for r in stats for b in r["bks"] if b is not None})
@@ -204,11 +220,15 @@ class ReplayEngine:
         self._version_bounds = (
             (int(max(vls)), int(max(vss))) if vls and vss else (None, None)
         )
-        # winner-set estimate for the broadcast auto-switch: sum of per-part
-        # HLL distinct counts — an upper bound (keys spanning parts double-
-        # count), which errs toward the safe all-shuffle path
+        # winner-set estimate for the broadcast auto-switch: the batch-global
+        # HLL count when the stats carry the total row; summing per-part
+        # distincts is only a (grossly over-counting) fallback for stats
+        # supplied by a pre-grouping-sets caller
         try:
-            self._est_keys = sum(int(r["k"]) for r in stats)
+            if totals:
+                self._est_keys = int(totals[0]["k"])
+            else:
+                self._est_keys = sum(int(r["k"]) for r in stats)
         except (ValueError, KeyError, TypeError):
             self._est_keys = None  # stats from a pre-k caller
         self._phase_timings = {"stats": round(time.time() - t_stats, 3)}
@@ -616,8 +636,14 @@ class ReplayEngine:
 
         t_pre = time.time()
         win = F.floor((F.col("offset") - F.lit(lo)) / F.lit(per_part)).cast("int")
+        # GROUPING SETS ((w, part), (w)): per-(window, part) rows for
+        # watermarks/lineage PLUS one per-window total row (part IS NULL)
+        # whose HLL count is the window-global key estimate for the winner-
+        # join auto-switch (a per-part sum over-counts keys spanning parts)
         pre = (
-            remaining.groupBy(win.alias("w"), "part")
+            remaining.groupingSets(
+                [["w", "part"], ["w"]], win.alias("w"), F.col("part")
+            )
             .agg(
                 F.max("offset").alias("hwm"),
                 F.count("*").alias("n"),
