@@ -303,3 +303,38 @@ def test_job_lake_merge_uri_root(spark, tmp_path):
     t = LakeTable(spark, root, fs=HadoopTableFS(spark, root))
     got = {r["n_nationkey"]: r["n_name"] for r in t.read().collect()}
     assert len(got) == 25 and got[1] == "X" and got[10] != "X"
+
+
+def test_console_sink_single_action(spark, tmp_path, capsys):
+    """Console (debug) sink: one collect, count derived locally — no separate
+    count() pass re-running the upstream plan (VERDICT r3 directive #7)."""
+    src = tmp_path / "c.csv"
+    src.write_text("1,a\n2,b\n3,c\n")
+    cfg = {
+        "reader": {
+            "type": "csv",
+            "path": str(src),
+            "column": [
+                {"type": "long", "index": 0, "name": "id"},
+                {"type": "string", "index": 1, "name": "v"},
+            ],
+        },
+        "writer": {"type": "console", "print": 2},
+    }
+    from tg_data_connector_spark.job import run_job
+
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    before = set(tracker.getJobIdsForGroup("console_single") or [])
+    sc.setJobGroup("console_single", "test")
+    try:
+        res = run_job(spark, cfg)
+    finally:
+        sc.setJobGroup(None, None)
+    jobs = [j for j in (tracker.getJobIdsForGroup("console_single") or [])
+            if j not in before]
+    assert len(jobs) == 1, f"expected 1 job, saw {len(jobs)}"
+    assert res.records_written == 3 and res.records_read == 3
+    out = capsys.readouterr().out
+    assert "1 | a" in out and "2 | b" in out
+    assert "3 | c" not in out and "1 more rows" in out

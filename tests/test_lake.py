@@ -296,4 +296,4 @@ def test_lake_table_on_hadoop_fs(spark, tmp_path):
     t2 = LakeTable(spark, root, fs=HadoopTableFS(spark, root))
     assert t2.current_version() == t.current_version()
     assert t2.read().count() == 39
-    assert gc_orphans(t) == []  # nothing orphaned by a clean history
+    assert gc_orphans(t, min_age_seconds=0) == []  # nothing orphaned by a clean history

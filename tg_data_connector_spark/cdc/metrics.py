@@ -79,17 +79,28 @@ class LineageLog:
         )
         fname = f"lineage-{uuid.uuid4().hex}.parquet"
         try:
-            if "://" in self.dir:
-                from pyarrow import fs as pafs
+            from pyarrow import fs as pafs
 
-                fsys, path = pafs.FileSystem.from_uri(self.dir)
+            from ..lake.fs import local_path, uri_scheme
+
+            # RFC-3986 scheme match, not a '"://" in path' substring test:
+            # Hadoop canonicalizes URIs to the single-slash form
+            # (file:/tmp/t), which the substring test misroutes to a
+            # RELATIVE local path under CWD
+            scheme = uri_scheme(self.dir)
+            if scheme in (None, "file"):
+                fsys, path = pafs.LocalFileSystem(), local_path(self.dir)
             else:
-                from pyarrow import fs as pafs
-
-                fsys, path = pafs.LocalFileSystem(), self.dir
+                fsys, path = pafs.FileSystem.from_uri(self.dir)
             fsys.create_dir(path, recursive=True)
-            with fsys.open_output_stream(f"{path}/{fname}") as out:
+            # dot-prefixed temp, then rename into place: Spark/parquet readers
+            # skip hidden files, so a write torn mid-stream (quota, transient
+            # FS error) never corrupts a later lineage read — and the Spark
+            # fallback below can append safely next to the leftover temp
+            tmp = f"{path}/.{fname}.tmp"
+            with fsys.open_output_stream(tmp) as out:
                 pq.write_table(tbl, out)
+            fsys.move(tmp, f"{path}/{fname}")
         except (pa.ArrowException, OSError):
             if spark is None:
                 raise

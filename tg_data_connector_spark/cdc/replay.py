@@ -85,14 +85,15 @@ class ReplayConfig:
     broadcast_winners: bool | None = None
     # auto-switch threshold: key-count at which a driver-built broadcast of
     # (key, packed-version) rows stops paying for itself (build + per-executor
-    # transfer vs shuffling the FULL pre-dedup batch — the alternative is not
-    # free: at 10 events/key the shuffle moves ~10x the bytes). Measured on
-    # this engine: 2.7M-key batches broadcast ~80 MB and beat the all-shuffle
-    # variant >2x at both 4 and 16 lanes (BENCH.md round 2/3); 10M keys
-    # ~300 MB is still well under executor memory at production sizes. Batches
-    # beyond that are better served by LOWERING events_per_batch than by the
-    # full-batch shuffle, but the shuffle variant remains the safe fallback.
-    broadcast_winners_max_keys: int = 10_000_000
+    # transfer vs shuffling the FULL pre-dedup batch). SET FROM DATA (BENCH.md
+    # round-4 A/B, ≥3 interleaved forced-variant samples at the bench's
+    # 2.7M-key batch shape, 4 lanes): clean-sample means shuffled-hash 84.4 s
+    # vs broadcast 95.2 s, and the round-3 same-window pair agreed (89.2 vs
+    # 110.1 s) — at ~2.7M keys the ~80 MB driver build + per-executor
+    # transfer already loses to the extra shuffled-hash stage, so the switch
+    # flips to shuffle ABOVE 2M keys. Small batches (the common steady-state
+    # tail) stay on broadcast, which prunes losers before any exchange.
+    broadcast_winners_max_keys: int = 2_000_000
     salted_dedup: bool = False  # back-compat alias for dedup_strategy="salted"
     salt_buckets: int = 16
     error_limit: ErrorLimit = field(default_factory=lambda: ErrorLimit(percentage=0.05))

@@ -313,6 +313,90 @@ def sql_cdc_schema_evolution() -> str:
     """
 
 
+def q_cdc_schema_widen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule widen evolution end-to-end (VERDICT r3 directive #8): an
+    ``op='S'`` widen event (tokens array<int> -> array<bigint>) spliced
+    mid-log must commit transactionally before the following events, old
+    files must read cast-up (lazy evolution, no rewrite), and post-widen
+    batches must merge under the widened schema. The data outcome equals the
+    flagship oracle — widening changes types, never values — which is
+    exactly what makes it oracle-checkable: tokens_csv renders identically
+    from array<int> and array<bigint>."""
+    root = tempfile.mkdtemp(prefix="tgspark_gate_widen_")
+    table = LakeTable.create(
+        spark, f"{root}/seq", SEQ_SCHEMA, key="doc_id", n_buckets=16
+    )
+    table.append(derive_seed(spark, sf_dir), lsn_col=F.lit(-1), seq_col=F.lit(0))
+    log = derive_changelog(spark, sf_dir).withColumn(
+        "schema_change", F.lit(None).cast("string")
+    )
+    mid = log.agg(F.floor(F.max("commit_lsn") / 2).cast("bigint")).collect()[0][0]
+    s_event = spark.createDataFrame(
+        [(-1, "S", mid, 100, None, None, None, None, 0, 0,
+          '{"widen": {"name": "tokens", "to": "array<bigint>"}}')],
+        "event_id bigint, op string, commit_lsn bigint, seq_no bigint, "
+        "doc_id string, tokens array<int>, n_tok int, source string, "
+        "part int, offset bigint, schema_change string",
+    )
+    eng = ReplayEngine(spark, table, ReplayConfig(events_per_batch=50_000))
+    reports = eng.replay(log.unionByName(s_event), run_id="gate_widen")
+    assert sum(r.schema_changes for r in reports) == 1
+    final = table.read()
+    assert dict(final.dtypes)["tokens"] == "array<bigint>", final.dtypes
+    return final.select(
+        "doc_id", _csv(F.col("tokens")).alias("tokens_csv"), "n_tok", "source"
+    )
+
+
+def sql_cdc_schema_widen() -> str:
+    return sql_cdc_merge_final_state()  # widen changes types, never values
+
+
+def _skewed_src(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog with a synthetic hot key: a third of all events collapse
+    onto ONE doc_id — the skew shape the reference's fair-assignment channel
+    balancing addresses (X4) and salting defeats on a hash-partitioned agg."""
+    log = derive_changelog(spark, sf_dir).where(~dirty_predicate())
+    hot = F.col("event_id") % 3 == 0
+    return log.select(
+        F.when(hot, F.lit("d-hot-key")).otherwise(F.col("doc_id")).alias("doc_id"),
+        "op", "commit_lsn", "seq_no", "tokens", "n_tok", "source",
+    )
+
+
+_SKEW_SQL = """
+    SELECT CASE WHEN event_id % 3 = 0 THEN 'd-hot-key' ELSE doc_id END AS doc_id,
+           op, commit_lsn, seq_no, tokens, n_tok, source
+    FROM log WHERE NOT {dirty}
+"""
+
+
+def q_cdc_salted_skew_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 gate row: the SALTED two-phase LWW dedup under hot-key skew must
+    equal the plain window semantics. The salt spreads the hot key's partial
+    max over (key, salt) groups so no single task owns the whole hot key;
+    the final per-key max collapses them (cdc/dedup.py:211-228)."""
+    from .cdc.dedup import lww_dedup_salted
+
+    latest = lww_dedup_salted(_skewed_src(spark, sf_dir), "doc_id", 16)
+    return latest.select(
+        "doc_id", "op", "commit_lsn", "seq_no",
+        _csv(F.col("tokens")).alias("tokens_csv"), "n_tok", "source",
+    )
+
+
+def sql_cdc_salted_skew_dedup() -> str:
+    skew = _SKEW_SQL.format(dirty=DIRTY_SQL)
+    return f"""
+    WITH log AS ({CHANGELOG_SQL}),
+    skewed AS ({skew})
+    SELECT doc_id, op, commit_lsn, seq_no, {_CSV} AS tokens_csv, n_tok, source
+    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                    ORDER BY commit_lsn DESC, seq_no DESC) AS rn FROM skewed)
+    WHERE rn = 1
+    """
+
+
 def q_cdc_watermarks(spark: SparkSession, sf_dir: str) -> DataFrame:
     log = derive_changelog(spark, sf_dir)
     return log.groupBy("part").agg(
@@ -1052,6 +1136,8 @@ QUERIES = {
     "sessionize": (q_sessionize, sql_sessionize),
     "sessionize_stream": (q_sessionize_stream, None),
     "cdc_schema_evolution": (q_cdc_schema_evolution, sql_cdc_schema_evolution),
+    "cdc_schema_widen": (q_cdc_schema_widen, sql_cdc_schema_widen),
+    "cdc_salted_skew_dedup": (q_cdc_salted_skew_dedup, sql_cdc_salted_skew_dedup),
     "rollup_revenue": (q_rollup_revenue, sql_rollup_revenue),
     "dx_transform_chain": (q_dx_chain, sql_dx_chain),
     "dx_filter_like": (q_dx_filter_like, sql_dx_filter_like),

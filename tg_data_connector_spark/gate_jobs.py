@@ -457,7 +457,59 @@ def sql_cdc_bytes_batched() -> str:
     return sql_cdc_merge_final_state()
 
 
+# ------------------------------------------- E5: stats/metrics rollup
+def q_job_stats_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 gate row: JobResult's (read, dirty, written) counters — which ride
+    the single sink action as observe() metrics (the reference's in-flight
+    Communication counters, ``CommunicationTool.java:15-111``) — returned AS
+    ROWS and checked against DuckDB recomputing the same counts from the
+    base table. Staging: customer is rendered to CSV with every 97th key
+    corrupted to a non-numeric token, so the typed read quarantines exactly
+    those rows (cast-failure dirty path)."""
+    stage = tempfile.mkdtemp(prefix="tg_gate_stats_") + "/in_csv"
+    out = tempfile.mkdtemp(prefix="tg_gate_stats_") + "/out"
+    c = spark.read.parquet(_t(sf_dir, "customer"))
+    c.select(
+        F.when(
+            F.col("c_custkey") % 97 == 0,
+            F.concat(F.lit("x"), F.col("c_custkey").cast("string")),
+        )
+        .otherwise(F.col("c_custkey").cast("string"))
+        .alias("k"),
+        F.col("c_mktsegment").alias("seg"),
+    ).coalesce(1).write.mode("overwrite").csv(stage)
+    res = run_job(
+        spark,
+        {
+            "reader": {
+                "type": "csv",
+                "path": stage,
+                "column": [
+                    {"type": "long", "index": 0, "name": "k"},
+                    {"type": "string", "index": 1, "name": "seg"},
+                ],
+            },
+            "writer": {"type": "parquet", "path": out, "writeMode": "truncate"},
+            "errorLimit": {"percentage": 0.5},
+        },
+    )
+    return spark.createDataFrame(
+        [(res.records_read, res.dirty_records, res.records_written)],
+        "records_read bigint, dirty bigint, written bigint",
+    )
+
+
+def sql_job_stats_rollup() -> str:
+    return """
+    SELECT count(*) FILTER (WHERE c_custkey % 97 <> 0) AS records_read,
+           count(*) FILTER (WHERE c_custkey % 97 = 0)  AS dirty,
+           count(*) FILTER (WHERE c_custkey % 97 <> 0) AS written
+    FROM customer
+    """
+
+
 JOB_QUERIES = {
+    "job_stats_rollup": (q_job_stats_rollup, sql_job_stats_rollup),
     "split_range_cover": (q_split_range_cover, sql_split_range_cover),
     "split_string_radix_cover": (
         q_split_string_radix_cover, sql_split_string_radix_cover,

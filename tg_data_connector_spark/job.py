@@ -186,16 +186,34 @@ def _write(spark: SparkSession, cfg: dict, df: DataFrame) -> int | None:
             w.parquet(path)
         return None
     if typ == "console":  # streamwriter analog (debug sink)
-        n = df.count()
-        df.show(int(cfg.get("print", 20)), truncate=False)
-        return n
+        # ONE action: collect, count locally, print the first `print` rows.
+        # The reference's streamwriter prints EVERY record to stdout
+        # (``streamwriter`` plugin), so driver-side materialization is the
+        # sink's own contract; `print` only caps the display. The previous
+        # count()+show() pair ran the whole upstream plan twice.
+        rows = df.collect()
+        limit = int(cfg.get("print", 20))
+        header = " | ".join(df.columns)
+        print(header)
+        print("-" * len(header))
+        for r in rows[:limit]:
+            print(" | ".join("null" if v is None else str(v) for v in r))
+        if len(rows) > limit:
+            print(f"... ({len(rows) - limit} more rows)")
+        return len(rows)
     if typ == "lake_merge":
         root = cfg["path"]
         key = cfg.get("key", "doc_id")
         # URI roots (hdfs://, s3a://, file://) route metadata through the
-        # Hadoop FS seam; bare paths stay on the POSIX implementation
+        # Hadoop FS seam; bare paths stay on the POSIX implementation. Scheme
+        # detection is an RFC-3986 match, not a '"://"' substring test —
+        # Hadoop canonicalizes to the single-slash form ('hdfs:/user/t'),
+        # which the substring test would misroute to LocalTableFS and build a
+        # broken table under CWD.
+        from .lake.fs import uri_scheme
+
         fs = None
-        if "://" in root:
+        if uri_scheme(root) is not None:
             from .lake.fs import HadoopTableFS
 
             fs = HadoopTableFS(spark, root)

@@ -16,7 +16,34 @@ from __future__ import annotations
 
 import io
 import os
+import re
 import uuid
+
+_SCHEME_RE = re.compile(r"^[a-zA-Z][a-zA-Z0-9+.-]*:")
+
+
+def uri_scheme(path: str) -> str | None:
+    """Return the URI scheme of ``path`` or None for a bare local path.
+
+    Matches RFC-3986 scheme syntax rather than the substring ``"://"``:
+    Hadoop's ``Path.toString()``/``makeQualified`` canonicalize to the
+    SINGLE-slash form (``file:/tmp/t``, ``hdfs:/user/t``), which a ``"://"``
+    check silently misclassifies as a relative local path (it then lands
+    under CWD — the bug this helper replaces)."""
+    m = _SCHEME_RE.match(path)
+    return m.group(0)[:-1].lower() if m else None
+
+
+def local_path(path: str) -> str:
+    """Strip a ``file:`` scheme (any slash form) down to the POSIX path."""
+    if uri_scheme(path) == "file":
+        rest = path[len("file:"):]
+        if rest.startswith("//"):
+            # file://host/p -> keep the absolute /p (host must be empty/local)
+            rest = rest[2:]
+            rest = rest[rest.index("/"):] if "/" in rest else "/"
+        return rest or "/"
+    return path
 
 
 class LocalTableFS:
@@ -59,6 +86,21 @@ class LocalTableFS:
     def write_text_atomic(self, path: str) -> "_AtomicWrite":
         return _AtomicWrite(path)
 
+    def list_files_recursive(self, path: str) -> list[str]:
+        """All file paths under ``path`` (absolute), one traversal. The
+        maintenance walk (gc_orphans) uses this instead of per-directory
+        listdir calls — on a DFS each listdir is a driver round trip, so a
+        deep table would otherwise turn GC into an O(directories) crawl."""
+        out = []
+        for root, _dirs, files in os.walk(path):
+            out.extend(os.path.join(root, f) for f in files)
+        return sorted(out)
+
+    def mtime(self, path: str) -> float:
+        """Modification time (epoch seconds) — the GC age threshold reads it
+        through the seam so mock filesystems can fake clocks."""
+        return os.path.getmtime(path)
+
 
 class HadoopTableFS:
     """DFS implementation over the JVM Hadoop FileSystem API (py4j): any
@@ -76,9 +118,10 @@ class HadoopTableFS:
         claim a snapshot version; the loser surfaces as ``FileExistsError``.
       * ``write_text_atomic`` — temp file + ``FileContext.rename(OVERWRITE)``:
         the POSIX-rename-equivalent atomic pointer swap on HDFS. On pure
-        object stores without atomic rename (raw S3), point the pointer swap
-        at a rename-capable metadata root or a conditional-put wrapper — the
-        seam keeps that choice out of table.py.
+        object stores without atomic rename (raw S3), use
+        ``ConditionalPutTableFS`` instead — it maps both guarantees onto the
+        store's conditional-PUT primitives; the seam keeps that choice out of
+        table.py.
     """
 
     def __init__(self, spark, base_uri: str):
@@ -87,7 +130,12 @@ class HadoopTableFS:
         self._gateway = spark.sparkContext._gateway
         conf = spark._jsc.hadoopConfiguration()
         juri = jvm.java.net.URI.create(base_uri)
-        self._fs = jvm.org.apache.hadoop.fs.FileSystem.get(juri, conf)
+        # newInstance, NOT get: FileSystem.get returns the JVM-wide cached
+        # instance per (scheme, authority, ugi), and the checksum toggles
+        # below would silently disable checksums for every OTHER driver-side
+        # user of that filesystem (event logs, checkpoints). A private
+        # instance is safe to configure.
+        self._fs = jvm.org.apache.hadoop.fs.FileSystem.newInstance(juri, conf)
         # LocalFileSystem would otherwise shadow every metadata file with a
         # .crc twin; checksums add nothing for small JSON we re-read at once
         self._fs.setWriteChecksum(False)
@@ -157,6 +205,22 @@ class HadoopTableFS:
     def write_text_atomic(self, path: str) -> "_HadoopAtomicWrite":
         return _HadoopAtomicWrite(self, path)
 
+    def list_files_recursive(self, path: str) -> list[str]:
+        """One ``FileSystem.listFiles(path, recursive=true)`` call — the
+        namenode/store streams the whole subtree back through a single
+        RemoteIterator instead of one py4j+RPC round trip per directory."""
+        it = self._fs.listFiles(self._p(path), True)
+        out = []
+        while it.hasNext():
+            st = it.next()
+            name = st.getPath().getName()
+            if not name.startswith("."):
+                out.append(st.getPath().toUri().getPath())
+        return sorted(out)
+
+    def mtime(self, path: str) -> float:
+        return self._fs.getFileStatus(self._p(path)).getModificationTime() / 1000.0
+
 
 class _HadoopAtomicWrite:
     """Buffer locally, write a temp object, then FileContext.rename with
@@ -182,6 +246,102 @@ class _HadoopAtomicWrite:
         opts = gw.new_array(jvm.org.apache.hadoop.fs.Options.Rename, 1)
         opts[0] = overwrite
         hfs._fc.rename(hfs._p(self.tmp), hfs._p(self.path), opts)
+        return False
+
+
+class ConditionalPutTableFS:
+    """Raw-object-store implementation (no atomic rename, e.g. S3 without a
+    rename-capable metadata layer). The commit protocol's two guarantees map
+    directly onto conditional PUTs, which S3, GCS, and ABS all expose:
+
+      * ``write_text_excl``  — PUT with ``If-None-Match: *`` (S3 since 2024,
+        GCS ``ifGenerationMatch=0``): the store arbitrates create-if-absent,
+        so two racing writers cannot both claim a snapshot version file.
+      * ``write_text_atomic`` — a plain PUT: object stores replace objects
+        atomically (a GET sees the whole old or whole new object, never a
+        torn one), so the pointer swap needs no rename at all.
+
+    The store client is injected (``put_if_absent/put/get/list_prefix/
+    delete``) — an in-memory mock drives the race tests here; production
+    wires a thin boto3/gcs adapter with the same five methods. Keys are the
+    path strings themselves (object stores have no directories; ``makedirs``
+    is a no-op and ``isdir`` means "any key under this prefix")."""
+
+    def __init__(self, store):
+        self.store = store
+
+    def makedirs(self, path: str) -> None:
+        pass  # prefixes need no creation on an object store
+
+    def exists(self, path: str) -> bool:
+        if self.store.get(path) is not None:
+            return True
+        return bool(self.store.list_prefix(path.rstrip("/") + "/"))
+
+    def isdir(self, path: str) -> bool:
+        return self.store.get(path) is None and bool(
+            self.store.list_prefix(path.rstrip("/") + "/")
+        )
+
+    def listdir(self, path: str) -> list[str]:
+        prefix = path.rstrip("/") + "/"
+        names = set()
+        for key in self.store.list_prefix(prefix):
+            rest = key[len(prefix):]
+            names.add(rest.split("/", 1)[0])
+        return sorted(n for n in names if not n.startswith("."))
+
+    def list_files_recursive(self, path: str) -> list[str]:
+        prefix = path.rstrip("/") + "/"
+        return sorted(
+            k for k in self.store.list_prefix(prefix)
+            if not k.rsplit("/", 1)[-1].startswith(".")
+        )
+
+    def mtime(self, path: str) -> float:
+        return self.store.mtime(path)
+
+    def remove(self, path: str) -> None:
+        if self.store.get(path) is None:
+            raise FileNotFoundError(path)
+        self.store.delete(path)
+
+    def rmtree(self, path: str) -> None:
+        prefix = path.rstrip("/") + "/"
+        for key in list(self.store.list_prefix(prefix)):
+            self.store.delete(key)
+        if self.store.get(path) is not None:
+            self.store.delete(path)
+
+    def read_text(self, path: str) -> str:
+        data = self.store.get(path)
+        if data is None:
+            raise FileNotFoundError(path)
+        return data.decode("utf-8")
+
+    def write_text_excl(self, path: str, content: str) -> None:
+        if not self.store.put_if_absent(path, content.encode("utf-8")):
+            raise FileExistsError(path)
+
+    def write_text_atomic(self, path: str) -> "_StorePut":
+        return _StorePut(self.store, path)
+
+
+class _StorePut:
+    """Buffer locally, then one PUT — atomic whole-object replace is the
+    store's own guarantee, so this IS the pointer swap."""
+
+    def __init__(self, store, path: str):
+        self.store = store
+        self.path = path
+
+    def __enter__(self):
+        self.buf = io.StringIO()
+        return self.buf
+
+    def __exit__(self, et, ev, tb):
+        if et is None:
+            self.store.put(self.path, self.buf.getvalue().encode("utf-8"))
         return False
 
 

@@ -11,7 +11,10 @@ Safety rules:
     the caller asserts this by passing ``purge_tombstones=True`` (typically
     after a full replay, or on a lag-bounded schedule at 100 TB);
   * orphan GC deletes only files referenced by NO manifest in `_versions/`
-    (crash leftovers from between stage and publish);
+    (crash leftovers from between stage and publish); because a concurrent
+    commit stages data files and manifest shards BEFORE its version file
+    exists, GC additionally skips anything younger than ``min_age_seconds``
+    (default 1 h) — run with 0 only when no writer can be in flight;
   * snapshot expiry keeps the manifest chain bounded; data files still
     referenced by retained snapshots are kept.
 """
@@ -46,11 +49,28 @@ def compact(
     )
 
 
-def gc_orphans(table: LakeTable) -> list[str]:
+def gc_orphans(table: LakeTable, min_age_seconds: float = 3600.0) -> list[str]:
     """Delete data files referenced by no snapshot (stage-then-crash leftovers)
     and manifest shards referenced by no version file. Returns the removed
     paths (relative). All I/O goes through the table's FS seam (``lake/fs.py``)
-    so a DFS-backed table is maintainable without touching this code."""
+    so a DFS-backed table is maintainable without touching this code.
+
+    ONE recursive listing per area (``fs.list_files_recursive``) instead of a
+    per-directory ``listdir`` crawl: through a DFS seam each listdir is a
+    driver-side RPC round trip, so a table with thousands of commit dirs would
+    turn GC into an O(directories) driver crawl; the recursive call streams
+    the subtree back in a single iterator (Iceberg's remove_orphan_files does
+    the same).
+
+    ``min_age_seconds`` protects in-flight commits: a concurrent writer stages
+    its data files and manifest shards BEFORE publishing the version file
+    (table.py two-phase order), so a GC pass in that window would otherwise
+    delete files the about-to-publish snapshot references. Anything younger
+    than the threshold is skipped (Iceberg's ``older_than`` semantics; default
+    1 h). Pass 0 only when no concurrent writer can exist (tests, cold
+    tables)."""
+    import time
+
     fs = table.fs
     referenced: set[str] = set()
     shard_refs: set[str] = set()
@@ -60,29 +80,40 @@ def gc_orphans(table: LakeTable) -> list[str]:
             referenced.add(f["path"])
         shard_refs.update(snap.manifests.values())
     removed = []
+    cutoff = time.time() - min_age_seconds
     data_root = os.path.join(table.root, "data")
-    for commit_dir in fs.listdir(data_root):
+    # group the flat recursive listing back into commit dirs: deletion stays
+    # whole-commit-dir (a live commit dir keeps even its unreferenced files,
+    # matching the previous behavior and keeping rmtree one call per dir)
+    by_commit: dict[str, list[str]] = {}
+    if fs.exists(data_root):
+        prefix = data_root.rstrip("/") + "/"
+        for path in fs.list_files_recursive(data_root):
+            rel = path[len(prefix):] if path.startswith(prefix) else \
+                path.split("/data/", 1)[-1]
+            commit_dir = rel.split("/", 1)[0]
+            by_commit.setdefault(commit_dir, []).append(rel)
+    for commit_dir, rels in by_commit.items():
         cpath = os.path.join(data_root, commit_dir)
-        if not fs.isdir(cpath):
+        if any(f"data/{r}" in referenced for r in rels):
             continue
-        bdirs = [d for d in fs.listdir(cpath) if fs.isdir(os.path.join(cpath, d))]
-        live = False
-        for bdir in bdirs:
-            for fn in fs.listdir(os.path.join(cpath, bdir)):
-                if f"data/{commit_dir}/{bdir}/{fn}" in referenced:
-                    live = True
-        if not live:
-            for bdir in bdirs:
-                for fn in fs.listdir(os.path.join(cpath, bdir)):
-                    removed.append(f"data/{commit_dir}/{bdir}/{fn}")
-            fs.rmtree(cpath)
+        if min_age_seconds > 0 and any(
+            fs.mtime(os.path.join(data_root, r)) > cutoff for r in rels
+        ):
+            continue  # possibly a commit in flight: staged but not yet published
+        removed.extend(f"data/{r}" for r in rels)
+        fs.rmtree(cpath)
     mdir = table._mdir()
     if fs.exists(mdir):
         for fn in fs.listdir(mdir):
             rel = f"_manifests/{fn}"
-            if rel not in shard_refs:
-                fs.remove(os.path.join(mdir, fn))
-                removed.append(rel)
+            if rel in shard_refs:
+                continue
+            fpath = os.path.join(mdir, fn)
+            if min_age_seconds > 0 and fs.mtime(fpath) > cutoff:
+                continue  # shard staged by an in-flight commit
+            fs.remove(fpath)
+            removed.append(rel)
     return removed
 
 

@@ -33,12 +33,33 @@ from .table import (
     DELETED_COL,
     LSN_COL,
     SEQ_COL,
+    CommitConflict,
     LakeTable,
     Snapshot,
     bucket_expr,
 )
 
 OP_COL = "op"
+
+
+def _files_by_bucket(snap: Snapshot) -> dict[int, frozenset]:
+    out: dict[int, set] = {}
+    for f in snap.files:
+        out.setdefault(int(f["bucket"]), set()).add(f["path"])
+    return {b: frozenset(s) for b, s in out.items()}
+
+
+def _changed_buckets(a: Snapshot, b: Snapshot) -> set[int]:
+    """Buckets whose file set differs between two snapshots — what a
+    CONCURRENT writer touched between our load and our publish attempt.
+    Compares manifest-shard refs when both snapshots are sharded (O(buckets),
+    no file-list walk); falls back to per-bucket file-path sets across the
+    legacy inline layout / migration boundary."""
+    if a.manifests and b.manifests:
+        keys = set(a.manifests) | set(b.manifests)
+        return {int(k) for k in keys if a.manifests.get(k) != b.manifests.get(k)}
+    fa, fb = _files_by_bucket(a), _files_by_bucket(b)
+    return {k for k in set(fa) | set(fb) if fa.get(k) != fb.get(k)}
 
 
 def merge_upsert(
@@ -50,6 +71,7 @@ def merge_upsert(
     crash_after_stage: bool = False,
     timings: dict | None = None,
     pre_publish_check=None,
+    max_commit_retries: int = 3,
 ) -> Snapshot | None:
     """Apply one deduplicated change batch to the table and commit a snapshot.
 
@@ -62,10 +84,49 @@ def merge_upsert(
     the whole merge is a single job — probe, dedup, join, and write pipeline
     together with no intermediate materialization. A superset is safe (extra
     buckets are read and rewritten unchanged); a subset is NOT.
+
+    Multi-writer safety (optimistic concurrency, Iceberg's commit loop): a
+    ``CommitConflict`` from the publish step means another writer's snapshot
+    landed after ours was loaded. The loser then (1) skips entirely if the new
+    snapshot already lists this ``batch_id`` (another worker applied the same
+    batch — at-most-once preserved); (2) re-commits the SAME staged files
+    against the new parent when the interloper touched only disjoint buckets
+    (our copy-on-write read is still current — metadata-only retry, mirroring
+    the reference's failed-task re-queue ``TaskGroupContainer.java:162-241``);
+    (3) otherwise re-runs the whole merge against the new snapshot, up to
+    ``max_commit_retries`` times.
     """
+    batch_id = (summary_update or {}).get("batch_id")
+    last_exc: CommitConflict | None = None
+    for _attempt in range(max_commit_retries + 1):
+        snap = table.snapshot()
+        if batch_id is not None and batch_id in snap.applied_batches():
+            return snap  # a concurrent writer applied this exact batch
+        try:
+            return _merge_once(
+                table, src, snap, summary_update, affected_buckets,
+                crash_before_publish, crash_after_stage, timings,
+                pre_publish_check, batch_id,
+            )
+        except CommitConflict as exc:
+            last_exc = exc  # re-load + re-merge against the new current
+    raise last_exc
+
+
+def _merge_once(
+    table: LakeTable,
+    src: DataFrame,
+    snap: Snapshot,
+    summary_update: dict | None,
+    affected_buckets: list[int] | None,
+    crash_before_publish: bool,
+    crash_after_stage: bool,
+    timings: dict | None,
+    pre_publish_check,
+    batch_id,
+) -> Snapshot | None:
     meta = table.meta()
     key, nb = meta["key"], meta["buckets"]
-    snap = table.snapshot()
     schema = snap.schema()
     cols = schema.names()
 
@@ -166,12 +227,31 @@ def merge_upsert(
             # raise here aborts BEFORE the snapshot publishes: staged files
             # become unreferenced orphans, the table is untouched.
             pre_publish_check()
-        snap_out = table.commit(
-            files,
-            replace_buckets=affected,
-            summary_update=summary_update,
-            crash_before_publish=crash_before_publish,
-        )
+        try:
+            snap_out = table.commit(
+                files,
+                replace_buckets=affected,
+                summary_update=summary_update,
+                crash_before_publish=crash_before_publish,
+                expected_parent=snap.version,
+            )
+        except CommitConflict:
+            # a writer published between our snapshot load and the pointer
+            # swap. The staged files are still CORRECT iff that writer
+            # touched none of our buckets (our copy-on-write read of them is
+            # current) — then one metadata-only re-commit against the new
+            # parent suffices, no data rewrite.
+            new_snap = table.snapshot()
+            if batch_id is not None and batch_id in new_snap.applied_batches():
+                return new_snap  # same batch landed via another worker
+            if not _changed_buckets(snap, new_snap).isdisjoint(affected):
+                raise  # overlapping buckets: caller re-runs the full merge
+            snap_out = table.commit(
+                files,
+                replace_buckets=affected,
+                summary_update=summary_update,
+                expected_parent=new_snap.version,
+            )
         if timings is not None:
             timings["commit"] = round(_time.time() - t0, 3)
         return snap_out

@@ -434,6 +434,7 @@ class LakeTable:
         summary_update: dict | None = None,
         schema_update: TableSchema | None = None,
         crash_before_publish: bool = False,
+        expected_parent: int | None = None,
     ) -> Snapshot:
         """Build and publish the next snapshot.
 
@@ -442,8 +443,22 @@ class LakeTable:
         snapshot summary — watermarks replace wholesale per key, ``applied``
         batch-ids append (bounded). ``schema_update`` registers a new schema id
         in the same atomic commit (transactional evolution).
-        """
+
+        ``expected_parent``: the snapshot version the new files were COMPUTED
+        from. A copy-on-write MERGE must pass it: its rewritten buckets embed
+        the basis snapshot's rows, so committing onto a different parent would
+        silently drop a concurrent writer's update to those buckets (the
+        classic lost update — commit() reloading the freshest parent makes it
+        invisible, not safe). On mismatch this raises ``CommitConflict``
+        BEFORE staging; the caller decides whether a metadata-only retry is
+        sound (disjoint buckets) or the merge must re-run (merge_upsert does
+        exactly that). None = order-insensitive commit (pure append, seed
+        load) where any parent is a valid basis."""
         parent = self.snapshot()
+        if expected_parent is not None and parent.version != expected_parent:
+            raise CommitConflict(
+                f"current={parent.version}, basis={expected_parent}"
+            )
         drop = set(replace_buckets) if replace_buckets is not None else set()
         keep = [f for f in parent.files if f["bucket"] not in drop]
 
@@ -499,6 +514,9 @@ class LakeTable:
             schemas[str(schema_id)] = schema_update.to_json()
         summary = json.loads(json.dumps(parent.summary))
         if summary_update:
+            # work on a copy: a CommitConflict retry re-passes the caller's
+            # dict, which the pops below would otherwise have emptied
+            summary_update = dict(summary_update)
             wm = summary_update.pop("watermarks", None)
             if wm:
                 summary.setdefault("watermarks", {}).update(
@@ -520,7 +538,16 @@ class LakeTable:
             summary=summary,
             manifests=manifests,
         )
-        self._write_manifest(snap)
+        # version-claim loop: _next_version raced another writer to the same
+        # number -> the O_EXCL create arbitrates; the loser re-probes upward.
+        # (Whether the WINNER's snapshot then invalidates ours is decided at
+        # publish time via the expected-parent check, not here.)
+        while True:
+            try:
+                self._write_manifest(snap)
+                break
+            except FileExistsError:
+                snap.version = self._next_version(snap.version)
         self._snap_cache[snap.version] = snap
         if crash_before_publish:
             raise RuntimeError("simulated crash between stage and publish")

@@ -118,9 +118,16 @@ def _whole_file_lines(sc, files: list[str], skip: int):
             import zlib
 
             data = zlib.decompress(data)
-        for i, line in enumerate(data.decode("utf-8").splitlines()):
+        # split on \n with per-line \r strip (Hadoop LineRecordReader
+        # semantics) — NOT str.splitlines(), which also breaks on \x0b/\x0c/
+        # \x85/U+2028 etc. and would parse the same bytes into a DIFFERENT
+        # row set than the <=_MAX_UNION_FILES textFile path
+        lines = data.decode("utf-8").split("\n")
+        if lines and lines[-1] == "":
+            lines.pop()  # trailing newline is a terminator, not an empty row
+        for i, line in enumerate(lines):
             if i >= skip:
-                yield line
+                yield line[:-1] if line.endswith("\r") else line
 
     return sc.binaryFiles(
         ",".join(files), minPartitions=min(len(files), sc.defaultParallelism)
