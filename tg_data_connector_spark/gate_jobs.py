@@ -508,8 +508,39 @@ def sql_job_stats_rollup() -> str:
     """
 
 
+# ------------------------------------------- W5: stream/console writer
+def q_job_console_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5 gate row: the debug console sink (reference streamwriter,
+    ``StreamWriter.java:20-100+``) — one collect action, display capped by
+    ``print``, written count == full row count regardless of the cap."""
+    res = run_job(
+        spark,
+        {
+            "reader": {
+                "type": "parquet",
+                "path": _t(sf_dir, "nation"),
+                "column": ["n_nationkey", "n_name", "n_regionkey"],
+                "where": "n_regionkey < 3",
+            },
+            "writer": {"type": "console", "print": 5},
+        },
+    )
+    return spark.createDataFrame(
+        [(res.records_read, res.records_written)],
+        "records_read bigint, written bigint",
+    )
+
+
+def sql_job_console_sink() -> str:
+    return """
+    SELECT count(*) AS records_read, count(*) AS written
+    FROM nation WHERE n_regionkey < 3
+    """
+
+
 JOB_QUERIES = {
     "job_stats_rollup": (q_job_stats_rollup, sql_job_stats_rollup),
+    "job_console_sink": (q_job_console_sink, sql_job_console_sink),
     "split_range_cover": (q_split_range_cover, sql_split_range_cover),
     "split_string_radix_cover": (
         q_split_string_radix_cover, sql_split_string_radix_cover,
