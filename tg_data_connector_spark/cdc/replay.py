@@ -86,14 +86,18 @@ class ReplayConfig:
     # auto-switch threshold: key-count at which a driver-built broadcast of
     # (key, packed-version) rows stops paying for itself (build + per-executor
     # transfer vs shuffling the FULL pre-dedup batch). SET FROM DATA (BENCH.md
-    # round-4 A/B, ≥3 interleaved forced-variant samples at the bench's
-    # 2.7M-key batch shape, 4 lanes): clean-sample means shuffled-hash 84.4 s
-    # vs broadcast 95.2 s, and the round-3 same-window pair agreed (89.2 vs
-    # 110.1 s) — at ~2.7M keys the ~80 MB driver build + per-executor
-    # transfer already loses to the extra shuffled-hash stage, so the switch
-    # flips to shuffle ABOVE 2M keys. Small batches (the common steady-state
-    # tail) stay on broadcast, which prunes losers before any exchange.
-    broadcast_winners_max_keys: int = 2_000_000
+    # round-4 A/B tables: interleaved forced-variant samples at the bench's
+    # 2.7M-key batch shape, BOTH lane widths): at 4 lanes the variants tie
+    # within host noise (best-of 80.3 s broadcast vs 81.1 s shuffle); at 16
+    # lanes broadcast wins ~2.8x (clean samples 30.2/33.0 s vs shuffle's best
+    # 86.0 s, adjacent in the same windows) — the all-shuffle variant moves
+    # ~1.3 GB through shuffle storage per batch where broadcast moves ~80 MB
+    # once, and wide concurrent shuffle I/O is exactly what contended hosts
+    # punish. So broadcast stays the default THROUGH the measured 2.7M-key
+    # regime (threshold 4M); beyond it the linear growth of the driver build
+    # must eventually lose to the flat shuffle cost, and batches that large
+    # are better served by lowering events_per_batch anyway.
+    broadcast_winners_max_keys: int = 4_000_000
     salted_dedup: bool = False  # back-compat alias for dedup_strategy="salted"
     salt_buckets: int = 16
     error_limit: ErrorLimit = field(default_factory=lambda: ErrorLimit(percentage=0.05))
@@ -163,21 +167,36 @@ class ReplayEngine:
         from ..lake.table import bucket_expr
 
         meta = self.table.meta()
-        # GROUPING SETS ((part), ()) — per-part rows PLUS one batch-total row
-        # (part IS NULL; `part` is non-null by the changelog contract) in the
-        # same narrow scan. The total row's HLL distinct-key count feeds the
-        # broadcast-vs-shuffle winner-join auto-switch: summing per-part
-        # distincts OVERCOUNTS keys that span parts (measured ~16x on a
-        # 16-part log), which silently forced the all-shuffle variant for
-        # every realistic batch.
-        return batch.groupingSets([["part"], []], "part").agg(
+        # One groupBy(part) scan carrying a mergeable DataSketches HLL per
+        # part, then a TINY second job unions the sketches into the
+        # batch-global distinct-key count that feeds the broadcast-vs-shuffle
+        # winner-join auto-switch. Summing per-part distincts would OVERCOUNT
+        # keys spanning parts (~16x on a 16-part log); the previous fix —
+        # GROUPING SETS ((part), ()) — got exactness by EXPANDING every input
+        # row 2x through the aggregate pipeline, which measured 1.9x the
+        # whole prepass cost (tools/bench_prepass.py: 6.2 s vs 4.4 s for this
+        # shape vs 3.3 s with no estimate at all). The persist holds only the
+        # per-part agg rows (bounded: one per source partition).
+        base = batch.groupBy("part").agg(
             F.max("offset").alias("hwm"),
             F.count("*").alias("n"),
             F.collect_set(bucket_expr("doc_id", meta["buckets"])).alias("bks"),
             F.max("commit_lsn").alias("vl"),
             F.max("seq_no").alias("vs"),
-            F.approx_count_distinct("doc_id").alias("k"),
-        ).collect()
+            F.hll_sketch_agg("doc_id").alias("_hsk"),
+        ).persist()
+        try:
+            rows = base.drop("_hsk").collect()
+            if not rows:
+                return []
+            tot = base.agg(
+                F.hll_sketch_estimate(F.hll_union_agg("_hsk")).alias("k")
+            ).collect()
+        finally:
+            base.unpersist()
+        return list(rows) + [
+            {"part": None, "k": tot[0]["k"] if tot else None}
+        ]
 
     # ---------- one batch ----------
     def apply_batch(
@@ -637,14 +656,16 @@ class ReplayEngine:
 
         t_pre = time.time()
         win = F.floor((F.col("offset") - F.lit(lo)) / F.lit(per_part)).cast("int")
-        # GROUPING SETS ((w, part), (w)): per-(window, part) rows for
-        # watermarks/lineage PLUS one per-window total row (part IS NULL)
-        # whose HLL count is the window-global key estimate for the winner-
-        # join auto-switch (a per-part sum over-counts keys spanning parts)
-        pre = (
-            remaining.groupingSets(
-                [["w", "part"], ["w"]], win.alias("w"), F.col("part")
-            )
+        # Per-(window, part) rows for watermarks/lineage carry a mergeable
+        # DataSketches HLL each; a second TINY job (input: the persisted agg
+        # rows, one per window x part) unions them into the per-window global
+        # key estimate for the winner-join auto-switch. A per-part SUM
+        # over-counts keys spanning parts (~16x); the previous exact fix,
+        # GROUPING SETS ((w,part),(w)), expanded every input row 2x through
+        # the aggregate pipeline and measured 1.9x this shape's cost
+        # (tools/bench_prepass.py; it was ~14% of clean replay wall).
+        base = (
+            remaining.groupBy(win.alias("w"), F.col("part"))
             .agg(
                 F.max("offset").alias("hwm"),
                 F.count("*").alias("n"),
@@ -653,13 +674,24 @@ class ReplayEngine:
                 ).alias("bks"),
                 F.max("commit_lsn").alias("vl"),
                 F.max("seq_no").alias("vs"),
-                F.approx_count_distinct("doc_id").alias("k"),
+                F.hll_sketch_agg("doc_id").alias("_hsk"),
             )
-            .collect()
+            .persist()
         )
+        try:
+            pre = base.drop("_hsk").collect()
+            totals = base.groupBy("w").agg(
+                F.hll_sketch_estimate(F.hll_union_agg("_hsk")).alias("k")
+            ).collect()
+        finally:
+            base.unpersist()
         stats_by_window: dict[int, list] = {}
         for r in pre:
             stats_by_window.setdefault(int(r["w"]), []).append(r)
+        for r in totals:
+            stats_by_window.setdefault(int(r["w"]), []).append(
+                {"part": None, "k": r["k"]}
+            )
         prepass_s = round(time.time() - t_pre, 3)
 
         b = 0
