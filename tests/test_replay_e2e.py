@@ -240,3 +240,28 @@ def test_replay_into_uri_rooted_table(spark, tmp_path):
     _assert_equiv(t.read(), oracle_final_state(seed, log_tok))
     assert eng.lineage.read(spark).count() > 0  # flush resolved the URI
     assert len(fs.listdir(f"{root}/_manifests")) > 0
+
+
+def test_winner_key_estimate_exact_union(spark, tmp_table_root):
+    """The auto-switch's batch-global key estimate must be the UNION count
+    across source partitions, not a per-part sum: keys span parts (doc_id is
+    unrelated to part), so a sum overcounts ~(events/keys)x and silently
+    forces the wrong winner-join variant. The round-4 prepass unions
+    mergeable HLL sketches (replay.py) — assert its estimate lands within
+    the sketch's error band of the true distinct count."""
+    t, _ = _setup(spark, tmp_table_root)
+    log = gen_changelog(spark, N_EVENTS, N_DOCS, n_parts=N_PARTS)
+    eng = ReplayEngine(spark, t, ReplayConfig(events_per_batch=N_EVENTS * 2))
+    eng.replay(log, run_id="est")
+    true_keys = log.select("doc_id").distinct().count()
+    est = eng._est_keys
+    assert est is not None
+    assert abs(est - true_keys) / true_keys < 0.05  # HLL rsd ~2%
+    # sanity: a per-part sum would be far outside that band on this log
+    per_part_sum = (
+        log.groupBy("part")
+        .agg(F.approx_count_distinct("doc_id").alias("k"))
+        .agg(F.sum("k"))
+        .collect()[0][0]
+    )
+    assert per_part_sum > true_keys * 1.5
