@@ -32,6 +32,7 @@ from .lake import LakeTable
 from .sources.jdbc import (
     quantile_split_predicates,
     range_split_predicates,
+    read_jdbc_split,
     string_range_split_predicates,
 )
 
@@ -538,7 +539,67 @@ def sql_job_console_sink() -> str:
     """
 
 
+# ------------------------------------------------ S1: LIVE partitioned JDBC
+def q_jdbc_live_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 against a REAL database: stage `supplier` into an embedded Derby DB
+    (the JDBC driver pyspark ships for its metastore) via ``df.write.jdbc``,
+    then read it back through the full partitioned scan path —
+    ``read_jdbc_split``'s MIN/MAX bounds pushdown, equal-width range
+    predicates + NULL slice, projection/static-predicate pushdown into the
+    source query, and hint splicing (``SingleTableSplitUtil.java:33-149``,
+    ``HintUtil.java:27-66``) — so every generated predicate executes on a
+    live SQL engine, not just against parquet stand-ins."""
+    # stage with UPPERCASE names: write.jdbc quotes identifiers in its DDL,
+    # and unquoted identifiers in the generated split predicates fold to
+    # upper on Derby (test_jdbc_live pins both behaviors)
+    sup = spark.read.parquet(_t(sf_dir, "supplier")).select(
+        *[
+            F.col(c).alias(c.upper())
+            for c in ("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+        ]
+    )
+    db = tempfile.mkdtemp(prefix="gate_derby_") + "/db"
+    url = f"jdbc:derby:{db};create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    sup.write.jdbc(
+        url,
+        "supplier_t",
+        mode="overwrite",
+        properties=dict(
+            props,
+            # Derby maps StringType to CLOB, which DISTINCT cannot compare —
+            # pin a comparable type, as any real staging DDL would
+            createTableColumnTypes="S_NAME VARCHAR(64)",
+        ),
+    )
+    got = read_jdbc_split(
+        spark,
+        url,
+        "supplier_t",
+        "S_SUPPKEY",
+        8,
+        properties=props,
+        columns=["S_SUPPKEY", "S_NAME", "S_NATIONKEY", "S_ACCTBAL"],
+        where="S_NATIONKEY < 13",
+        # DISTINCT is a hint expression Derby actually executes — proves the
+        # splice lands inside a statement a real engine accepts
+        hint="supplier.*#DISTINCT",
+    )
+    # Derby folds unquoted identifiers to UPPER; realign with the oracle
+    return got.select(
+        [F.col(c).alias(c.lower()) for c in got.columns]
+    )
+
+
+def sql_jdbc_live_roundtrip() -> str:
+    return (
+        "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier "
+        "WHERE s_nationkey < 13"
+    )
+
+
 JOB_QUERIES = {
+    "jdbc_live_roundtrip": (q_jdbc_live_roundtrip, sql_jdbc_live_roundtrip),
     "job_stats_rollup": (q_job_stats_rollup, sql_job_stats_rollup),
     "job_console_sink": (q_job_console_sink, sql_job_console_sink),
     "split_range_cover": (q_split_range_cover, sql_split_range_cover),

@@ -217,7 +217,9 @@ def read_jdbc_split(
             f"(SELECT MIN({pk}) AS lo, MAX({pk}) AS hi FROM {table}) b",
             properties=props,
         ).collect()[0]
-        lower, upper = bounds["lo"], bounds["hi"]
+        # positional: identifier case of unquoted aliases is dialect-defined
+        # (Derby/Oracle fold to upper, MySQL preserves) — found live vs Derby
+        lower, upper = bounds[0], bounds[1]
     if isinstance(lower, str):
         # string primary key (UUIDs, natural keys): radix-128 split, the
         # reference's RangeSplitUtil string path
