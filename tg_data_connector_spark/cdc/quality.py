@@ -59,7 +59,10 @@ def dirty_predicate() -> Column:
         | (F.size(F.col("tokens")) != F.col("n_tok"))
     )
     bad_d = (F.col("op") == "D") & F.col("doc_id").isNull()
-    bad_op = ~F.col("op").isin("I", "U", "D", "S")
+    # NULL-safe: a NULL op (e.g. an unparseable topic envelope) must be
+    # DIRTY — a bare ~isin() evaluates to NULL there, which both the
+    # quarantine filter and the clean filter drop, silently losing the row
+    bad_op = F.col("op").isNull() | ~F.col("op").isin("I", "U", "D", "S")
     return bad_iu | bad_d | bad_op
 
 
@@ -82,7 +85,10 @@ def dirty_predicate_raw(payload_col: str = "payload") -> Column:
         )
     )
     bad_d = (F.col("op") == "D") & F.col("doc_id").isNull()
-    bad_op = ~F.col("op").isin("I", "U", "D", "S")
+    # NULL-safe: a NULL op (e.g. an unparseable topic envelope) must be
+    # DIRTY — a bare ~isin() evaluates to NULL there, which both the
+    # quarantine filter and the clean filter drop, silently losing the row
+    bad_op = F.col("op").isNull() | ~F.col("op").isin("I", "U", "D", "S")
     return bad_iu | bad_d | bad_op
 
 

@@ -98,6 +98,25 @@ class ReplayConfig:
     # must eventually lose to the flat shuffle cost, and batches that large
     # are better served by lowering events_per_batch anyway.
     broadcast_winners_max_keys: int = 4_000_000
+    # Physical MERGE strategy:
+    #   "cow" (default) — copy-on-write: read + full-outer-join + rewrite every
+    #       bucket the batch touches (lake/merge.merge_upsert). Best read-side
+    #       plan (base files only, tombstone filter pushes to the scan), but
+    #       with hash-distributed keys a CDC batch touches ~every bucket, so
+    #       each commit rewrites O(table).
+    #   "mor" — merge-on-read: the deduped batch appends as DELTA files
+    #       (lake/merge.delta_append, O(batch) per commit, base never read);
+    #       reads LWW-resolve base+delta (lake/table.resolve_lww) and
+    #       compaction folds deltas down. The write-heavy half of the
+    #       ingest-vs-scan trade — right when batches are frequent relative
+    #       to reads (exactly the 10^10-event tail-ingest shape).
+    merge_mode: str = "cow"
+    # MOR auto-compaction: after a batch commit, if any bucket holds MORE than
+    # this many delta files, run maintain.compact (folds every delta into the
+    # base, one snapshot). None = compaction is the operator's job (scheduled
+    # maintenance). Bounds read amplification at <= mor_compact_after deltas
+    # per bucket between maintenance runs.
+    mor_compact_after: int | None = None
     salted_dedup: bool = False  # back-compat alias for dedup_strategy="salted"
     salt_buckets: int = 16
     error_limit: ErrorLimit = field(default_factory=lambda: ErrorLimit(percentage=0.05))
@@ -572,16 +591,43 @@ class ReplayEngine:
             metrics["dirty"] = nd
             self.cfg.error_limit.check(prior_dirty + nd, max(events_n, 1))
 
-        snap = merge_upsert(
-            self.table,
-            deduped,
-            summary_update=summary,
-            affected_buckets=affected_buckets,
-            crash_before_publish=crash_before_publish and final,
-            crash_after_stage=crash_after_stage and final,
-            timings=getattr(self, "_phase_timings", None),
-            pre_publish_check=pre_publish,
-        )
+        if self.cfg.merge_mode == "mor":
+            from ..lake.merge import delta_append
+
+            snap = delta_append(
+                self.table,
+                deduped,
+                summary_update=summary,
+                affected_buckets=affected_buckets,
+                bucket_aligned=True,
+                crash_before_publish=crash_before_publish and final,
+                crash_after_stage=crash_after_stage and final,
+                timings=getattr(self, "_phase_timings", None),
+                pre_publish_check=pre_publish,
+            )
+            if snap is not None and final and self.cfg.mor_compact_after:
+                per_bucket: dict[int, int] = {}
+                for f in snap.files:
+                    if f.get("kind") == "delta":
+                        b = int(f["bucket"])
+                        per_bucket[b] = per_bucket.get(b, 0) + 1
+                if per_bucket and max(per_bucket.values()) > self.cfg.mor_compact_after:
+                    from ..lake.maintain import compact
+
+                    t_c = time.time()
+                    compact(self.table)
+                    self._phase_timings["compact"] = round(time.time() - t_c, 3)
+        else:
+            snap = merge_upsert(
+                self.table,
+                deduped,
+                summary_update=summary,
+                affected_buckets=affected_buckets,
+                crash_before_publish=crash_before_publish and final,
+                crash_after_stage=crash_after_stage and final,
+                timings=getattr(self, "_phase_timings", None),
+                pre_publish_check=pre_publish,
+            )
         if snap is None and final and watermarks is not None:
             # nothing to merge but the watermark still advances (all-dirty or
             # empty range): commit a data-less snapshot carrying it

@@ -259,6 +259,73 @@ def sql_cdc_merge_final_state() -> str:
     """
 
 
+def q_cdc_merge_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship twin under the MERGE-ON-READ write path: the same batched
+    replay, but each batch commits as DELTA files (lake/merge.delta_append —
+    O(batch), the base is never rewritten), reads LWW-resolve base+delta
+    (lake/table.resolve_lww), auto-compaction runs mid-replay when any bucket
+    exceeds 4 delta files, and a final compact folds the rest. Must equal the
+    COW flagship oracle EXACTLY — one write-path trade, zero semantic drift."""
+    root = tempfile.mkdtemp(prefix="tgspark_gate_mor_")
+    table = LakeTable.create(
+        spark, f"{root}/seq", SEQ_SCHEMA, key="doc_id", n_buckets=16
+    )
+    table.append(derive_seed(spark, sf_dir), lsn_col=F.lit(-1), seq_col=F.lit(0))
+    eng = ReplayEngine(
+        spark,
+        table,
+        ReplayConfig(events_per_batch=50_000, merge_mode="mor", mor_compact_after=4),
+    )
+    eng.replay(derive_changelog(spark, sf_dir), run_id="gate_mor")
+    from .lake.maintain import compact
+
+    compact(table)
+    assert not any(
+        f.get("kind") == "delta" for f in table.snapshot().files
+    ), "final compaction must leave a base-only snapshot"
+    final = table.read()
+    return final.select(
+        "doc_id", _csv(F.col("tokens")).alias("tokens_csv"), "n_tok", "source"
+    )
+
+
+def sql_cdc_merge_mor() -> str:
+    return sql_cdc_merge_final_state()  # same semantics, different write path
+
+
+def q_cdc_debezium_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship replay fed from a Debezium-envelope topic frame: the derived
+    changelog is encoded to real Debezium JSON (before/after images, op
+    c|u|d, source.lsn/sequence version), parsed back with the pure-JVM
+    ``from_json`` adapter (cdc/envelopes.py), and replayed through the full
+    engine. Oracle = the flagship SQL: the envelope codec must be lossless
+    for every engine-relevant column (dirty rows included — they still
+    quarantine)."""
+    from .cdc.envelopes import from_debezium, to_debezium
+
+    root = tempfile.mkdtemp(prefix="tgspark_gate_dbz_")
+    table = LakeTable.create(
+        spark, f"{root}/seq", SEQ_SCHEMA, key="doc_id", n_buckets=16
+    )
+    table.append(derive_seed(spark, sf_dir), lsn_col=F.lit(-1), seq_col=F.lit(0))
+    topic = to_debezium(
+        derive_changelog(spark, sf_dir), ["doc_id", "tokens", "n_tok", "source"]
+    )
+    log = from_debezium(
+        topic, "doc_id string, tokens array<int>, n_tok int, source string"
+    )
+    eng = ReplayEngine(spark, table, ReplayConfig(events_per_batch=50_000))
+    eng.replay(log, run_id="gate_dbz")
+    final = table.read()
+    return final.select(
+        "doc_id", _csv(F.col("tokens")).alias("tokens_csv"), "n_tok", "source"
+    )
+
+
+def sql_cdc_debezium_envelope() -> str:
+    return sql_cdc_merge_final_state()  # lossless codec -> same final state
+
+
 def q_cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-rule schema evolution: an ``op='S'`` event (add_column lang)
     spliced mid-log must be applied transactionally as its own snapshot
@@ -1137,6 +1204,8 @@ QUERIES = {
     "sessionize_stream": (q_sessionize_stream, None),
     "cdc_schema_evolution": (q_cdc_schema_evolution, sql_cdc_schema_evolution),
     "cdc_schema_widen": (q_cdc_schema_widen, sql_cdc_schema_widen),
+    "cdc_merge_mor": (q_cdc_merge_mor, sql_cdc_merge_mor),
+    "cdc_debezium_envelope": (q_cdc_debezium_envelope, sql_cdc_debezium_envelope),
     "cdc_salted_skew_dedup": (q_cdc_salted_skew_dedup, sql_cdc_salted_skew_dedup),
     "rollup_revenue": (q_rollup_revenue, sql_rollup_revenue),
     "dx_transform_chain": (q_dx_chain, sql_dx_chain),

@@ -113,6 +113,107 @@ def merge_upsert(
     raise last_exc
 
 
+def delta_append(
+    table: LakeTable,
+    src: DataFrame,
+    summary_update: dict | None = None,
+    affected_buckets: list[int] | None = None,
+    bucket_aligned: bool = False,
+    crash_before_publish: bool = False,
+    crash_after_stage: bool = False,
+    timings: dict | None = None,
+    pre_publish_check=None,
+    max_commit_retries: int = 3,
+) -> Snapshot | None:
+    """Merge-on-read write path: stage the deduplicated change batch AS delta
+    files and commit them as a pure append — the base is NEVER read or
+    rewritten, so a batch commit costs O(batch) instead of the COW path's
+    O(touched buckets). At CDC rates with hash-distributed keys every batch
+    touches every bucket, making COW O(table) per batch — at 10^10 rows this
+    is the difference between rewriting 100 TB per batch and appending the
+    batch. Readers resolve LWW across base+delta at scan time
+    (``table.read`` -> ``resolve_lww``); ``maintain.compact`` folds deltas
+    back into the base, bounding read amplification (Iceberg's v2
+    merge-on-read equality-deletes + rewrite_data_files shape; the reference
+    has no table format at all — its writer defers the same trade to the
+    destination DB's own storage engine, ``WriterUtil.java:148-168``).
+
+    Same input contract as ``merge_upsert``: table-schema columns + ``op`` +
+    ``commit_lsn`` + ``seq_no``, exactly ONE row per key. Deletes become
+    tombstone delta rows (payload nulled, ``_deleted=true``, the delete's
+    version retained) — identical tombstone semantics to the COW path, so a
+    late older UPDATE can never resurrect the row, before OR after compaction.
+
+    Multi-writer: an append embeds NO basis rows, so a ``CommitConflict``
+    retry is always metadata-only — the SAME staged files re-commit against
+    the new parent (after the batch-id at-most-once check). Unlike the COW
+    path there is no "overlapping buckets -> re-run the merge" case; this is
+    what makes concurrent single-table writers cheap under MOR.
+
+    ``bucket_aligned``: pass True when ``src`` is already hash-partitioned by
+    the key into exactly n_buckets partitions (the replay pipeline's dedup
+    output is); False adds the one corrective exchange.
+    """
+    meta = table.meta()
+    key, nb = meta["key"], meta["buckets"]
+    snap = table.snapshot()
+    batch_id = (summary_update or {}).get("batch_id")
+    if batch_id is not None and batch_id in snap.applied_batches():
+        return snap
+    if affected_buckets is not None and not affected_buckets:
+        return None
+    cols = snap.schema().names()
+    is_del = F.col(OP_COL) == F.lit("D")
+    out = src.select(
+        F.col(key),
+        *[
+            F.when(~is_del, F.col(c)).otherwise(F.lit(None)).alias(c)
+            for c in cols
+            if c != key
+        ],
+        F.col("commit_lsn").cast("bigint").alias(LSN_COL),
+        F.col("seq_no").cast("bigint").alias(SEQ_COL),
+        is_del.alias(DELETED_COL),
+    ).withColumn(BUCKET_COL, bucket_expr(key, nb))
+
+    import time as _time
+
+    t0 = _time.time()
+    files = table.write_data_files(
+        out,
+        snap.schema_id,
+        crash_after_stage=crash_after_stage,
+        bucket_aligned=bucket_aligned,
+        kind="delta",
+    )
+    if timings is not None:
+        timings["write"] = round(_time.time() - t0, 3)
+        t0 = _time.time()
+    if pre_publish_check is not None:
+        pre_publish_check()  # error-limit assertion: staged files orphan on raise
+    expected = snap.version
+    last_exc: CommitConflict | None = None
+    for _attempt in range(max_commit_retries + 1):
+        try:
+            snap_out = table.commit(
+                files,
+                replace_buckets=None,
+                summary_update=summary_update,
+                crash_before_publish=crash_before_publish,
+                expected_parent=expected,
+            )
+            if timings is not None:
+                timings["commit"] = round(_time.time() - t0, 3)
+            return snap_out
+        except CommitConflict as exc:
+            last_exc = exc
+            new_snap = table.snapshot()
+            if batch_id is not None and batch_id in new_snap.applied_batches():
+                return new_snap  # same batch landed via another worker
+            expected = new_snap.version  # metadata-only retry, same files
+    raise last_exc
+
+
 def _merge_once(
     table: LakeTable,
     src: DataFrame,

@@ -61,6 +61,35 @@ DELETED_COL = "_deleted"
 LINEAGE_COLS = (LSN_COL, SEQ_COL, DELETED_COL)
 
 
+def resolve_lww(df: DataFrame, key: str) -> DataFrame:
+    """Merge-on-read resolution: collapse base + delta rows to each key's
+    newest (_lsn, _seq) version — one hash(key) exchange + an in-partition
+    sort (``row_number`` window), the same shape Delta/Hudi MOR readers use.
+
+    Deliberately NOT the two-phase winner join (``cdc/dedup.winner_filter``):
+    that shape self-joins the scan, and composing the result under set
+    operations (``exceptAll`` rewrites into a union + group-by-all + replicate
+    plan) trips a Catalyst INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND in Spark 4.1 —
+    reproduced and pinned by ``test_mor.py::test_resolved_read_composes_with_
+    set_operations``. The window variant is self-join-free and costs the one
+    exchange the read pays anyway; the per-partition sort is bounded by
+    compaction (delta depth <= mor_compact_after).
+
+    Ties (same key, same version in base AND a delta) are duplicate
+    deliveries of an identical payload by the idempotence contract;
+    row_number picks one arbitrarily."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key).orderBy(
+        F.col(LSN_COL).desc(), F.col(SEQ_COL).desc()
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 def bucket_expr(key_col: str, n_buckets: int):
     """Stable key -> bucket mapping, deliberately IDENTICAL to Spark's own
     shuffle placement: ``pmod(murmur3_hash(key), n)`` is exactly what
@@ -313,6 +342,13 @@ class LakeTable:
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
+        if any(f.get("kind") == "delta" for f in files):
+            # merge-on-read: delta files (lake/merge.delta_append) carry
+            # newer versions / tombstones for keys that may also exist in the
+            # base — resolve LWW at scan time. Base-only snapshots skip this
+            # (no extra exchange on the common read path); compaction
+            # (lake/maintain.compact) folds deltas back into the base.
+            out = resolve_lww(out, self.meta()["key"])
         if not with_lineage:
             # _deleted is written non-null by every writer; a bare NOT predicate
             # (rather than coalesce) stays pushdown-eligible at the parquet scan
@@ -348,6 +384,7 @@ class LakeTable:
         schema_id: int,
         crash_after_stage: bool = False,
         bucket_aligned: bool = False,
+        kind: str | None = None,
     ) -> list[dict]:
         """Stage parquet files for rows already carrying BUCKET_COL. Returns file
         entries; nothing is visible until a snapshot referencing them commits.
@@ -407,6 +444,10 @@ class LakeTable:
                     "bucket": b,
                     "schema_id": schema_id,
                 }
+                if kind is not None:
+                    # "delta" marks merge-on-read change files: readers
+                    # LWW-resolve them against the base (read/resolve_lww)
+                    e["kind"] = kind
                 if obs is not None and len(files) == 1:
                     e["rows"] = bucket_rows[b]
                 else:
@@ -519,9 +560,15 @@ class LakeTable:
             summary_update = dict(summary_update)
             wm = summary_update.pop("watermarks", None)
             if wm:
-                summary.setdefault("watermarks", {}).update(
-                    {str(k): int(v) for k, v in wm.items()}
-                )
+                # MONOTONE merge: high-watermarks never regress. A commit
+                # retried against a newer parent (multi-writer race) re-merges
+                # its summary against the interloper's — a plain overwrite
+                # would let the loser's lower hwm roll back the winner's.
+                wms = summary.setdefault("watermarks", {})
+                for k, v in wm.items():
+                    k, v = str(k), int(v)
+                    if k not in wms or v > int(wms[k]):
+                        wms[k] = v
             bid = summary_update.pop("batch_id", None)
             if bid:
                 applied = summary.setdefault("applied", [])
