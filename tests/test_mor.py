@@ -246,6 +246,90 @@ def test_resolved_read_composes_with_set_operations(spark, tmp_path):
     assert r.intersectAll(other).count() == 1
 
 
+def _bucket_of(spark, doc_id, nb):
+    from tg_data_connector_spark.lake.table import bucket_expr
+
+    return (
+        spark.range(1)
+        .select(F.lit(doc_id).alias("k"))
+        .select(bucket_expr("k", nb).alias("b"))
+        .collect()[0]["b"]
+    )
+
+
+def test_incremental_compact_folds_only_selected_buckets(spark, tmp_path):
+    """compact(buckets=[...]) is O(selected buckets): it folds deltas for the
+    chosen buckets only, leaves other buckets' deltas in place, and never
+    changes the resolved read."""
+    from tg_data_connector_spark.lake.maintain import delta_depths
+
+    t, _ = _setup(spark, str(tmp_path / "t"), seed_docs=10, nb=4)
+    # two keys in DIFFERENT buckets
+    k1 = "d-a"
+    b1 = _bucket_of(spark, k1, 4)
+    k2 = next(
+        f"d-x{i}" for i in range(50) if _bucket_of(spark, f"d-x{i}", 4) != b1
+    )
+    b2 = _bucket_of(spark, k2, 4)
+    delta_append(t, _ev(spark, k1, [1], lsn=5), summary_update={"batch_id": "1"})
+    delta_append(t, _ev(spark, k2, [2], lsn=6), summary_update={"batch_id": "2"})
+    assert set(delta_depths(t.snapshot())) == {b1, b2}
+    before = _sorted_rows(t.read())
+
+    compact(t, buckets=[b1])
+    depths = delta_depths(t.snapshot())
+    assert b1 not in depths and depths[b2] == 1
+    assert _sorted_rows(t.read()) == before
+
+
+def test_compact_conflicts_with_concurrent_writer(spark, tmp_path):
+    """Compaction rewrites the rows of the snapshot it READ, so a writer
+    landing between compact's read and its publish must raise CommitConflict
+    (expected_parent guard) — a silent success would erase the writer's
+    update. Re-running compact then succeeds and keeps the update."""
+    from tg_data_connector_spark.lake.table import CommitConflict
+
+    root = str(tmp_path / "t")
+    t, _ = _setup(spark, root, seed_docs=10, nb=4)
+    t_b = LakeTable(spark, root)
+    delta_append(t, _ev(spark, "d-a", [1], lsn=5), summary_update={"batch_id": "1"})
+
+    fired = [False]
+    orig = t.write_data_files
+
+    def staged_then_interloper(*a, **k):
+        files = orig(*a, **k)
+        if not fired[0]:
+            fired[0] = True
+            delta_append(
+                t_b, _ev(spark, "d-b", [9], lsn=9),
+                summary_update={"batch_id": "race"},
+            )
+        return files
+
+    t.write_data_files = staged_then_interloper
+    with pytest.raises(CommitConflict):
+        compact(t)
+    compact(t)  # re-run against the new current: converges
+    rows = {r["doc_id"]: r["tokens"] for r in t.read().collect()}
+    assert rows["d-a"] == [1] and rows["d-b"] == [9]  # no lost update
+
+
+def test_read_plan_pays_resolution_only_with_deltas(spark, tmp_path):
+    """Plan shape: a base-only snapshot reads with NO window/sort (the common
+    read path is unchanged by the MOR feature); a delta-bearing snapshot adds
+    exactly the row_number resolution."""
+    t, _ = _setup(spark, str(tmp_path / "t"), seed_docs=10, nb=4)
+    plan0 = t.read()._jdf.queryExecution().optimizedPlan().toString()
+    assert "row_number" not in plan0 and "Window" not in plan0
+    delta_append(t, _ev(spark, "d-a", [1], lsn=5), summary_update={"batch_id": "1"})
+    plan1 = t.read()._jdf.queryExecution().optimizedPlan().toString()
+    assert "row_number" in plan1
+    compact(t)
+    plan2 = t.read()._jdf.queryExecution().optimizedPlan().toString()
+    assert "row_number" not in plan2 and "Window" not in plan2
+
+
 def test_watermark_merge_is_monotone(spark, tmp_path):
     """Direct commit-level pin: a summary_update carrying a LOWER hwm for a
     part never regresses the stored watermark (high-watermarks are monotone

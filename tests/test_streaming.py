@@ -53,6 +53,33 @@ def test_stream_tail_matches_oracle(spark, tmp_path):
     assert sorted(table.read().select("doc_id", "tokens", "n_tok", "source").collect()) == state
 
 
+def test_stream_tail_mor_matches_oracle(spark, tmp_path):
+    """The streaming tail composes with the merge-on-read write path: each
+    micro-batch appends delta files (O(batch), no base rewrite — the shape a
+    continuous tail wants), auto-compaction bounds delta depth mid-stream,
+    and the final resolved state equals the window oracle."""
+    log = gen_changelog(spark, 2000, 300, n_parts=4)
+    src_dir = str(tmp_path / "log")
+    log.repartition(6).write.parquet(src_dir)
+    seed = gen_seed_sequences(spark, 200)
+    table = LakeTable.create(spark, str(tmp_path / "tbl"), SCHEMA, "doc_id", 8)
+    table.append(seed)
+    eng = ReplayEngine(
+        spark, table, ReplayConfig(merge_mode="mor", mor_compact_after=2)
+    )
+    q = stream_replay(
+        spark, eng, src_dir, str(tmp_path / "ckpt"), max_files_per_trigger=2
+    )
+    q.awaitTermination(300)
+    from tg_data_connector_spark.lake.maintain import delta_depths
+
+    assert max(delta_depths(table.snapshot()).values(), default=0) <= 2
+    expected = oracle_final_state(seed, spark.read.parquet(src_dir))
+    got = table.read().select("doc_id", "tokens", "n_tok", "source")
+    assert got.exceptAll(expected).count() == 0
+    assert expected.exceptAll(got).count() == 0
+
+
 def test_stateful_sessionize_stream(spark, tmp_path):
     """applyInPandasWithState sessionization: sessions closed by the event-time
     watermark must match the batch gap-sessionizer for the same events."""

@@ -606,16 +606,19 @@ class ReplayEngine:
                 pre_publish_check=pre_publish,
             )
             if snap is not None and final and self.cfg.mor_compact_after:
-                per_bucket: dict[int, int] = {}
-                for f in snap.files:
-                    if f.get("kind") == "delta":
-                        b = int(f["bucket"])
-                        per_bucket[b] = per_bucket.get(b, 0) + 1
-                if per_bucket and max(per_bucket.values()) > self.cfg.mor_compact_after:
-                    from ..lake.maintain import compact
+                from ..lake.maintain import compact, delta_depths
 
+                # INCREMENTAL: fold only the buckets whose delta depth
+                # crossed the threshold — O(selected buckets), not O(table);
+                # the snapshot's file list is in memory, so the pick is free
+                over = [
+                    b
+                    for b, d in delta_depths(snap).items()
+                    if d > self.cfg.mor_compact_after
+                ]
+                if over:
                     t_c = time.time()
-                    compact(self.table)
+                    compact(self.table, buckets=sorted(over))
                     self._phase_timings["compact"] = round(time.time() - t_c, 3)
         else:
             snap = merge_upsert(

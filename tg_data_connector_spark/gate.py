@@ -326,6 +326,59 @@ def sql_cdc_debezium_envelope() -> str:
     return sql_cdc_merge_final_state()  # lossless codec -> same final state
 
 
+def q_cdc_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed READ (the consumer side of CDC): replay the derived
+    changelog under merge-on-read, then ask the table for every row-level
+    change committed since the seed (``table.changes`` — Iceberg changelog /
+    Delta CDF analog). The feed must equal, batch for batch, the per-offset-
+    window LWW winners of the clean changelog: one row per (batch, key) with
+    the winner's version pair, deletes as tombstones (null payload,
+    deleted=true)."""
+    root = tempfile.mkdtemp(prefix="tgspark_gate_cdf_")
+    table = LakeTable.create(
+        spark, f"{root}/seq", SEQ_SCHEMA, key="doc_id", n_buckets=16
+    )
+    table.append(derive_seed(spark, sf_dir), lsn_col=F.lit(-1), seq_col=F.lit(0))
+    v0 = table.current_version()
+    eng = ReplayEngine(
+        spark, table, ReplayConfig(events_per_batch=50_000, merge_mode="mor")
+    )
+    reports = eng.replay(derive_changelog(spark, sf_dir), run_id="gate_cdf")
+    # one snapshot per batch, consecutive versions (single writer, every
+    # 50k-event batch has clean winners) -> batch index is pure arithmetic
+    assert table.current_version() - v0 == len(reports)
+    ch = table.changes(v0)
+    return ch.select(
+        (F.col("_commit_version") - F.lit(v0 + 1)).cast("int").alias("w"),
+        "doc_id",
+        _csv(F.col("tokens")).alias("tokens_csv"),
+        "n_tok",
+        "source",
+        F.col("_lsn").alias("lsn"),
+        F.col("_seq").alias("seq"),
+        F.col("_deleted").alias("deleted"),
+    )
+
+
+def sql_cdc_changes_feed() -> str:
+    # the replay batches by offset window: per_part = 50_000 / n_parts(=4)
+    return f"""
+    WITH log AS ({CHANGELOG_SQL}),
+    clean AS (
+      SELECT *, CAST(FLOOR((off - (SELECT MIN(off) FROM log)) / 12500)
+                     AS INT) AS w
+      FROM log WHERE NOT {DIRTY_SQL})
+    SELECT w, doc_id,
+           CASE WHEN op = 'D' THEN NULL ELSE {_CSV} END AS tokens_csv,
+           CASE WHEN op = 'D' THEN NULL ELSE n_tok END AS n_tok,
+           CASE WHEN op = 'D' THEN NULL ELSE source END AS source,
+           commit_lsn AS lsn, seq_no AS seq, (op = 'D') AS deleted
+    FROM (SELECT *, row_number() OVER (PARTITION BY w, doc_id
+                    ORDER BY commit_lsn DESC, seq_no DESC) AS rn FROM clean)
+    WHERE rn = 1
+    """
+
+
 def q_cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-rule schema evolution: an ``op='S'`` event (add_column lang)
     spliced mid-log must be applied transactionally as its own snapshot
@@ -1206,6 +1259,7 @@ QUERIES = {
     "cdc_schema_widen": (q_cdc_schema_widen, sql_cdc_schema_widen),
     "cdc_merge_mor": (q_cdc_merge_mor, sql_cdc_merge_mor),
     "cdc_debezium_envelope": (q_cdc_debezium_envelope, sql_cdc_debezium_envelope),
+    "cdc_changes_feed": (q_cdc_changes_feed, sql_cdc_changes_feed),
     "cdc_salted_skew_dedup": (q_cdc_salted_skew_dedup, sql_cdc_salted_skew_dedup),
     "rollup_revenue": (q_rollup_revenue, sql_rollup_revenue),
     "dx_transform_chain": (q_dx_chain, sql_dx_chain),

@@ -29,24 +29,60 @@ from .table import BUCKET_COL, DELETED_COL, LakeTable, Snapshot, bucket_expr
 
 
 def compact(
-    table: LakeTable, purge_tombstones: bool = False, target_files_per_bucket: int = 1
+    table: LakeTable,
+    purge_tombstones: bool = False,
+    buckets: list[int] | None = None,
 ) -> Snapshot:
-    """Rewrite every bucket's files into one file (small-file compaction),
-    optionally dropping tombstones. Commits one snapshot; readers of older
-    snapshots are unaffected (files are immutable)."""
+    """Rewrite buckets' files into one file each (small-file compaction),
+    folding any merge-on-read delta files into the base (the resolved read
+    collapses them), optionally dropping tombstones. Commits one snapshot;
+    readers of older snapshots are unaffected (files are immutable).
+
+    ``buckets``: compact only this subset — INCREMENTAL maintenance. At
+    100 TB a full-table compaction is a once-in-a-while job; steady-state
+    maintenance compacts the buckets whose delta depth crossed a threshold
+    (``delta_depths`` below picks them), each run O(selected buckets). None
+    compacts the whole table.
+
+    Basis-protected: the rewrite embeds the rows of the snapshot it READ, so
+    the commit passes ``expected_parent`` — a concurrent writer landing
+    between the read and the publish raises ``CommitConflict`` instead of
+    being silently erased by the compacted files. Re-run on conflict (the
+    operation is idempotent and there is no urgency ordering)."""
     snap = table.snapshot()
     meta = table.meta()
-    df = table.read(snapshot=snap, with_lineage=True)
+    df = table.read(snapshot=snap, with_lineage=True, buckets=buckets)
     if purge_tombstones:
         df = df.where(~F.col(DELETED_COL))
     df = df.withColumn(BUCKET_COL, bucket_expr(meta["key"], meta["buckets"]))
     files = table.write_data_files(df, snap.schema_id)
-    all_buckets = sorted({f["bucket"] for f in snap.files} | {f["bucket"] for f in files})
+    chosen = None if buckets is None else set(buckets)
+    replace = sorted(
+        {
+            f["bucket"]
+            for f in snap.files
+            if chosen is None or f["bucket"] in chosen
+        }
+        | {f["bucket"] for f in files}
+    )
     return table.commit(
         files,
-        replace_buckets=all_buckets,
+        replace_buckets=replace,
         summary_update={"compaction": True, "purged_tombstones": purge_tombstones},
+        expected_parent=snap.version,
     )
+
+
+def delta_depths(snap: Snapshot) -> dict[int, int]:
+    """Per-bucket count of merge-on-read delta files in a snapshot — the
+    incremental-compaction picker: ``compact(t, buckets=[b for b, d in
+    delta_depths(s).items() if d > threshold])``. Pure metadata, no I/O."""
+    out: dict[int, int] = {}
+    for f in snap.files:
+        if f.get("kind") == "delta":
+            b = int(f["bucket"])
+            out[b] = out.get(b, 0) + 1
+    return out
 
 
 def gc_orphans(table: LakeTable, min_age_seconds: float = 3600.0) -> list[str]:

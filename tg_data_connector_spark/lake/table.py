@@ -311,37 +311,17 @@ class LakeTable:
         if buckets is not None:
             bset = set(buckets)
             files = [f for f in files if f["bucket"] in bset]
-        lineage = [(LSN_COL, "bigint"), (SEQ_COL, "bigint"), (DELETED_COL, "boolean")]
-        out_fields = cur.fields + lineage
-        if not files:
+        out = self._read_file_entries(files, snap.schemas, cur)
+        if out is None:
+            lineage = [
+                (LSN_COL, "bigint"), (SEQ_COL, "bigint"), (DELETED_COL, "boolean")
+            ]
             return self.spark.createDataFrame(
-                [], TableSchema(out_fields if with_lineage else cur.fields).ddl()
+                [],
+                TableSchema(
+                    cur.fields + lineage if with_lineage else cur.fields
+                ).ddl(),
             )
-        # group files by their write-time schema; read each group with an
-        # explicit schema (no inference), then align up to the current schema
-        by_sid: dict[int, list[str]] = {}
-        for f in files:
-            by_sid.setdefault(f["schema_id"], []).append(
-                os.path.join(self.root, f["path"])
-            )
-        parts = []
-        for sid, paths in by_sid.items():
-            wschema = TableSchema.from_json(snap.schemas[str(sid)])
-            read_schema = TableSchema(wschema.fields + lineage)
-            df = self.spark.read.schema(read_schema.ddl()).parquet(*paths)
-            cols = []
-            have = dict(wschema.fields)
-            for name, typ in cur.fields:
-                if name in have:
-                    cols.append(F.col(name).cast(typ).alias(name))
-                else:
-                    cols.append(F.lit(None).cast(typ).alias(name))
-            for name, typ in lineage:
-                cols.append(F.col(name).cast(typ).alias(name))
-            parts.append(df.select(cols))
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
         if any(f.get("kind") == "delta" for f in files):
             # merge-on-read: delta files (lake/merge.delta_append) carry
             # newer versions / tombstones for keys that may also exist in the
@@ -353,6 +333,115 @@ class LakeTable:
             # _deleted is written non-null by every writer; a bare NOT predicate
             # (rather than coalesce) stays pushdown-eligible at the parquet scan
             out = out.where(~F.col(DELETED_COL)).drop(*LINEAGE_COLS)
+        return out
+
+    def _read_file_entries(
+        self, files: list[dict], schemas: dict, target: TableSchema
+    ) -> DataFrame | None:
+        """Read a list of manifest file entries, each with its write-time
+        schema (no inference), aligned (cast / null-fill) up to ``target``,
+        lineage columns included. None for an empty list. No tombstone filter
+        and no delta resolution — callers layer those."""
+        if not files:
+            return None
+        lineage = [(LSN_COL, "bigint"), (SEQ_COL, "bigint"), (DELETED_COL, "boolean")]
+        by_sid: dict[int, list[str]] = {}
+        for f in files:
+            by_sid.setdefault(f["schema_id"], []).append(
+                os.path.join(self.root, f["path"])
+            )
+        parts = []
+        for sid, paths in by_sid.items():
+            wschema = TableSchema.from_json(schemas[str(sid)])
+            read_schema = TableSchema(wschema.fields + lineage)
+            df = self.spark.read.schema(read_schema.ddl()).parquet(*paths)
+            cols = []
+            have = dict(wschema.fields)
+            for name, typ in target.fields:
+                if name in have:
+                    cols.append(F.col(name).cast(typ).alias(name))
+                else:
+                    cols.append(F.lit(None).cast(typ).alias(name))
+            for name, typ in lineage:
+                cols.append(F.col(name).cast(typ).alias(name))
+            parts.append(df.select(cols))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def changes(
+        self, from_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """Change-data-feed read (Iceberg changelog / Delta CDF analog): the
+        row-level changes committed AFTER ``from_version`` up to and
+        including ``to_version`` (default: current). The engine can therefore
+        EMIT a changelog downstream, not just ingest one — the consumer side
+        of the same CDC contract (``_deleted=true`` rows are deletes,
+        everything else upserts; LWW MERGE downstream makes the
+        insert-vs-update distinction immaterial, so it is not computed).
+
+        Output: table columns + lineage (``_lsn``/``_seq``/``_deleted``) +
+        ``_commit_version``, one row per (commit, key) the commit changed.
+
+        Cost model: merge-on-read delta commits are read VERBATIM (their new
+        files ARE the change set — O(changes), the CDC-scale path); COW merge
+        commits are DIFFED against their parent (anti-join of rewritten
+        buckets on (key, version) — O(touched buckets) per commit, exact);
+        compaction commits are skipped (no logical change, flagged in the
+        snapshot summary).
+        """
+        to_v = self.current_version() if to_version is None else to_version
+        chain: list[Snapshot] = []
+        v: int | None = to_v
+        while v is not None and v > from_version:
+            s = self.snapshot(v)
+            chain.append(s)
+            v = s.parent
+        if v != from_version:
+            raise ValueError(
+                f"version {from_version} is not an ancestor of {to_v}"
+            )
+        chain.reverse()
+        target = self.snapshot(to_v).schema()
+        key = self.meta()["key"]
+        outs = []
+        for s in chain:
+            if s.summary.get("compaction"):
+                continue  # physical rewrite, no logical change
+            parent_paths = (
+                {f["path"] for f in self.snapshot(s.parent).files}
+                if s.parent is not None
+                else set()
+            )
+            new_files = [f for f in s.files if f["path"] not in parent_paths]
+            if not new_files:
+                continue
+            df = self._read_file_entries(new_files, s.schemas, target)
+            if not all(f.get("kind") == "delta" for f in new_files):
+                # COW rewrite (or bulk append): keep only rows whose (key,
+                # version) is NOT in the parent's view of the same buckets —
+                # the rows this commit logically changed
+                bks = sorted({f["bucket"] for f in new_files})
+                if s.parent is not None and parent_paths:
+                    prev = self.read(
+                        snapshot=self.snapshot(s.parent),
+                        buckets=bks,
+                        with_lineage=True,
+                    ).select(key, LSN_COL, SEQ_COL)
+                    df = df.join(prev, [key, LSN_COL, SEQ_COL], "left_anti")
+            outs.append(df.withColumn("_commit_version", F.lit(s.version)))
+        if not outs:
+            lineage = [
+                (LSN_COL, "bigint"), (SEQ_COL, "bigint"), (DELETED_COL, "boolean"),
+                ("_commit_version", "int"),
+            ]
+            return self.spark.createDataFrame(
+                [], TableSchema(target.fields + lineage).ddl()
+            )
+        out = outs[0]
+        for p in outs[1:]:
+            out = out.unionByName(p)
         return out
 
     # ---------- write / commit ----------
