@@ -185,7 +185,6 @@ class ReplayEngine:
         buckets are read and rewritten unchanged)."""
         from ..lake.table import bucket_expr
 
-        meta = self.table.meta()
         # One groupBy(part) scan carrying a mergeable DataSketches HLL per
         # part, then a TINY second job unions the sketches into the
         # batch-global distinct-key count that feeds the broadcast-vs-shuffle
@@ -199,7 +198,9 @@ class ReplayEngine:
         base = batch.groupBy("part").agg(
             F.max("offset").alias("hwm"),
             F.count("*").alias("n"),
-            F.collect_set(bucket_expr("doc_id", meta["buckets"])).alias("bks"),
+            F.collect_set(
+                bucket_expr("doc_id", self.table.bucket_count())
+            ).alias("bks"),
             F.max("commit_lsn").alias("vl"),
             F.max("seq_no").alias("vs"),
             F.hll_sketch_agg("doc_id").alias("_hsk"),
@@ -480,7 +481,7 @@ class ReplayEngine:
         src = project(clean_kept)
         src_agg = project(clean_agg)
         strategy = "salted" if self.cfg.salted_dedup else self.cfg.dedup_strategy
-        nb = self.table.meta()["buckets"]
+        nb = self.table.bucket_count()
         if strategy == "salted":
             deduped = lww_dedup_salted(src, "doc_id", self.cfg.salt_buckets)
         elif strategy == "maxby":
@@ -719,7 +720,7 @@ class ReplayEngine:
                 F.max("offset").alias("hwm"),
                 F.count("*").alias("n"),
                 F.collect_set(
-                    bucket_expr("doc_id", self.table.meta()["buckets"])
+                    bucket_expr("doc_id", self.table.bucket_count())
                 ).alias("bks"),
                 F.max("commit_lsn").alias("vl"),
                 F.max("seq_no").alias("vs"),

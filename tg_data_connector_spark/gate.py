@@ -293,6 +293,101 @@ def sql_cdc_merge_mor() -> str:
     return sql_cdc_merge_final_state()  # same semantics, different write path
 
 
+def q_lake_rebucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-count evolution MID-replay (maintain.rebucket — Iceberg's
+    partition-spec evolution for the bucket transform): replay the first
+    half of the changelog into a 4-bucket table, rewrite the table to 16
+    buckets in one atomic commit, then resume the replay (watermarks skip
+    the applied half). The final state must equal the flagship oracle
+    EXACTLY — the layout switch is physical only — and every post-switch
+    file must live under the 16-wide layout."""
+    root = tempfile.mkdtemp(prefix="tgspark_gate_rbk_")
+    table = LakeTable.create(
+        spark, f"{root}/seq", SEQ_SCHEMA, key="doc_id", n_buckets=4
+    )
+    table.append(derive_seed(spark, sf_dir), lsn_col=F.lit(-1), seq_col=F.lit(0))
+    log = derive_changelog(spark, sf_dir)
+    mid = log.agg(
+        F.floor((F.min("offset") + F.max("offset")) / 2).cast("bigint")
+    ).collect()[0][0]
+    eng = ReplayEngine(spark, table, ReplayConfig(events_per_batch=50_000))
+    eng.replay(log.where(F.col("offset") <= mid), run_id="gate_rbk")
+    from .lake.maintain import rebucket
+
+    rebucket(table, 16)
+    assert table.bucket_count() == 16
+    eng.replay(log, run_id="gate_rbk")  # resume past the applied half
+    snap = table.snapshot()
+    assert {f["bucket"] for f in snap.files} <= set(range(16))
+    final = table.read()
+    return final.select(
+        "doc_id", _csv(F.col("tokens")).alias("tokens_csv"), "n_tok", "source"
+    )
+
+
+def sql_lake_rebucket() -> str:
+    return sql_cdc_merge_final_state()  # physical rewrite, zero logical drift
+
+
+def q_lake_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-travel read + snapshot rollback (Iceberg read-at-snapshot /
+    rollback_to_snapshot): replay the full changelog (one snapshot per
+    50k-event batch), read the table AS OF the mid-replay snapshot, then
+    ROLL BACK to that snapshot and read again. Both reads must be identical
+    (rollback is just a pointer swap to the time-travel target) and must
+    equal the oracle's LWW state over the first half of the offset windows —
+    proving historical snapshots stay byte-stable after later commits."""
+    root = tempfile.mkdtemp(prefix="tgspark_gate_tt_")
+    table = LakeTable.create(
+        spark, f"{root}/seq", SEQ_SCHEMA, key="doc_id", n_buckets=16
+    )
+    table.append(derive_seed(spark, sf_dir), lsn_col=F.lit(-1), seq_col=F.lit(0))
+    v0 = table.current_version()
+    eng = ReplayEngine(spark, table, ReplayConfig(events_per_batch=50_000))
+    reports = eng.replay(derive_changelog(spark, sf_dir), run_id="gate_tt")
+    n = len(reports)
+    assert table.current_version() - v0 == n  # one snapshot per batch
+    k = n // 2
+
+    def proj(df):
+        return df.select(
+            "doc_id", _csv(F.col("tokens")).alias("tokens_csv"), "n_tok",
+            "source",
+        )
+
+    hist = proj(table.read(snapshot=table.snapshot(v0 + k)))
+    table.rollback(v0 + k)
+    rolled = proj(table.read())
+    assert hist.exceptAll(rolled).isEmpty() and rolled.exceptAll(hist).isEmpty()
+    return rolled
+
+
+def sql_lake_time_travel() -> str:
+    # state after the first half of the replay's offset windows:
+    # per-part window width = events_per_batch(50k) / n_parts(4)
+    return f"""
+    WITH log AS ({CHANGELOG_SQL}),
+    clean AS (
+      SELECT *, CAST(FLOOR((off - (SELECT MIN(off) FROM log)) / 12500)
+                     AS INT) AS w
+      FROM log WHERE NOT {DIRTY_SQL}),
+    half AS (
+      SELECT * FROM clean
+      WHERE w < (SELECT CAST(FLOOR((MAX(w) + 1) / 2) AS INT) FROM clean)),
+    latest AS (
+      SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                     ORDER BY commit_lsn DESC, seq_no DESC) AS rn FROM half)
+      WHERE rn = 1),
+    seed AS ({SEED_SQL})
+    SELECT doc_id, {_CSV} AS tokens_csv, n_tok, source FROM latest
+    WHERE op <> 'D'
+    UNION ALL
+    SELECT s.doc_id, array_to_string(s.tokens, ',') AS tokens_csv, s.n_tok,
+           s.source
+    FROM seed s ANTI JOIN latest l ON s.doc_id = l.doc_id
+    """
+
+
 def q_cdc_debezium_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship replay fed from a Debezium-envelope topic frame: the derived
     changelog is encoded to real Debezium JSON (before/after images, op
@@ -1258,6 +1353,8 @@ QUERIES = {
     "cdc_schema_evolution": (q_cdc_schema_evolution, sql_cdc_schema_evolution),
     "cdc_schema_widen": (q_cdc_schema_widen, sql_cdc_schema_widen),
     "cdc_merge_mor": (q_cdc_merge_mor, sql_cdc_merge_mor),
+    "lake_rebucket": (q_lake_rebucket, sql_lake_rebucket),
+    "lake_time_travel": (q_lake_time_travel, sql_lake_time_travel),
     "cdc_debezium_envelope": (q_cdc_debezium_envelope, sql_cdc_debezium_envelope),
     "cdc_changes_feed": (q_cdc_changes_feed, sql_cdc_changes_feed),
     "cdc_salted_skew_dedup": (q_cdc_salted_skew_dedup, sql_cdc_salted_skew_dedup),

@@ -51,11 +51,12 @@ def compact(
     operation is idempotent and there is no urgency ordering)."""
     snap = table.snapshot()
     meta = table.meta()
+    nb = table.bucket_count(snap)
     df = table.read(snapshot=snap, with_lineage=True, buckets=buckets)
     if purge_tombstones:
         df = df.where(~F.col(DELETED_COL))
-    df = df.withColumn(BUCKET_COL, bucket_expr(meta["key"], meta["buckets"]))
-    files = table.write_data_files(df, snap.schema_id)
+    df = df.withColumn(BUCKET_COL, bucket_expr(meta["key"], nb))
+    files = table.write_data_files(df, snap.schema_id, n_buckets=nb)
     chosen = None if buckets is None else set(buckets)
     replace = sorted(
         {
@@ -69,6 +70,60 @@ def compact(
         files,
         replace_buckets=replace,
         summary_update={"compaction": True, "purged_tombstones": purge_tombstones},
+        expected_parent=snap.version,
+    )
+
+
+def rebucket(table: LakeTable, new_n_buckets: int) -> Snapshot:
+    """Bucket-count evolution (Iceberg's partition-spec evolution for the
+    bucket transform): rewrite the whole table into ``new_n_buckets`` and
+    switch the count in the SAME atomic commit.
+
+    Why this must exist at 100 TB: the bucket count fixes the merge-join /
+    write parallelism AND the per-bucket file size. A table created at, say,
+    32 buckets and grown 1000x ends up with ~3 TB buckets — too coarse for
+    bucket pruning, too big per write task. Doubling the bucket count on a
+    live table is routine capacity maintenance, not a table migration.
+
+    Mechanics: one resolved read of the current snapshot (folds any
+    merge-on-read deltas, keeps tombstones — their anti-resurrection
+    semantics must survive the rewrite), one repartition to the new count,
+    one commit replacing EVERY old bucket. The new count rides
+    ``summary["buckets"]``, which every subsequent commit inherits and every
+    writer reads via ``LakeTable.bucket_count`` — so the layout switch is the
+    snapshot pointer swap itself: crash anywhere and the table is still
+    wholly old-layout or wholly new-layout, never mixed.
+
+    Marked ``compaction`` in the summary: a physical rewrite with no logical
+    change, so the change-data-feed (``table.changes``) skips it.
+
+    Concurrency: basis-protected like ``compact`` — a concurrent writer
+    publishing between read and publish raises ``CommitConflict``; re-run.
+    A concurrent writer that LOSES to the rebucket re-runs its merge and
+    picks up the new count from the fresh snapshot."""
+    if new_n_buckets < 1:
+        raise ValueError(f"new_n_buckets must be >= 1, got {new_n_buckets}")
+    snap = table.snapshot()
+    meta = table.meta()
+    old_nb = table.bucket_count(snap)
+    if new_n_buckets == old_nb:
+        return snap
+    df = table.read(snapshot=snap, with_lineage=True)
+    df = df.withColumn(BUCKET_COL, bucket_expr(meta["key"], new_n_buckets))
+    files = table.write_data_files(
+        df, snap.schema_id, n_buckets=new_n_buckets
+    )
+    replace = sorted(
+        {f["bucket"] for f in snap.files} | {f["bucket"] for f in files}
+    )
+    return table.commit(
+        files,
+        replace_buckets=replace,
+        summary_update={
+            "buckets": new_n_buckets,
+            "compaction": True,
+            "rebucket": {"from": old_nb, "to": new_n_buckets},
+        },
         expected_parent=snap.version,
     )
 

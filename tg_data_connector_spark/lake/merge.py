@@ -98,10 +98,19 @@ def merge_upsert(
     """
     batch_id = (summary_update or {}).get("batch_id")
     last_exc: CommitConflict | None = None
+    basis_nb: int | None = None
     for _attempt in range(max_commit_retries + 1):
         snap = table.snapshot()
         if batch_id is not None and batch_id in snap.applied_batches():
             return snap  # a concurrent writer applied this exact batch
+        nb_now = table.bucket_count(snap)
+        if basis_nb is None:
+            basis_nb = nb_now
+        elif nb_now != basis_nb:
+            # a concurrent rebucket landed: the caller's bucket ids were
+            # computed under the OLD layout — recompute from src
+            affected_buckets = None
+            basis_nb = nb_now
         try:
             return _merge_once(
                 table, src, snap, summary_update, affected_buckets,
@@ -155,8 +164,8 @@ def delta_append(
     output is); False adds the one corrective exchange.
     """
     meta = table.meta()
-    key, nb = meta["key"], meta["buckets"]
     snap = table.snapshot()
+    key, nb = meta["key"], table.bucket_count(snap)
     batch_id = (summary_update or {}).get("batch_id")
     if batch_id is not None and batch_id in snap.applied_batches():
         return snap
@@ -185,6 +194,7 @@ def delta_append(
         crash_after_stage=crash_after_stage,
         bucket_aligned=bucket_aligned,
         kind="delta",
+        n_buckets=nb,
     )
     if timings is not None:
         timings["write"] = round(_time.time() - t0, 3)
@@ -227,7 +237,7 @@ def _merge_once(
     batch_id,
 ) -> Snapshot | None:
     meta = table.meta()
-    key, nb = meta["key"], meta["buckets"]
+    key, nb = meta["key"], table.bucket_count(snap)
     schema = snap.schema()
     cols = schema.names()
 
@@ -317,6 +327,7 @@ def _merge_once(
             snap.schema_id,
             crash_after_stage=crash_after_stage,
             bucket_aligned=True,
+            n_buckets=nb,
         )
         if timings is not None:
             timings["write"] = round(_time.time() - t0, 3)

@@ -248,6 +248,38 @@ class LakeTable:
             self._meta_cache = m
         return m
 
+    def bucket_count(self, snap: "Snapshot | None" = None) -> int:
+        """The table's CURRENT bucket count — snapshot-scoped, not fixed at
+        create time. ``summary["buckets"]`` (carried forward by every commit,
+        rewritten atomically by ``maintain.rebucket``) is authoritative; the
+        ``_meta.json`` sidecar value is only the create-time fallback for
+        tables predating bucket evolution. Pass the snapshot a caller already
+        holds to avoid a re-read of ``_current``."""
+        s = snap if snap is not None else self.snapshot()
+        b = s.summary.get("buckets")
+        return int(b) if b is not None else int(self.meta()["buckets"])
+
+    def rollback(self, to_version: int) -> "Snapshot":
+        """Point the table back at an ANCESTOR snapshot (Iceberg's
+        rollback_to_snapshot): one atomic pointer swap, no data I/O. The
+        abandoned descendants' version files and data files remain on disk —
+        still valid time-travel targets — until ``expire_snapshots`` /
+        ``gc_orphans`` age them out. The next commit after a rollback probes
+        past the abandoned version numbers (``_next_version``), so the new
+        lineage never collides with the dead branch."""
+        cur = self.current_version()
+        if to_version == cur:
+            return self.snapshot()
+        v: int | None = cur
+        while v is not None and v != to_version:
+            v = self.snapshot(v).parent
+        if v != to_version:
+            raise ValueError(
+                f"version {to_version} is not an ancestor of current {cur}"
+            )
+        self._publish(to_version, expected_parent=cur)
+        return self.snapshot(to_version)
+
     def current_version(self) -> int:
         return int(self.fs.read_text(self._current_path()).strip())
 
@@ -474,6 +506,7 @@ class LakeTable:
         crash_after_stage: bool = False,
         bucket_aligned: bool = False,
         kind: str | None = None,
+        n_buckets: int | None = None,
     ) -> list[dict]:
         """Stage parquet files for rows already carrying BUCKET_COL. Returns file
         entries; nothing is visible until a snapshot referencing them commits.
@@ -488,7 +521,10 @@ class LakeTable:
 
         commit_dir = f"data/c-{uuid.uuid4().hex}"
         out_path = os.path.join(self.root, commit_dir)
-        nb = self.meta()["buckets"]
+        # callers pass n_buckets explicitly when they computed BUCKET_COL
+        # against a specific snapshot (merge basis / rebucket target) so the
+        # file layout can never disagree with the bucket ids in the rows
+        nb = self.bucket_count() if n_buckets is None else n_buckets
         key = self.meta()["key"]
         if not bucket_aligned:
             df = df.repartition(nb, F.col(key))
@@ -643,6 +679,13 @@ class LakeTable:
             schema_id = max(int(k) for k in schemas) + 1
             schemas[str(schema_id)] = schema_update.to_json()
         summary = json.loads(json.dumps(parent.summary))
+        # per-COMMIT annotations never inherit: a summary is copied forward
+        # wholesale, so without this strip every commit after a compaction
+        # would still read as `compaction: true` — and the change-data-feed
+        # (changes()) would silently skip every subsequent merge. Table-STATE
+        # keys (buckets, watermarks, applied) do carry forward.
+        for ephemeral in ("compaction", "purged_tombstones", "rebucket"):
+            summary.pop(ephemeral, None)
         if summary_update:
             # work on a copy: a CommitConflict retry re-passes the caller's
             # dict, which the pops below would otherwise have emptied
@@ -694,8 +737,8 @@ class LakeTable:
     def append(self, df: DataFrame, lsn_col=None, seq_col=None) -> Snapshot:
         """Bulk load rows (initial seed). Adds bucket + lineage columns."""
         meta = self.meta()
-        key, nb = meta["key"], meta["buckets"]
         snap = self.snapshot()
+        key, nb = meta["key"], self.bucket_count(snap)
         out = df
         if LSN_COL not in out.columns:
             out = out.withColumn(
@@ -708,5 +751,5 @@ class LakeTable:
         if DELETED_COL not in out.columns:
             out = out.withColumn(DELETED_COL, F.lit(False))
         out = out.withColumn(BUCKET_COL, bucket_expr(key, nb))
-        files = self.write_data_files(out, snap.schema_id)
+        files = self.write_data_files(out, snap.schema_id, n_buckets=nb)
         return self.commit(files, replace_buckets=None)
