@@ -196,3 +196,30 @@ def test_rollback_across_rebucket_restores_old_layout(spark, tmp_table_root):
     assert _state(t) == before
     merge_upsert(t, _events(spark, [("z1", [1], 1, "s", "I", 70, 0)]))
     assert {f["bucket"] for f in t.snapshot().files} <= set(range(4))
+
+
+def test_merge_racing_concurrent_rebucket_recomputes_layout(spark, tmp_table_root):
+    """A merge staged against the OLD bucket count loses to a concurrent
+    rebucket; the retry must re-merge under the NEW count (merge_upsert's
+    basis_nb check), land the update, and leave every file 16-wide."""
+    t_a = LakeTable.create(spark, tmp_table_root, SCHEMA, key="doc_id", n_buckets=4)
+    t_a.append(_seed(spark, 30))
+    t_b = LakeTable(spark, tmp_table_root)
+    fired = {"n": 0}
+
+    def interleave():
+        if fired["n"] == 0:
+            fired["n"] += 1
+            rebucket(t_b, 16)
+
+    snap = merge_upsert(
+        t_a,
+        _events(spark, [("d1", [111], 1, "s9", "U", 20, 0)]),
+        summary_update={"batch_id": "A"},
+        pre_publish_check=interleave,
+    )
+    assert snap is not None
+    assert t_a.bucket_count() == 16  # the rebucket won the race and stuck
+    assert _state(t_a)["d1"] == ([111], 1, "s9")  # no lost update
+    assert {f["bucket"] for f in t_a.snapshot().files} <= set(range(16))
+    assert t_a.snapshot().applied_batches().count("A") == 1
