@@ -329,6 +329,43 @@ def sql_lake_rebucket() -> str:
     return sql_cdc_merge_final_state()  # physical rewrite, zero logical drift
 
 
+def q_lake_cdf_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downstream replication over the change-data-feed (lake/sync.py — the
+    bronze->silver hop): replay the first half of the changelog upstream,
+    BOOTSTRAP-sync a downstream table (different bucket count — the hop must
+    not assume co-layout), replay the rest upstream, then one INCREMENTAL
+    sync pass over the feed. The downstream final state must equal the
+    flagship oracle exactly — two hops, zero semantic drift."""
+    from .lake.sync import sync_table
+
+    root = tempfile.mkdtemp(prefix="tgspark_gate_sync_")
+    up = LakeTable.create(
+        spark, f"{root}/up", SEQ_SCHEMA, key="doc_id", n_buckets=16
+    )
+    dn = LakeTable.create(
+        spark, f"{root}/dn", SEQ_SCHEMA, key="doc_id", n_buckets=8
+    )
+    up.append(derive_seed(spark, sf_dir), lsn_col=F.lit(-1), seq_col=F.lit(0))
+    log = derive_changelog(spark, sf_dir)
+    mid = log.agg(
+        F.floor((F.min("offset") + F.max("offset")) / 2).cast("bigint")
+    ).collect()[0][0]
+    eng = ReplayEngine(spark, up, ReplayConfig(events_per_batch=50_000))
+    eng.replay(log.where(F.col("offset") <= mid), run_id="gate_sync")
+    assert sync_table(up, dn) is not None  # bootstrap
+    eng.replay(log, run_id="gate_sync")
+    assert sync_table(up, dn) is not None  # incremental over the CDF
+    assert sync_table(up, dn) is None  # converged -> no-op
+    final = dn.read()
+    return final.select(
+        "doc_id", _csv(F.col("tokens")).alias("tokens_csv"), "n_tok", "source"
+    )
+
+
+def sql_lake_cdf_sync() -> str:
+    return sql_cdc_merge_final_state()  # replication adds no semantics
+
+
 def q_lake_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-travel read + snapshot rollback (Iceberg read-at-snapshot /
     rollback_to_snapshot): replay the full changelog (one snapshot per
@@ -1355,6 +1392,7 @@ QUERIES = {
     "cdc_merge_mor": (q_cdc_merge_mor, sql_cdc_merge_mor),
     "lake_rebucket": (q_lake_rebucket, sql_lake_rebucket),
     "lake_time_travel": (q_lake_time_travel, sql_lake_time_travel),
+    "lake_cdf_sync": (q_lake_cdf_sync, sql_lake_cdf_sync),
     "cdc_debezium_envelope": (q_cdc_debezium_envelope, sql_cdc_debezium_envelope),
     "cdc_changes_feed": (q_cdc_changes_feed, sql_cdc_changes_feed),
     "cdc_salted_skew_dedup": (q_cdc_salted_skew_dedup, sql_cdc_salted_skew_dedup),

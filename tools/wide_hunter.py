@@ -27,9 +27,9 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 LOG = "/tmp/wide_hunter.log"
-BIG = "/tmp/tg_bench_cache_g4_30000000_3000000"
-SMALL = "/tmp/tg_bench_cache_g4_3000000_300000"
-R2 = "/tmp/r2code"
+BIG = os.environ.get("HUNTER_BIG", "/tmp/tg_bench_cache_g4_31500000_3150000")
+SMALL = os.environ.get("HUNTER_SMALL", "/tmp/tg_bench_cache_g4_3000000_300000")
+R2 = os.environ.get("HUNTER_R2", "/tmp/r2code")
 
 
 def sample(bench_py: str, staging: str, lanes: int, tag: str, timeout: int):
