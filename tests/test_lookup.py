@@ -1,0 +1,176 @@
+"""Point-lookup path: the Python murmur3 mirror, bucket-pruned scans, pushed
+IN-filters, and key-sorted writes (lake/lookup.py + LakeTable.lookup)."""
+
+import random
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from tg_data_connector_spark.lake.lookup import bucket_of, murmur3_x86_32
+from tg_data_connector_spark.lake.table import LakeTable, TableSchema
+
+SCHEMA = TableSchema(
+    [("doc_id", "string"), ("tokens", "array<int>"),
+     ("n_tok", "int"), ("source", "string")]
+)
+
+
+def _rows(n, seed=7):
+    rng = random.Random(seed)
+    return [
+        (
+            f"doc-{i:06d}",
+            [rng.randrange(50_000) for _ in range(rng.randrange(1, 8))],
+            0,
+            rng.choice(["web", "wiki", "code"]),
+        )
+        for i in range(n)
+    ]
+
+
+def _make(spark, root, n=400, sort_on_write=False, n_buckets=16):
+    t = LakeTable.create(
+        spark, root, SCHEMA, key="doc_id",
+        n_buckets=n_buckets, sort_on_write=sort_on_write,
+    )
+    rows = [(d, tok, len(tok), s) for d, tok, _, s in _rows(n)]
+    df = spark.createDataFrame(rows, SCHEMA.ddl())
+    t.append(df, lsn_col=F.lit(1), seq_col=F.lit(0))
+    return t
+
+
+# ---------------------------------------------------------------- murmur3
+def test_murmur3_matches_spark_hash(spark):
+    """The driver-side mirror must equal F.hash()/HashPartitioning on real
+    unicode: every UTF-8 length class mod 4, multi-byte planes, NULs,
+    high-bit tail bytes (the signed-getByte case)."""
+    rng = random.Random(42)
+    pool = (
+        "abcdefghijklmnopqrstuvwxyz0123456789-_/."
+        "äöüßéàñç日本語한국어中文🙂🚀\x00\x7fÿࠀ￿"
+    )
+    cases = [""] + [
+        "".join(rng.choice(pool) for _ in range(rng.randrange(1, 40)))
+        for _ in range(500)
+    ]
+    got = spark.createDataFrame([(c,) for c in cases], "s string").select(
+        "s", F.hash("s").alias("h"),
+        F.pmod(F.hash("s"), F.lit(16)).cast("int").alias("b"),
+    ).collect()
+    assert len(got) == len(cases)
+    for r in got:
+        assert murmur3_x86_32(r["s"].encode("utf-8")) == r["h"], repr(r["s"])
+        assert bucket_of(r["s"], 16) == r["b"], repr(r["s"])
+
+
+@given(st.text(max_size=64), st.integers(min_value=1, max_value=4096))
+@settings(max_examples=300, deadline=None)
+def test_bucket_of_range_and_determinism(s, n):
+    b = bucket_of(s, n)
+    assert 0 <= b < n
+    assert b == bucket_of(s, n)
+    h = murmur3_x86_32(s.encode("utf-8"))
+    assert -(2**31) <= h < 2**31
+
+
+# ---------------------------------------------------------------- lookup
+def test_lookup_matches_filtered_read(spark, tmp_path):
+    t = _make(spark, str(tmp_path / "t"))
+    keys = ["doc-000007", "doc-000123", "doc-000399", "doc-000007"]
+    got = t.lookup(keys)
+    want = t.read().where(F.col("doc_id").isin(keys))
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    assert got.count() == 3
+
+
+def test_lookup_prunes_buckets(spark, tmp_path):
+    """A k-key lookup must read only the keys' buckets' files — the pruning
+    that makes this O(|keys|) instead of O(table) at 100 TB."""
+    t = _make(spark, str(tmp_path / "t"))
+    keys = ["doc-000001", "doc-000042"]
+    nb = t.bucket_count()
+    want_buckets = {bucket_of(k, nb) for k in keys}
+    snap = t.snapshot()
+    allowed = {
+        f["path"].rsplit("/", 1)[-1]
+        for f in snap.files if f["bucket"] in want_buckets
+    }
+    scanned = {p.rsplit("/", 1)[-1] for p in t.lookup(keys).inputFiles()}
+    assert scanned, "lookup plan reads no files?"
+    assert scanned <= allowed
+    assert len(scanned) < len(snap.files)
+
+
+def test_lookup_pushes_in_filter(spark, tmp_path):
+    t = _make(spark, str(tmp_path / "t"))
+    plan = t.lookup(["doc-000005"])._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("doc_id" in ln for ln in pushed), pushed
+
+
+def test_lookup_empty_and_missing_keys(spark, tmp_path):
+    t = _make(spark, str(tmp_path / "t"), n=50)
+    assert t.lookup([]).count() == 0
+    assert t.lookup(["no-such-key"]).count() == 0
+
+
+def test_lookup_non_string_key_fallback(spark, tmp_path):
+    schema = TableSchema([("k", "bigint"), ("v", "string")])
+    t = LakeTable.create(spark, str(tmp_path / "ti"), schema, key="k",
+                         n_buckets=8)
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(100)], schema.ddl())
+    t.append(df, lsn_col=F.lit(1), seq_col=F.lit(0))
+    got = t.lookup([3, 77])
+    assert sorted(r["v"] for r in got.collect()) == ["v3", "v77"]
+    assert len(set(got.inputFiles())) < len(t.snapshot().files)
+
+
+# ---------------------------------------------------------------- sorting
+def _file_key_runs(path):
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(path)
+    out = []
+    for i in range(pf.metadata.num_row_groups):
+        col = pf.read_row_group(i, columns=["doc_id"]).column("doc_id")
+        out.append(col.to_pylist())
+    return out
+
+
+def test_sort_on_write_clusters_keys(spark, tmp_path):
+    t = _make(spark, str(tmp_path / "ts"), n=2000, sort_on_write=True,
+              n_buckets=4)
+    import os
+
+    snap = t.snapshot()
+    f = snap.files[0]
+    runs = _file_key_runs(os.path.join(t.root, f["path"]))
+    flat = [k for run in runs for k in run]
+    assert flat == sorted(flat), "file not key-clustered"
+    # parity: sorted layout changes bytes, never results
+    t2 = _make(spark, str(tmp_path / "tu"), n=2000, sort_on_write=False,
+               n_buckets=4)
+    a, b = t.read(), t2.read()
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_sorted_merge_keeps_lookup_parity(spark, tmp_path):
+    """sort_on_write through the MERGE path (write_data_files is shared):
+    update half the keys, then lookup must see post-merge values."""
+    from tg_data_connector_spark.lake.merge import merge_upsert
+
+    t = _make(spark, str(tmp_path / "tm"), n=200, sort_on_write=True)
+    upd = spark.createDataFrame(
+        [(f"doc-{i:06d}", [9, 9], 2, "web", "U", 5, i)
+         for i in range(0, 200, 2)],
+        SCHEMA.ddl() + ", op string, commit_lsn bigint, seq_no bigint",
+    )
+    merge_upsert(t, upd, summary_update={"batch_id": "b1"})
+    got = t.lookup(["doc-000002", "doc-000003"]).collect()
+    by_id = {r["doc_id"]: r for r in got}
+    assert by_id["doc-000002"]["tokens"] == [9, 9]
+    assert by_id["doc-000003"]["tokens"] != [9, 9]

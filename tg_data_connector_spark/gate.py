@@ -366,6 +366,50 @@ def sql_lake_cdf_sync() -> str:
     return sql_cdc_merge_final_state()  # replication adds no semantics
 
 
+def q_lake_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-lookup path over a key-sorted table (table.py lookup +
+    lake/lookup.bucket_of): replay the flagship into a ``sort_on_write``
+    table, then fetch the 25 lexicographically-smallest doc_ids through
+    ``lookup()`` — buckets computed driver-side by the Python murmur3
+    mirror, files pruned to those buckets, the IN-list pushed into the
+    parquet scan. Values must equal the flagship oracle restricted to the
+    same keys: pruning and sorted layout change bytes read, never results."""
+    root = tempfile.mkdtemp(prefix="tgspark_gate_lkp_")
+    table = LakeTable.create(
+        spark, f"{root}/seq", SEQ_SCHEMA, key="doc_id", n_buckets=16,
+        sort_on_write=True,
+    )
+    table.append(derive_seed(spark, sf_dir), lsn_col=F.lit(-1), seq_col=F.lit(0))
+    eng = ReplayEngine(spark, table, ReplayConfig(events_per_batch=50_000))
+    eng.replay(derive_changelog(spark, sf_dir), run_id="gate_lkp")
+    keys = [
+        r[0]
+        for r in table.read().select("doc_id").orderBy("doc_id").limit(25).collect()
+    ]
+    got = table.lookup(keys)
+    # the lookup plan must actually prune: scanned files ⊆ the keys' buckets
+    from .lake.lookup import bucket_of
+
+    nb = table.bucket_count()
+    allowed = {
+        f["path"] for f in table.snapshot().files
+        if f["bucket"] in {bucket_of(k, nb) for k in keys}
+    }
+    scanned = {p.split("/seq/", 1)[-1] for p in got.inputFiles()}
+    assert scanned and scanned <= allowed, "lookup failed to prune buckets"
+    return got.select(
+        "doc_id", _csv(F.col("tokens")).alias("tokens_csv"), "n_tok", "source"
+    )
+
+
+def sql_lake_point_lookup() -> str:
+    return f"""
+    WITH final AS ({sql_cdc_merge_final_state()})
+    SELECT * FROM final
+    WHERE doc_id IN (SELECT doc_id FROM final ORDER BY doc_id LIMIT 25)
+    """
+
+
 def q_lake_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-travel read + snapshot rollback (Iceberg read-at-snapshot /
     rollback_to_snapshot): replay the full changelog (one snapshot per
@@ -1393,6 +1437,7 @@ QUERIES = {
     "lake_rebucket": (q_lake_rebucket, sql_lake_rebucket),
     "lake_time_travel": (q_lake_time_travel, sql_lake_time_travel),
     "lake_cdf_sync": (q_lake_cdf_sync, sql_lake_cdf_sync),
+    "lake_point_lookup": (q_lake_point_lookup, sql_lake_point_lookup),
     "cdc_debezium_envelope": (q_cdc_debezium_envelope, sql_cdc_debezium_envelope),
     "cdc_changes_feed": (q_cdc_changes_feed, sql_cdc_changes_feed),
     "cdc_salted_skew_dedup": (q_cdc_salted_skew_dedup, sql_cdc_salted_skew_dedup),

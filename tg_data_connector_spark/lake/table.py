@@ -204,6 +204,7 @@ class LakeTable:
         key: str,
         n_buckets: int = 16,
         fs=None,
+        sort_on_write: bool = False,
     ) -> "LakeTable":
         t = LakeTable(spark, root, fs=fs)
         t.fs.makedirs(os.path.join(root, "_versions"))
@@ -220,7 +221,13 @@ class LakeTable:
         # meta that never changes lives in a sidecar
         with t.fs.write_text_atomic(os.path.join(root, "_meta.json")) as f:
             json.dump(
-                {"key": key, "buckets": n_buckets, "bucket_hash": BUCKET_HASH_ID}, f
+                {
+                    "key": key,
+                    "buckets": n_buckets,
+                    "bucket_hash": BUCKET_HASH_ID,
+                    "sort_on_write": bool(sort_on_write),
+                },
+                f,
             )
         t._write_manifest(snap)
         t._publish(snap.version, expected_parent=None)
@@ -366,6 +373,43 @@ class LakeTable:
             # (rather than coalesce) stays pushdown-eligible at the parquet scan
             out = out.where(~F.col(DELETED_COL)).drop(*LINEAGE_COLS)
         return out
+
+    def lookup(
+        self, keys: list[str], snapshot: Snapshot | None = None
+    ) -> DataFrame:
+        """Point-read a set of keys: O(|keys|) buckets touched, never the
+        table. Buckets are computed DRIVER-SIDE (``lake/lookup.bucket_of``,
+        the pure-Python mirror of ``bucket_expr``/``F.hash``) so no Spark job
+        runs before the pruned scan; the IN-list predicate is pushed into the
+        parquet scan, so a ``sort_on_write`` table decodes only the row
+        groups whose key range straddles a probe key. At 100 TB a k-key
+        lookup reads ~k bucket files' footers + the straddling row groups —
+        the same asymptotics as Iceberg bucket-partitioned point reads.
+
+        Non-string keys fall back to one tiny Spark job over the literal key
+        list (bucket_expr itself), keeping bucket placement authoritative."""
+        snap = snapshot or self.snapshot()
+        keycol = self.meta()["key"]
+        nb = self.bucket_count(snap)
+        keys = list(dict.fromkeys(keys))  # dedup, keep order
+        if not keys:
+            return self.read(snapshot=snap, buckets=[])
+        ktype = dict(snap.schema().fields).get(keycol, "string")
+        if ktype == "string":
+            from .lookup import bucket_of
+
+            buckets = sorted({bucket_of(k, nb) for k in keys})
+        else:
+            rows = (
+                self.spark.createDataFrame([(k,) for k in keys], f"k {ktype}")
+                .select(bucket_expr("k", nb).alias("b"))
+                .distinct()
+                .collect()
+            )
+            buckets = sorted(r["b"] for r in rows)
+        return self.read(snapshot=snap, buckets=buckets).where(
+            F.col(keycol).isin(keys)
+        )
 
     def _read_file_entries(
         self, files: list[dict], schemas: dict, target: TableSchema
@@ -542,12 +586,16 @@ class LakeTable:
                     for b in range(nb)
                 ],
             )
-        (
-            df.withColumnRenamed(BUCKET_COL, "b")
-            .write.partitionBy("b")
-            .mode("overwrite")
-            .parquet(out_path)
-        )
+        out_df = df.withColumnRenamed(BUCKET_COL, "b")
+        if self.meta().get("sort_on_write"):
+            # key-clustered files: the partitionBy write must order each task
+            # by its partition column anyway, so extending that sort with the
+            # key costs one comparator term — and makes every row group's
+            # key min/max tight, so lookup()'s pushed IN-filter decodes only
+            # the straddling row groups instead of the whole bucket file
+            # (Iceberg's write.sort-order data-skipping effect).
+            out_df = out_df.sortWithinPartitions("b", key)
+        out_df.write.partitionBy("b").mode("overwrite").parquet(out_path)
         bucket_rows = {}
         if obs is not None:
             got = obs.get
