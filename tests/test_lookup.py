@@ -174,3 +174,95 @@ def test_sorted_merge_keeps_lookup_parity(spark, tmp_path):
     by_id = {r["doc_id"]: r for r in got}
     assert by_id["doc-000002"]["tokens"] == [9, 9]
     assert by_id["doc-000003"]["tokens"] != [9, 9]
+
+
+# ------------------------------------------------------- file-stats skipping
+def test_manifest_entries_carry_key_stats(spark, tmp_path):
+    """Every data file's manifest entry records the key min/max (observe-path
+    stats), and they are exact per-bucket bounds."""
+    import os
+
+    t = _make(spark, str(tmp_path / "t"), n=300, n_buckets=8)
+    snap = t.snapshot()
+    assert snap.files
+    for f in snap.files:
+        assert "kmin" in f and "kmax" in f, f
+        rows, kmin, kmax = __import__(
+            "tg_data_connector_spark.lake.table", fromlist=["_footer_info"]
+        )._footer_info((os.path.join(t.root, f["path"]), "doc_id"))
+        assert rows == f["rows"]
+        # observe-path stats are per-bucket; one file per bucket here, so
+        # they must equal the footer's exact per-file bounds
+        assert (kmin, kmax) == (f["kmin"], f["kmax"])
+
+
+def test_lookup_skips_files_outside_key_range(spark, tmp_path):
+    """Three appends with disjoint key ranges stack three files per bucket;
+    a point lookup must scan only the straddling file(s) — manifest-level
+    data skipping on top of bucket pruning."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), SCHEMA, key="doc_id",
+        n_buckets=4, sort_on_write=True,
+    )
+    for lo in (0, 1000, 2000):
+        rows = [(f"doc-{i:06d}", [i], 1, "web") for i in range(lo, lo + 300)]
+        t.append(
+            spark.createDataFrame(rows, SCHEMA.ddl()),
+            lsn_col=F.lit(lo + 1), seq_col=F.lit(0),
+        )
+    snap = t.snapshot()
+    key = "doc-001042"
+    b = bucket_of(key, 4)
+    in_bucket = [f for f in snap.files if f["bucket"] == b]
+    assert len(in_bucket) == 3, "expected one file per append in the bucket"
+    got = t.lookup([key])
+    rows = got.collect()
+    assert len(rows) == 1 and rows[0]["tokens"] == [1042]
+    # bucket pruning alone would read 3 files; stats skipping reads 1
+    assert t._last_scan_file_count == 1
+    scanned = {p.rsplit("/", 1)[-1] for p in got.inputFiles()}
+    assert len(scanned) == 1
+
+
+def test_file_skipping_safe_under_mor_deltas(spark, tmp_path):
+    """A delta file carrying a newer version of the probe key straddles the
+    key's range, so skipping never hides the update or resurrects the base."""
+    from tg_data_connector_spark.lake.merge import delta_append
+
+    t = _make(spark, str(tmp_path / "t"), n=200, n_buckets=4)
+    upd = spark.createDataFrame(
+        [("doc-000042", [7, 7], 2, "web", "U", 9, 1)],
+        SCHEMA.ddl() + ", op string, commit_lsn bigint, seq_no bigint",
+    )
+    delta_append(t, upd, summary_update={"batch_id": "d1"})
+    got = t.lookup(["doc-000042"]).collect()
+    assert len(got) == 1 and got[0]["tokens"] == [7, 7]
+
+
+def test_file_skipping_integer_key(spark, tmp_path):
+    """Integral keys get JSON-stable int stats and prune the same way."""
+    schema = TableSchema([("k", "bigint"), ("v", "string")])
+    t = LakeTable.create(spark, str(tmp_path / "ti"), schema, key="k",
+                         n_buckets=4)
+    for lo in (0, 1000):
+        df = spark.createDataFrame(
+            [(i, f"v{i}") for i in range(lo, lo + 200)], schema.ddl()
+        )
+        t.append(df, lsn_col=F.lit(lo + 1), seq_col=F.lit(0))
+    for f in t.snapshot().files:
+        assert isinstance(f["kmin"], int) and isinstance(f["kmax"], int)
+    got = t.lookup([1042])
+    assert [r["v"] for r in got.collect()] == ["v1042"]
+    assert t._last_scan_file_count == 1
+
+
+def test_entries_without_stats_are_never_skipped(spark, tmp_path):
+    """Legacy manifest entries (no kmin/kmax) must always be scanned —
+    pruning is an optimization, never a correctness gate."""
+    from tg_data_connector_spark.lake.table import _file_may_contain
+
+    assert _file_may_contain({"path": "p", "bucket": 0}, ["x"])
+    assert _file_may_contain({"kmin": "a", "kmax": "m"}, ["c"])
+    assert not _file_may_contain({"kmin": "a", "kmax": "m"}, ["z"])
+    # type-mismatched probe vs stored stats -> conservative keep
+    assert _file_may_contain({"kmin": "a", "kmax": "m"}, [5])

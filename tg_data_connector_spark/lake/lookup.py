@@ -9,11 +9,14 @@ touch O(|keys|) buckets of the table, never the table. Two pieces:
     deliberately equals Spark's own ``HashPartitioning`` placement; this
     function equals both — property-tested against Spark's ``F.hash`` in
     ``tests/test_lookup.py`` (hypothesis, arbitrary unicode).
-  * ``LakeTable.lookup(keys)`` (``table.py``, built on this module) — prunes the snapshot's file list to the keys' buckets, then applies an
-    IN-list predicate that Spark pushes into the parquet scan, so within a
-    bucket file only the row groups whose doc_id min/max straddle a probe
-    key are decoded (tight when the table was written key-sorted, see
-    ``sort_on_write`` in ``write_data_files``).
+  * ``LakeTable.lookup(keys)`` (``table.py``, built on this module) — prunes the snapshot's file list to the keys' buckets, then drops files
+    whose manifest-recorded key min/max excludes every probe (column-stats
+    data skipping, Iceberg-style — decisive when appends / MoR deltas stack
+    several files per bucket), then applies an IN-list predicate that Spark
+    pushes into the parquet scan, so within a surviving file only the row
+    groups whose doc_id min/max straddle a probe key are decoded (tight when
+    the table was written key-sorted, see ``sort_on_write`` in
+    ``write_data_files``).
 
 The reference has no point-read at all — reads are full-table SELECTs
 (``CommonRdbmsReader.java`` builds ``SELECT cols FROM table WHERE range``);

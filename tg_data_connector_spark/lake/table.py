@@ -47,10 +47,53 @@ BUCKET_HASH_ID = "murmur3_pmod"
 _OBSERVE_BUCKET_LIMIT = 512
 
 
-def _footer_rows(path: str) -> int:
+def _footer_info(arg: tuple[str, str]) -> tuple[int, object, object]:
+    """Executor-side parquet footer read: row count plus the key column's
+    min/max folded across row groups (None/None when any row group lacks
+    written statistics — pruning then conservatively keeps the file)."""
     import pyarrow.parquet as pq
 
-    return int(pq.ParquetFile(path).metadata.num_rows)
+    path, key = arg
+    md = pq.ParquetFile(path).metadata
+    rows = int(md.num_rows)
+    kmin = kmax = None
+    idx = None
+    if key and md.num_row_groups:
+        rg0 = md.row_group(0)
+        for i in range(rg0.num_columns):
+            if rg0.column(i).path_in_schema == key:
+                idx = i
+                break
+    if idx is not None:
+        for g in range(md.num_row_groups):
+            st = md.row_group(g).column(idx).statistics
+            if st is None or not st.has_min_max:
+                kmin = kmax = None
+                break
+            mn, mx = st.min, st.max
+            if isinstance(mn, bytes):
+                try:
+                    mn, mx = mn.decode("utf-8"), mx.decode("utf-8")
+                except UnicodeDecodeError:
+                    kmin = kmax = None
+                    break
+            kmin = mn if kmin is None or mn < kmin else kmin
+            kmax = mx if kmax is None or mx > kmax else kmax
+    return rows, kmin, kmax
+
+
+def _file_may_contain(entry: dict, keys: list) -> bool:
+    """Manifest-level data skipping: False only when the file's recorded key
+    range provably excludes every probe key. Files without stats (older
+    layout, stats-ineligible key type, truncated parquet statistics) are
+    always kept — pruning is an optimization, never a correctness gate."""
+    mn, mx = entry.get("kmin"), entry.get("kmax")
+    if mn is None or mx is None:
+        return True
+    try:
+        return any(mn <= k <= mx for k in keys)
+    except TypeError:  # probe key type doesn't order against stored stats
+        return True
 LSN_COL = "_lsn"
 SEQ_COL = "_seq"
 DELETED_COL = "_deleted"
@@ -333,12 +376,20 @@ class LakeTable:
         snapshot: Snapshot | None = None,
         buckets: list[int] | None = None,
         with_lineage: bool = False,
+        keys: list | None = None,
     ) -> DataFrame:
         """Read the table at a snapshot, optionally pruned to a bucket subset.
 
         Bucket pruning is this format's partition pruning: a MERGE batch reads
         only the files whose bucket appears in the batch — at 100 TB that is the
         difference between scanning the table and scanning ~|batch|/|table| of it.
+
+        ``keys``: probe values for manifest-level DATA SKIPPING — files whose
+        recorded key min/max excludes every probe are dropped before the scan
+        even plans (Iceberg column-stats pruning). Safe under merge-on-read:
+        LWW resolution groups by key, so files that cannot contain a probe key
+        contribute nothing to that key's resolution. NOTE: this prunes files
+        only — the caller still applies the row-level key predicate.
 
         Files written under older schemas are read with their write-time schema
         and cast/null-filled up to the current schema (transactional widen /
@@ -350,6 +401,9 @@ class LakeTable:
         if buckets is not None:
             bset = set(buckets)
             files = [f for f in files if f["bucket"] in bset]
+        if keys:
+            files = [f for f in files if _file_may_contain(f, keys)]
+        self._last_scan_file_count = len(files)  # test/ops introspection
         out = self._read_file_entries(files, snap.schemas, cur)
         if out is None:
             lineage = [
@@ -407,7 +461,7 @@ class LakeTable:
                 .collect()
             )
             buckets = sorted(r["b"] for r in rows)
-        return self.read(snapshot=snap, buckets=buckets).where(
+        return self.read(snapshot=snap, buckets=buckets, keys=keys).where(
             F.col(keycol).isin(keys)
         )
 
@@ -551,6 +605,7 @@ class LakeTable:
         bucket_aligned: bool = False,
         kind: str | None = None,
         n_buckets: int | None = None,
+        key_stats: bool | None = None,
     ) -> list[dict]:
         """Stage parquet files for rows already carrying BUCKET_COL. Returns file
         entries; nothing is visible until a snapshot referencing them commits.
@@ -577,15 +632,39 @@ class LakeTable:
         # O(files) serial bottleneck AND a hard local-FS dependency; nb
         # conditional sums stay inside the write's whole-stage codegen.
         obs = None
+        # per-file key min/max (Iceberg's column-stats data skipping): ride
+        # the SAME observe() — two more conditional aggregates per bucket, no
+        # extra job. Only for key types whose Python ordering matches SQL
+        # ordering (string/integral); stats on other types would prune wrong.
+        # ``key_stats=None`` -> auto: collect for key-clustered layouts
+        # (sort_on_write) and MoR delta files (file stacks where skipping
+        # pays), NOT for COW merge rewrites — a hash bucket's key range spans
+        # ~the whole key space, so those stats never prune, while the extra
+        # 2nb conditional aggregates cost measured ~0.25 s/M rows in the
+        # replay's write stage (observe A/B, BENCH.md round 4).
+        from pyspark.sql.types import (
+            ByteType, IntegerType, LongType, ShortType, StringType,
+        )
+
+        if key_stats is None:
+            key_stats = bool(self.meta().get("sort_on_write")) or kind == "delta"
+        stats_ok = key_stats and isinstance(
+            df.schema[key].dataType,
+            (StringType, IntegerType, LongType, ShortType, ByteType),
+        )
+        collect_stats = stats_ok and 3 * nb <= _OBSERVE_BUCKET_LIMIT
         if nb <= _OBSERVE_BUCKET_LIMIT:
             obs = Observation()
-            df = df.observe(
-                obs,
-                *[
-                    F.sum((F.col(BUCKET_COL) == b).cast("bigint")).alias(f"b{b}")
-                    for b in range(nb)
-                ],
-            )
+            aggs = [
+                F.sum((F.col(BUCKET_COL) == b).cast("bigint")).alias(f"b{b}")
+                for b in range(nb)
+            ]
+            if collect_stats:
+                for b in range(nb):
+                    cond = F.when(F.col(BUCKET_COL) == b, F.col(key))
+                    aggs.append(F.min(cond).alias(f"mn{b}"))
+                    aggs.append(F.max(cond).alias(f"mx{b}"))
+            df = df.observe(obs, *aggs)
         out_df = df.withColumnRenamed(BUCKET_COL, "b")
         if self.meta().get("sort_on_write"):
             # key-clustered files: the partitionBy write must order each task
@@ -597,9 +676,17 @@ class LakeTable:
             out_df = out_df.sortWithinPartitions("b", key)
         out_df.write.partitionBy("b").mode("overwrite").parquet(out_path)
         bucket_rows = {}
+        bucket_stats: dict[int, tuple] = {}
         if obs is not None:
             got = obs.get
             bucket_rows = {b: int(got[f"b{b}"] or 0) for b in range(nb)}
+            if collect_stats:
+                for b in range(nb):
+                    mn, mx = got[f"mn{b}"], got[f"mx{b}"]
+                    if mn is not None and mx is not None:
+                        if not isinstance(mn, str):
+                            mn, mx = int(mn), int(mx)  # JSON-stable
+                        bucket_stats[b] = (mn, mx)
         entries = []
         footer_fallback = []
         for bdir in self.fs.listdir(out_path):
@@ -623,20 +710,31 @@ class LakeTable:
                     e["kind"] = kind
                 if obs is not None and len(files) == 1:
                     e["rows"] = bucket_rows[b]
+                    if b in bucket_stats:
+                        e["kmin"], e["kmax"] = bucket_stats[b]
                 else:
                     footer_fallback.append(e)  # rare: multi-file bucket / big nb
                 entries.append(e)
         if footer_fallback:
             # distributed footer read: executors open the footers in parallel —
-            # never an O(files) loop on the driver
-            paths = [os.path.join(self.root, e["path"]) for e in footer_fallback]
-            counts = (
-                self.spark.sparkContext.parallelize(paths, max(1, len(paths) // 64))
-                .map(_footer_rows)
+            # never an O(files) loop on the driver. Footers also yield the
+            # key min/max (parquet row-group statistics), so these entries
+            # get PER-FILE stats — tighter than the observe path's per-bucket
+            # bounds when a bucket spans several files.
+            stats_key = key if stats_ok else ""
+            args = [
+                (os.path.join(self.root, e["path"]), stats_key)
+                for e in footer_fallback
+            ]
+            infos = (
+                self.spark.sparkContext.parallelize(args, max(1, len(args) // 64))
+                .map(_footer_info)
                 .collect()
             )
-            for e, n in zip(footer_fallback, counts):
+            for e, (n, kmin, kmax) in zip(footer_fallback, infos):
                 e["rows"] = n
+                if kmin is not None and kmax is not None:
+                    e["kmin"], e["kmax"] = kmin, kmax
         if crash_after_stage:  # test hook: simulate dying between the two phases
             raise RuntimeError("simulated crash after stage, before publish")
         return entries
@@ -799,5 +897,9 @@ class LakeTable:
         if DELETED_COL not in out.columns:
             out = out.withColumn(DELETED_COL, F.lit(False))
         out = out.withColumn(BUCKET_COL, bucket_expr(key, nb))
-        files = self.write_data_files(out, snap.schema_id, n_buckets=nb)
+        # appends stack files per bucket, so key stats (min/max) are worth
+        # their cost here: time/key-correlated loads then prune old files
+        files = self.write_data_files(
+            out, snap.schema_id, n_buckets=nb, key_stats=True
+        )
         return self.commit(files, replace_buckets=None)
