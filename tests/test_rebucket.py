@@ -223,3 +223,43 @@ def test_merge_racing_concurrent_rebucket_recomputes_layout(spark, tmp_table_roo
     assert _state(t_a)["d1"] == ([111], 1, "s9")  # no lost update
     assert {f["bucket"] for f in t_a.snapshot().files} <= set(range(16))
     assert t_a.snapshot().applied_batches().count("A") == 1
+
+
+def test_delta_append_racing_rebucket_restages_under_new_layout(spark, tmp_table_root):
+    """A MoR delta staged against the OLD bucket count loses to a concurrent
+    rebucket. A metadata-only retry would register the old-layout files —
+    bucket-pruned reads would miss the delta and the next COW merge's
+    replace_buckets could drop it (lost update). The retry must detect the
+    count change and RE-STAGE under the new layout."""
+    t_a = LakeTable.create(spark, tmp_table_root, SCHEMA, key="doc_id", n_buckets=4)
+    t_a.append(_seed(spark, 30))
+    t_b = LakeTable(spark, tmp_table_root)
+    fired = {"n": 0}
+
+    def interleave():
+        if fired["n"] == 0:
+            fired["n"] += 1
+            rebucket(t_b, 16)
+
+    snap = delta_append(
+        t_a,
+        _events(spark, [("d1", [111], 1, "s9", "U", 20, 0)]),
+        summary_update={"batch_id": "A"},
+        pre_publish_check=interleave,
+    )
+    assert snap is not None
+    assert t_a.bucket_count() == 16
+    assert {f["bucket"] for f in t_a.snapshot().files} <= set(range(16))
+    assert _state(t_a)["d1"] == ([111], 1, "s9")
+    # the delta must be visible through BUCKET-PRUNED reads under the new
+    # layout (this is what a metadata-only retry would have broken)
+    got = t_a.lookup(["d1"]).collect()
+    assert len(got) == 1 and got[0]["tokens"] == [111]
+    # and a follow-up COW merge of other keys must not drop the delta
+    merge_upsert(
+        t_a,
+        _events(spark, [("d2", [222], 1, "s2", "U", 30, 0)]),
+        summary_update={"batch_id": "B"},
+    )
+    assert _state(t_a)["d1"] == ([111], 1, "s9")
+    assert t_a.snapshot().applied_batches().count("A") == 1

@@ -154,54 +154,65 @@ def delta_append(
     late older UPDATE can never resurrect the row, before OR after compaction.
 
     Multi-writer: an append embeds NO basis rows, so a ``CommitConflict``
-    retry is always metadata-only — the SAME staged files re-commit against
+    retry is normally metadata-only — the SAME staged files re-commit against
     the new parent (after the batch-id at-most-once check). Unlike the COW
     path there is no "overlapping buckets -> re-run the merge" case; this is
-    what makes concurrent single-table writers cheap under MOR.
+    what makes concurrent single-table writers cheap under MOR. The ONE
+    exception is losing to a concurrent ``maintain.rebucket``: the staged
+    rows were placed under the OLD bucket count, so registering them as-is
+    would point every bucket-pruned read (and the next COW merge's
+    ``replace_buckets``) at the wrong bucket ids — the retry detects the
+    count change and RE-STAGES under the new layout (old files orphan).
 
     ``bucket_aligned``: pass True when ``src`` is already hash-partitioned by
     the key into exactly n_buckets partitions (the replay pipeline's dedup
     output is); False adds the one corrective exchange.
     """
-    meta = table.meta()
-    snap = table.snapshot()
-    key, nb = meta["key"], table.bucket_count(snap)
-    batch_id = (summary_update or {}).get("batch_id")
-    if batch_id is not None and batch_id in snap.applied_batches():
-        return snap
-    if affected_buckets is not None and not affected_buckets:
-        return None
-    cols = snap.schema().names()
-    is_del = F.col(OP_COL) == F.lit("D")
-    out = src.select(
-        F.col(key),
-        *[
-            F.when(~is_del, F.col(c)).otherwise(F.lit(None)).alias(c)
-            for c in cols
-            if c != key
-        ],
-        F.col("commit_lsn").cast("bigint").alias(LSN_COL),
-        F.col("seq_no").cast("bigint").alias(SEQ_COL),
-        is_del.alias(DELETED_COL),
-    ).withColumn(BUCKET_COL, bucket_expr(key, nb))
-
     import time as _time
 
-    t0 = _time.time()
-    files = table.write_data_files(
-        out,
-        snap.schema_id,
-        crash_after_stage=crash_after_stage,
-        bucket_aligned=bucket_aligned,
-        kind="delta",
-        n_buckets=nb,
-    )
-    if timings is not None:
-        timings["write"] = round(_time.time() - t0, 3)
+    key = table.meta()["key"]
+    batch_id = (summary_update or {}).get("batch_id")
+    if affected_buckets is not None and not affected_buckets:
+        return None
+    snap = table.snapshot()
+    if batch_id is not None and batch_id in snap.applied_batches():
+        return snap
+
+    def _stage(basis: Snapshot, aligned: bool) -> tuple[list[dict], int]:
+        nb = table.bucket_count(basis)
+        cols = basis.schema().names()
+        is_del = F.col(OP_COL) == F.lit("D")
+        out = src.select(
+            F.col(key),
+            *[
+                F.when(~is_del, F.col(c)).otherwise(F.lit(None)).alias(c)
+                for c in cols
+                if c != key
+            ],
+            F.col("commit_lsn").cast("bigint").alias(LSN_COL),
+            F.col("seq_no").cast("bigint").alias(SEQ_COL),
+            is_del.alias(DELETED_COL),
+        ).withColumn(BUCKET_COL, bucket_expr(key, nb))
         t0 = _time.time()
+        files = table.write_data_files(
+            out,
+            basis.schema_id,
+            crash_after_stage=crash_after_stage,
+            bucket_aligned=aligned,
+            kind="delta",
+            n_buckets=nb,
+        )
+        if timings is not None:
+            timings["write"] = (
+                timings.get("write", 0.0) + round(_time.time() - t0, 3)
+            )
+        return files, nb
+
+    files, staged_nb = _stage(snap, bucket_aligned)
     if pre_publish_check is not None:
         pre_publish_check()  # error-limit assertion: staged files orphan on raise
     expected = snap.version
+    t0 = _time.time()
     last_exc: CommitConflict | None = None
     for _attempt in range(max_commit_retries + 1):
         try:
@@ -220,7 +231,12 @@ def delta_append(
             new_snap = table.snapshot()
             if batch_id is not None and batch_id in new_snap.applied_batches():
                 return new_snap  # same batch landed via another worker
-            expected = new_snap.version  # metadata-only retry, same files
+            if table.bucket_count(new_snap) != staged_nb:
+                # lost to a concurrent rebucket: the staged rows sit under the
+                # OLD layout — re-stage under the new count (alignment promise
+                # no longer holds, so let the write add its exchange)
+                files, staged_nb = _stage(new_snap, False)
+            expected = new_snap.version  # else: metadata-only retry, same files
     raise last_exc
 
 
