@@ -297,3 +297,22 @@ def test_lake_table_on_hadoop_fs(spark, tmp_path):
     assert t2.current_version() == t.current_version()
     assert t2.read().count() == 39
     assert gc_orphans(t, min_age_seconds=0) == []  # nothing orphaned by a clean history
+
+
+def test_table_codec_overrides_session_default(spark, tmp_path):
+    """Per-table parquet codec (create(codec=...)): data files carry the
+    codec's suffix and read back identically; the _meta.json record makes
+    every writer of the table agree regardless of its session default."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), SCHEMA, key="doc_id", n_buckets=4,
+        codec="zstd",
+    )
+    t.append(_seed(spark))
+    paths = [f["path"] for f in t.snapshot().files]
+    assert paths and all(p.endswith(".zstd.parquet") for p in paths)
+    assert t.read().count() == 50
+    # a second handle (fresh session default would be snappy) writes zstd too
+    t2 = LakeTable(spark, str(t.root))
+    t2.append(_seed(spark, 5).withColumn("doc_id", F.concat(F.lit("x"), F.col("doc_id"))))
+    new = [f["path"] for f in t2.snapshot().files if f["path"] not in paths]
+    assert new and all(p.endswith(".zstd.parquet") for p in new)

@@ -293,6 +293,86 @@ def sql_cdc_merge_mor() -> str:
     return sql_cdc_merge_final_state()  # same semantics, different write path
 
 
+def q_lake_wap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish over the flagship replay (Iceberg WAP; the
+    reference's preCheck gate — ``JobContainer`` preCheck — validates before
+    writing, WAP validates the actually-written snapshot). Full replay
+    publishes normally, then two staged (publish=False) batches:
+
+      * a POISONED correction (every current row's n_tok set to -1, lsn above
+        the whole log) — the audit query finds the violation on the staged
+        read, the batch is ``drop_staged``-rejected, and ``gc_orphans``
+        reclaims its files; readers never observed it.
+      * a valid retention purge (DELETE the 10 lexicographically-smallest
+        doc_ids) — audited on the staged read, then ``publish_staged``
+        fast-forwards the pointer; the audited bytes ARE the published bytes.
+
+    Returns the final state: flagship oracle minus the 10 purged keys."""
+    from .lake.maintain import gc_orphans
+    from .lake.merge import merge_upsert
+
+    root = tempfile.mkdtemp(prefix="tgspark_gate_wap_")
+    table = LakeTable.create(
+        spark, f"{root}/seq", SEQ_SCHEMA, key="doc_id", n_buckets=16
+    )
+    table.append(derive_seed(spark, sf_dir), lsn_col=F.lit(-1), seq_col=F.lit(0))
+    eng = ReplayEngine(spark, table, ReplayConfig(events_per_batch=50_000))
+    eng.replay(derive_changelog(spark, sf_dir), run_id="gate_wap")
+    v_published = table.current_version()
+    n_published = table.read().count()
+    big_lsn = F.lit(1 << 60)
+
+    # -- staged batch 1: poisoned full-table correction; audit must veto it
+    poison = table.read().select(
+        "doc_id", "tokens", F.lit(-1).alias("n_tok"), "source",
+        F.lit("U").alias("op"), big_lsn.alias("commit_lsn"),
+        F.lit(0).cast("bigint").alias("seq_no"),
+    )
+    staged_bad = merge_upsert(
+        table, poison, summary_update={"batch_id": "wap_bad"}, publish=False
+    )
+    assert table.current_version() == v_published  # invisible while staged
+    bad_rows = (
+        table.read(snapshot=table.snapshot(staged_bad.version))
+        .where(F.col("n_tok") < 0)
+        .count()
+    )
+    assert bad_rows == n_published, "audit read must surface the poisoned rows"
+    table.drop_staged(staged_bad.version)
+    assert gc_orphans(table, min_age_seconds=0), "rejected files must orphan"
+
+    # -- staged batch 2: purge the 10 smallest doc_ids; audit, then publish
+    purge_keys = table.read().select("doc_id").orderBy("doc_id").limit(10)
+    purge = purge_keys.select(
+        "doc_id",
+        F.lit(None).cast("array<int>").alias("tokens"),
+        F.lit(None).cast("int").alias("n_tok"),
+        F.lit(None).cast("string").alias("source"),
+        F.lit("D").alias("op"), big_lsn.alias("commit_lsn"),
+        F.lit(0).cast("bigint").alias("seq_no"),
+    )
+    staged_ok = merge_upsert(
+        table, purge, summary_update={"batch_id": "wap_purge"}, publish=False
+    )
+    assert table.read().count() == n_published  # still invisible
+    audit = table.read(snapshot=table.snapshot(staged_ok.version))
+    assert audit.count() == n_published - 10
+    table.publish_staged(staged_ok.version)
+    assert table.current_version() == staged_ok.version
+    assert "wap_purge" in table.snapshot().applied_batches()
+    return table.read().select(
+        "doc_id", _csv(F.col("tokens")).alias("tokens_csv"), "n_tok", "source"
+    )
+
+
+def sql_lake_wap_audit() -> str:
+    return f"""
+    WITH final AS ({sql_cdc_merge_final_state()})
+    SELECT * FROM final
+    WHERE doc_id NOT IN (SELECT doc_id FROM final ORDER BY doc_id LIMIT 10)
+    """
+
+
 def q_lake_rebucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucket-count evolution MID-replay (maintain.rebucket — Iceberg's
     partition-spec evolution for the bucket transform): replay the first
@@ -1435,6 +1515,7 @@ QUERIES = {
     "cdc_schema_widen": (q_cdc_schema_widen, sql_cdc_schema_widen),
     "cdc_merge_mor": (q_cdc_merge_mor, sql_cdc_merge_mor),
     "lake_rebucket": (q_lake_rebucket, sql_lake_rebucket),
+    "lake_wap_audit": (q_lake_wap_audit, sql_lake_wap_audit),
     "lake_time_travel": (q_lake_time_travel, sql_lake_time_travel),
     "lake_cdf_sync": (q_lake_cdf_sync, sql_lake_cdf_sync),
     "lake_point_lookup": (q_lake_point_lookup, sql_lake_point_lookup),

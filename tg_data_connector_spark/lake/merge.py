@@ -72,8 +72,13 @@ def merge_upsert(
     timings: dict | None = None,
     pre_publish_check=None,
     max_commit_retries: int = 3,
+    publish: bool = True,
 ) -> Snapshot | None:
     """Apply one deduplicated change batch to the table and commit a snapshot.
+
+    ``publish=False`` stages the merged snapshot WITHOUT moving the current
+    pointer (write-audit-publish): audit it via ``table.read(snapshot=
+    returned.version)``, then ``table.publish_staged`` / ``table.drop_staged``.
 
     ``src`` columns: the table's current schema columns + ``op`` (I/U/D) +
     ``commit_lsn`` + ``seq_no``. Exactly one row per key (assert upstream).
@@ -115,7 +120,7 @@ def merge_upsert(
             return _merge_once(
                 table, src, snap, summary_update, affected_buckets,
                 crash_before_publish, crash_after_stage, timings,
-                pre_publish_check, batch_id,
+                pre_publish_check, batch_id, publish,
             )
         except CommitConflict as exc:
             last_exc = exc  # re-load + re-merge against the new current
@@ -133,6 +138,7 @@ def delta_append(
     timings: dict | None = None,
     pre_publish_check=None,
     max_commit_retries: int = 3,
+    publish: bool = True,
 ) -> Snapshot | None:
     """Merge-on-read write path: stage the deduplicated change batch AS delta
     files and commit them as a pure append — the base is NEVER read or
@@ -222,6 +228,7 @@ def delta_append(
                 summary_update=summary_update,
                 crash_before_publish=crash_before_publish,
                 expected_parent=expected,
+                publish=publish,
             )
             if timings is not None:
                 timings["commit"] = round(_time.time() - t0, 3)
@@ -251,6 +258,7 @@ def _merge_once(
     timings: dict | None,
     pre_publish_check,
     batch_id,
+    publish: bool = True,
 ) -> Snapshot | None:
     meta = table.meta()
     key, nb = meta["key"], table.bucket_count(snap)
@@ -362,6 +370,7 @@ def _merge_once(
                 summary_update=summary_update,
                 crash_before_publish=crash_before_publish,
                 expected_parent=snap.version,
+                publish=publish,
             )
         except CommitConflict:
             # a writer published between our snapshot load and the pointer
@@ -379,6 +388,7 @@ def _merge_once(
                 replace_buckets=affected,
                 summary_update=summary_update,
                 expected_parent=new_snap.version,
+                publish=publish,
             )
         if timings is not None:
             timings["commit"] = round(_time.time() - t0, 3)

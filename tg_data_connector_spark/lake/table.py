@@ -248,7 +248,13 @@ class LakeTable:
         n_buckets: int = 16,
         fs=None,
         sort_on_write: bool = False,
+        codec: str | None = None,
     ) -> "LakeTable":
+        """``codec``: parquet compression for this table's data files
+        (overrides the session default, e.g. "zstd" for I/O-bound DFS
+        deployments where ratio beats encode speed, "lz4"/"snappy" for
+        CPU-bound ones; None = session codec). Recorded in _meta.json so
+        every writer of the table agrees."""
         t = LakeTable(spark, root, fs=fs)
         t.fs.makedirs(os.path.join(root, "_versions"))
         t.fs.makedirs(os.path.join(root, "_manifests"))
@@ -269,6 +275,7 @@ class LakeTable:
                     "buckets": n_buckets,
                     "bucket_hash": BUCKET_HASH_ID,
                     "sort_on_write": bool(sort_on_write),
+                    **({"codec": codec} if codec else {}),
                 },
                 f,
             )
@@ -329,6 +336,51 @@ class LakeTable:
             )
         self._publish(to_version, expected_parent=cur)
         return self.snapshot(to_version)
+
+    # ---------- write-audit-publish (staged snapshots) ----------
+    def _is_published(self, version: int) -> bool:
+        """True iff ``version`` is reachable from the current pointer via
+        parent links (i.e. visible history, not a staged/dead-branch file)."""
+        v: int | None = self.current_version()
+        while v is not None:
+            if v == version:
+                return True
+            if v < version:
+                return False  # parents only decrease — stop early
+            v = self.snapshot(v).parent
+        return False
+
+    def publish_staged(self, version: int) -> Snapshot:
+        """Fast-forward the current pointer to a STAGED snapshot (Iceberg's
+        write-audit-publish): ``commit(..., publish=False)`` leaves the
+        snapshot's version file, manifest shards, and data files fully staged
+        but invisible to readers; auditors inspect it with
+        ``read(snapshot=version)``; this call makes it current in one atomic
+        pointer swap — no data I/O, the audit read and the published read are
+        byte-identical by construction.
+
+        Fast-forward ONLY: the staged snapshot's parent must still be the
+        current version. If another writer published meanwhile, this raises
+        ``CommitConflict`` and the caller must re-stage — the staged snapshot
+        embeds copy-on-write basis rows from its parent, so cherry-picking it
+        onto a different head could silently drop the interloper's updates
+        (the same expected-parent rule ``merge_upsert`` enforces)."""
+        snap = self.snapshot(version)
+        self._publish(version, expected_parent=snap.parent)
+        return snap
+
+    def drop_staged(self, version: int) -> None:
+        """Audit-reject a staged snapshot: delete its version file so its
+        data files and manifest shards become unreferenced orphans for
+        ``gc_orphans``. Refuses to drop a PUBLISHED version (reachable from
+        the current pointer) — rejecting visible history is ``rollback``'s
+        job, with its ancestor checks."""
+        if self._is_published(version):
+            raise ValueError(
+                f"version {version} is published; use rollback(), not drop_staged()"
+            )
+        self.fs.remove(self._vpath(version))
+        self._snap_cache.pop(version, None)
 
     def current_version(self) -> int:
         return int(self.fs.read_text(self._current_path()).strip())
@@ -674,7 +726,11 @@ class LakeTable:
             # the straddling row groups instead of the whole bucket file
             # (Iceberg's write.sort-order data-skipping effect).
             out_df = out_df.sortWithinPartitions("b", key)
-        out_df.write.partitionBy("b").mode("overwrite").parquet(out_path)
+        writer = out_df.write.partitionBy("b").mode("overwrite")
+        codec = self.meta().get("codec")
+        if codec:
+            writer = writer.option("compression", codec)
+        writer.parquet(out_path)
         bucket_rows = {}
         bucket_stats: dict[int, tuple] = {}
         if obs is not None:
@@ -747,8 +803,15 @@ class LakeTable:
         schema_update: TableSchema | None = None,
         crash_before_publish: bool = False,
         expected_parent: int | None = None,
+        publish: bool = True,
     ) -> Snapshot:
         """Build and publish the next snapshot.
+
+        ``publish=False`` stages the snapshot WITHOUT moving the current
+        pointer (write-audit-publish): readers keep seeing the old state,
+        auditors read the staged version via ``read(snapshot=...)``, and the
+        caller later calls ``publish_staged`` (fast-forward swap) or
+        ``drop_staged`` (reject; files orphan).
 
         ``replace_buckets``: buckets whose previous files are superseded (MERGE
         copy-on-write); None means pure append. ``summary_update`` merges into the
@@ -876,7 +939,8 @@ class LakeTable:
         self._snap_cache[snap.version] = snap
         if crash_before_publish:
             raise RuntimeError("simulated crash between stage and publish")
-        self._publish(snap.version, expected_parent=parent.version)
+        if publish:
+            self._publish(snap.version, expected_parent=parent.version)
         return snap
 
     # ---------- convenience ----------
