@@ -166,3 +166,71 @@ def test_staged_mor_delta_publish(spark, tmp_table_root):
     t.publish_staged(staged.version)
     assert "d1" not in _state(t)
     assert t.read().count() == 29
+
+
+def test_engine_wap_audit_each_batch_then_converge(spark, tmp_table_root):
+    """ReplayConfig.wap_audit: every batch stages, is audited on the staged
+    snapshot, and fast-forwards on approval — the final state is identical
+    to an unaudited replay (the gate is pure protocol, zero semantic drift)."""
+    from tg_data_connector_spark.cdc import (
+        ReplayConfig, ReplayEngine, gen_changelog, gen_seed_sequences,
+    )
+    from oracle import oracle_final_state
+
+    t = LakeTable.create(spark, tmp_table_root, SCHEMA, "doc_id", 8)
+    seed = gen_seed_sequences(spark, 300)
+    t.append(seed)
+    log = gen_changelog(spark, 2000, 300, n_parts=4)
+    audited = []
+
+    def audit(table, staged):
+        audited.append(staged.version)
+        bad = (
+            table.read(snapshot=staged).where(F.col("n_tok") < 0).count()
+        )
+        return bad == 0
+
+    eng = ReplayEngine(
+        spark, t, ReplayConfig(events_per_batch=1000, wap_audit=audit)
+    )
+    reports = eng.replay(log, run_id="wap")
+    assert audited and len(audited) == len(reports)
+    got = t.read().select("doc_id", "tokens", "n_tok", "source")
+    exp = oracle_final_state(seed, log).select(
+        "doc_id", "tokens", "n_tok", "source"
+    )
+    assert got.exceptAll(exp).count() + exp.exceptAll(got).count() == 0
+
+
+def test_engine_wap_veto_preserves_watermark_for_retry(spark, tmp_table_root):
+    """A vetoed batch drops its staged snapshot WITHOUT advancing the
+    watermark: the table is untouched, and a re-run after the veto lifts
+    retries the exact same batch and converges (at-most-once through the
+    veto path)."""
+    from tg_data_connector_spark.cdc import (
+        ReplayConfig, ReplayEngine, gen_changelog, gen_seed_sequences,
+    )
+    from tg_data_connector_spark.cdc.replay import AuditRejected
+    from oracle import oracle_final_state
+
+    t = LakeTable.create(spark, tmp_table_root, SCHEMA, "doc_id", 8)
+    seed = gen_seed_sequences(spark, 300)
+    t.append(seed)
+    log = gen_changelog(spark, 2000, 300, n_parts=4)
+    gate = {"veto": True}
+    cfg = ReplayConfig(
+        events_per_batch=1000, wap_audit=lambda tb, s: not gate["veto"]
+    )
+    eng = ReplayEngine(spark, t, cfg)
+    v0 = t.current_version()
+    with pytest.raises(AuditRejected):
+        eng.replay(log, run_id="wap")
+    assert t.current_version() == v0  # nothing published
+    assert not t.snapshot().watermarks()  # watermark did not advance
+    gate["veto"] = False
+    ReplayEngine(spark, t, cfg).replay(log, run_id="wap")
+    got = t.read().select("doc_id", "tokens", "n_tok", "source")
+    exp = oracle_final_state(seed, log).select(
+        "doc_id", "tokens", "n_tok", "source"
+    )
+    assert got.exceptAll(exp).count() + exp.exceptAll(got).count() == 0

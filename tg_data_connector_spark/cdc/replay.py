@@ -119,9 +119,23 @@ class ReplayConfig:
     mor_compact_after: int | None = None
     salted_dedup: bool = False  # back-compat alias for dedup_strategy="salted"
     salt_buckets: int = 16
+    # Write-audit-publish (lake WAP surface): when set, every batch commits
+    # STAGED (publish=False) and the hook runs with (table, staged_snapshot)
+    # — read it via table.read(snapshot=staged) — returning True to publish
+    # (atomic fast-forward) or False to reject. Rejection drops the staged
+    # snapshot (files orphan for gc_orphans) and raises AuditRejected with
+    # the watermark UNADVANCED, so a fixed-up re-run retries the exact same
+    # batch: at-most-once application is preserved through the veto.
+    wap_audit: "object | None" = None  # Callable[[LakeTable, Snapshot], bool]
     error_limit: ErrorLimit = field(default_factory=lambda: ErrorLimit(percentage=0.05))
     quarantine_dir: str | None = None
     parse_payload: bool = False  # input carries binary payload -> vectorized parse
+
+
+class AuditRejected(RuntimeError):
+    """A ReplayConfig.wap_audit hook vetoed a staged batch. The staged
+    snapshot was dropped and the watermark did not advance — re-running the
+    replay (after fixing the input or the audit) retries the same batch."""
 
 
 @dataclass
@@ -592,6 +606,7 @@ class ReplayEngine:
             metrics["dirty"] = nd
             self.cfg.error_limit.check(prior_dirty + nd, max(events_n, 1))
 
+        wap = self.cfg.wap_audit is not None
         if self.cfg.merge_mode == "mor":
             from ..lake.merge import delta_append
 
@@ -605,22 +620,8 @@ class ReplayEngine:
                 crash_after_stage=crash_after_stage and final,
                 timings=getattr(self, "_phase_timings", None),
                 pre_publish_check=pre_publish,
+                publish=not wap,
             )
-            if snap is not None and final and self.cfg.mor_compact_after:
-                from ..lake.maintain import compact, delta_depths
-
-                # INCREMENTAL: fold only the buckets whose delta depth
-                # crossed the threshold — O(selected buckets), not O(table);
-                # the snapshot's file list is in memory, so the pick is free
-                over = [
-                    b
-                    for b, d in delta_depths(snap).items()
-                    if d > self.cfg.mor_compact_after
-                ]
-                if over:
-                    t_c = time.time()
-                    compact(self.table, buckets=sorted(over))
-                    self._phase_timings["compact"] = round(time.time() - t_c, 3)
         else:
             snap = merge_upsert(
                 self.table,
@@ -631,7 +632,43 @@ class ReplayEngine:
                 crash_after_stage=crash_after_stage and final,
                 timings=getattr(self, "_phase_timings", None),
                 pre_publish_check=pre_publish,
+                publish=not wap,
             )
+        # write-audit-publish gate. A merge that found the batch already
+        # applied returns the CURRENT snapshot (version == pointer) — nothing
+        # staged, nothing to audit.
+        if (
+            snap is not None
+            and wap
+            and snap.version != self.table.current_version()
+        ):
+            if self.cfg.wap_audit(self.table, snap):
+                self.table.publish_staged(snap.version)
+            else:
+                self.table.drop_staged(snap.version)
+                raise AuditRejected(f"batch {batch_id} vetoed by wap_audit")
+        if (
+            self.cfg.merge_mode == "mor"
+            and snap is not None
+            and final
+            and self.cfg.mor_compact_after
+        ):
+            from ..lake.maintain import compact, delta_depths
+
+            # INCREMENTAL: fold only the buckets whose delta depth
+            # crossed the threshold — O(selected buckets), not O(table);
+            # the snapshot's file list is in memory, so the pick is free.
+            # Runs AFTER the WAP gate: compaction rewrites only PUBLISHED
+            # state (a vetoed batch must not get folded into the base).
+            over = [
+                b
+                for b, d in delta_depths(snap).items()
+                if d > self.cfg.mor_compact_after
+            ]
+            if over:
+                t_c = time.time()
+                compact(self.table, buckets=sorted(over))
+                self._phase_timings["compact"] = round(time.time() - t_c, 3)
         if snap is None and final and watermarks is not None:
             # nothing to merge but the watermark still advances (all-dirty or
             # empty range): commit a data-less snapshot carrying it
