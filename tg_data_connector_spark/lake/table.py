@@ -248,13 +248,17 @@ class LakeTable:
         n_buckets: int = 16,
         fs=None,
         sort_on_write: bool = False,
-        codec: str | None = None,
+        codec: str | None = "zstd",
     ) -> "LakeTable":
         """``codec``: parquet compression for this table's data files
-        (overrides the session default, e.g. "zstd" for I/O-bound DFS
-        deployments where ratio beats encode speed, "lz4"/"snappy" for
-        CPU-bound ones; None = session codec). Recorded in _meta.json so
-        every writer of the table agrees."""
+        (recorded in _meta.json so every writer of the table agrees;
+        None = the session's codec). Default zstd, SET FROM DATA: the
+        replay's write phase is I/O-bound, and the interleaved bench A/B
+        (tools/ab_codec.py, BENCH.md round 4) measured zstd 1.5x faster
+        end-to-end than snappy (best-of-3: 52.0 s vs 79.7 s per 31.5M-event
+        batch at 4 lanes) and ~3x faster than parquet-lz4 — the same ratio
+        argument holds harder on a real DFS cluster where the written bytes
+        also cross the network and replicate."""
         t = LakeTable(spark, root, fs=fs)
         t.fs.makedirs(os.path.join(root, "_versions"))
         t.fs.makedirs(os.path.join(root, "_manifests"))
