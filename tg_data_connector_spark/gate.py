@@ -365,6 +365,42 @@ def q_lake_wap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lake_expire_gc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintenance safety (Iceberg expire_snapshots + remove_orphan_files):
+    run the flagship batched replay — each COW batch supersedes files, so
+    dead versions and unreferenced data files accumulate — then bound the
+    history with ``expire_snapshots(keep_last=2)`` and reclaim with
+    ``gc_orphans(min_age_seconds=0)``. Both must actually remove things
+    (asserted), and the visible table state afterwards must be
+    BYTE-IDENTICAL to the flagship oracle: maintenance touches only dead
+    metadata and unreferenced files, never the live snapshot."""
+    from .lake.maintain import expire_snapshots, gc_orphans
+
+    root = tempfile.mkdtemp(prefix="tgspark_gate_gc_")
+    table = LakeTable.create(
+        spark, f"{root}/seq", SEQ_SCHEMA, key="doc_id", n_buckets=16
+    )
+    table.append(derive_seed(spark, sf_dir), lsn_col=F.lit(-1), seq_col=F.lit(0))
+    # small batches on purpose: several COW commits, so superseded files and
+    # expirable history actually accumulate for the maintenance pass to find
+    eng = ReplayEngine(spark, table, ReplayConfig(events_per_batch=2_000))
+    eng.replay(derive_changelog(spark, sf_dir), run_id="gate_gc")
+    live = {f["path"] for f in table.snapshot().files}
+    expired = expire_snapshots(table, keep_last=2)
+    assert expired, "batched replay must leave expirable history"
+    removed = gc_orphans(table, min_age_seconds=0)
+    assert removed, "superseded COW files must be reclaimed after expiry"
+    assert not (set(removed) & live), "GC must never touch live files"
+    assert len(table.history()) <= 3
+    return table.read().select(
+        "doc_id", _csv(F.col("tokens")).alias("tokens_csv"), "n_tok", "source"
+    )
+
+
+def sql_lake_expire_gc() -> str:
+    return sql_cdc_merge_final_state()  # maintenance must not change state
+
+
 def sql_lake_wap_audit() -> str:
     return f"""
     WITH final AS ({sql_cdc_merge_final_state()})
@@ -1516,6 +1552,7 @@ QUERIES = {
     "cdc_merge_mor": (q_cdc_merge_mor, sql_cdc_merge_mor),
     "lake_rebucket": (q_lake_rebucket, sql_lake_rebucket),
     "lake_wap_audit": (q_lake_wap_audit, sql_lake_wap_audit),
+    "lake_expire_gc": (q_lake_expire_gc, sql_lake_expire_gc),
     "lake_time_travel": (q_lake_time_travel, sql_lake_time_travel),
     "lake_cdf_sync": (q_lake_cdf_sync, sql_lake_cdf_sync),
     "lake_point_lookup": (q_lake_point_lookup, sql_lake_point_lookup),
