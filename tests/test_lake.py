@@ -316,3 +316,61 @@ def test_table_codec_overrides_session_default(spark, tmp_path):
     t2.append(_seed(spark, 5).withColumn("doc_id", F.concat(F.lit("x"), F.col("doc_id"))))
     new = [f["path"] for f in t2.snapshot().files if f["path"] not in paths]
     assert new and all(p.endswith(".zstd.parquet") for p in new)
+
+
+def test_rename_column_resolves_old_files(spark, tmp_table_root):
+    """rename_column is metadata-only: files written before the rename
+    resolve the new name back through the per-version rename log, chained
+    renames compose, and a post-rename merge writes under the new name."""
+    from tg_data_connector_spark.lake.merge import merge_upsert
+
+    t = LakeTable.create(spark, tmp_table_root, SCHEMA, key="doc_id", n_buckets=4)
+    t.append(_seed(spark))  # schema 1 files carry column 'source'
+    apply_schema_change(t, '{"rename_column": {"name": "source", "to": "origin"}}')
+    assert t.snapshot().schema().names() == ["doc_id", "tokens", "n_tok", "origin"]
+    df = t.read()
+    assert "origin" in df.columns and "source" not in df.columns
+    assert df.where(F.col("origin") == "s0").count() == 50  # old files resolve
+    # post-rename write uses the new name; old and new files align in one read
+    ev = spark.createDataFrame(
+        [("d1", [9], 1, "s1", "U", 10, 0)],
+        "doc_id string, tokens array<int>, n_tok int, origin string, "
+        "op string, commit_lsn bigint, seq_no bigint",
+    )
+    merge_upsert(t, ev)
+    got = {r["doc_id"]: r["origin"] for r in t.read().collect()}
+    assert got["d1"] == "s1" and got["d2"] == "s0"
+    # chained rename: origin -> provenance still resolves the schema-1 files
+    apply_schema_change(
+        t, '{"rename_column": {"name": "origin", "to": "provenance"}}'
+    )
+    assert t.read().where(F.col("provenance") == "s0").count() == 49
+    # idempotent re-apply is a no-op
+    assert apply_schema_change(
+        t, '{"rename_column": {"name": "origin", "to": "provenance"}}'
+    ) is None
+
+
+def test_drop_column_and_resurrect_guard(spark, tmp_table_root):
+    t = LakeTable.create(spark, tmp_table_root, SCHEMA, key="doc_id", n_buckets=4)
+    t.append(_seed(spark))
+    apply_schema_change(t, '{"drop_column": {"name": "n_tok"}}')
+    df = t.read()
+    assert "n_tok" not in df.columns and df.count() == 50
+    assert apply_schema_change(t, '{"drop_column": {"name": "n_tok"}}') is None
+    # re-adding a historical name would resurrect old file bytes: rejected
+    with pytest.raises(SchemaEvolutionError, match="resurrect"):
+        apply_schema_change(
+            t, '{"add_column": {"name": "n_tok", "type": "int"}}'
+        )
+    with pytest.raises(SchemaEvolutionError, match="resurrect"):
+        apply_schema_change(
+            t, '{"rename_column": {"name": "source", "to": "n_tok"}}'
+        )
+    # the key column is load-bearing: rename/drop refused
+    with pytest.raises(SchemaEvolutionError, match="key"):
+        apply_schema_change(
+            t, '{"rename_column": {"name": "doc_id", "to": "id"}}'
+        )
+    with pytest.raises(SchemaEvolutionError, match="key"):
+        apply_schema_change(t, '{"drop_column": {"name": "doc_id"}}')

@@ -265,3 +265,38 @@ def test_winner_key_estimate_exact_union(spark, tmp_table_root):
         .collect()[0][0]
     )
     assert per_part_sum > true_keys * 1.5
+
+
+def test_rename_lag_events_map_to_new_column(spark, tmp_table_root):
+    """Mid-replay rename_column with an upstream that LAGS the rename: the
+    change events keep carrying the old field name (`source`), and the
+    engine must map them onto the renamed column through the table's rename
+    log (replay.py alias_of — the reference's SnowflakeReader column-mapping
+    semantics). Chained renames compose; final state matches the oracle
+    modulo the column name."""
+    from tg_data_connector_spark.lake.evolve import apply_schema_change
+
+    t, seed = _setup(spark, tmp_table_root)
+    log = gen_changelog(spark, N_EVENTS, N_DOCS, n_parts=N_PARTS)
+    eng = ReplayEngine(spark, t, ReplayConfig(events_per_batch=1000))
+    mid = log.agg(F.floor((F.min("offset") + F.max("offset")) / 2)).collect()[0][0]
+    eng.replay(log.where(F.col("offset") <= mid), run_id="r1")
+    apply_schema_change(t, '{"rename_column": {"name": "source", "to": "origin"}}')
+    eng.replay(log, run_id="r1")  # resumes; events still say `source`
+    apply_schema_change(
+        t, '{"rename_column": {"name": "origin", "to": "provenance"}}'
+    )
+    log2 = (
+        gen_changelog(spark, 1000, N_DOCS, n_parts=N_PARTS, seed=7)
+        .withColumn("commit_lsn", F.col("commit_lsn") + F.lit(10_000_000))
+        .withColumn("offset", F.col("offset") + F.lit(1_000_000))
+    )
+    eng.replay(log2, run_id="r1")
+    got = t.read()
+    assert "provenance" in got.columns and "source" not in got.columns
+    # no rename-lag event may have null-filled the renamed column
+    assert got.where(F.col("provenance").isNull()).count() == 0
+    _assert_equiv(
+        got.withColumnRenamed("provenance", "source"),
+        oracle_final_state(seed, log.unionByName(log2)),
+    )

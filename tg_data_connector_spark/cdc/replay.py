@@ -429,8 +429,19 @@ class ReplayEngine:
         """
         from pyspark.sql import Observation
 
-        schema = self.table.snapshot().schema()
+        snap = self.table.snapshot()
+        schema = snap.schema()
         cols = schema.names()
+        # rename-lag map: old column name -> current name, from the table's
+        # per-version rename log. An upstream that still emits the pre-rename
+        # field keeps applying cleanly — the reference's column-mapping
+        # config semantics (SnowflakeReader `column`, SURVEY §2.3).
+        from ..lake.table import historical_names
+
+        alias_of: dict[str, str] = {}
+        for c in cols:
+            for a in historical_names(c, snap.schema_id, snap.schemas)[1:]:
+                alias_of.setdefault(a, c)
         raw_mode = "tokens" not in sub.columns and "payload" in sub.columns
 
         obs = None
@@ -480,7 +491,7 @@ class ReplayEngine:
         # The shuffle then carries one binary cell per event instead of a
         # materialized token array, and the Python decode below runs on the
         # ~|keys| winners, not the |events| input.
-        want = set(cols) | {"extra", "payload"}
+        want = set(cols) | set(alias_of) | {"extra", "payload"}
         carry = [c for c in sub.columns if c in want and c != "doc_id"]
 
         def project(frame):
@@ -573,16 +584,26 @@ class ReplayEngine:
         # project up to the live table schema: evolved columns arrive either
         # directly, via the semi-structured after-image map, or null-filled
         out_cols = []
+        rev_aliases: dict[str, list[str]] = {}
+        for old, new in alias_of.items():
+            rev_aliases.setdefault(new, []).append(old)
         for c in cols:
-            if c in deduped.columns:
-                out_cols.append(F.col(c))
+            candidates = [c, *rev_aliases.get(c, [])]  # current name first
+            hit = next((n for n in candidates if n in deduped.columns), None)
+            typ = dict(schema.fields)[c]
+            if hit is not None:
+                out_cols.append(F.col(hit).cast(typ).alias(c))
             elif "extra" in deduped.columns:
-                typ = dict(schema.fields)[c]
+                # the after-image map may also use a pre-rename field name
                 out_cols.append(
-                    F.try_element_at(F.col("extra"), F.lit(c)).try_cast(typ).alias(c)
+                    F.coalesce(
+                        *[
+                            F.try_element_at(F.col("extra"), F.lit(n)).try_cast(typ)
+                            for n in candidates
+                        ]
+                    ).alias(c)
                 )
             else:
-                typ = dict(schema.fields)[c]
                 out_cols.append(F.lit(None).cast(typ).alias(c))
         deduped = deduped.select(*out_cols, "op", "commit_lsn", "seq_no")
         metrics = {"events": events_n}

@@ -104,6 +104,45 @@ DELETED_COL = "_deleted"
 LINEAGE_COLS = (LSN_COL, SEQ_COL, DELETED_COL)
 
 
+def _resolve_source_name(
+    name: str, target_sid: int, file_sid: int, schemas: dict
+) -> str:
+    """The target column ``name``'s name AS WRITTEN under schema ``file_sid``:
+    walk the per-version rename records (TableSchema ``from`` markers)
+    backwards from ``target_sid``. Chained renames compose (a->b at v5,
+    b->c at v8: a v4 file resolves c -> b -> a)."""
+    cur = name
+    for k in range(int(target_sid), int(file_sid), -1):
+        sch = schemas.get(str(k))
+        if not sch:
+            continue
+        for f in sch:
+            if f["name"] == cur and "from" in f:
+                cur = f["from"]
+                break
+    return cur
+
+
+def historical_names(name: str, target_sid: int, schemas: dict) -> list[str]:
+    """Every name the column ``name`` has carried, newest first: the full
+    rename chain walked back from ``target_sid`` to schema 1. Used by the
+    replay engine to accept change events from an upstream that lags a
+    rename (the reference's column-mapping config semantics:
+    ``SnowflakeReader`` `column` mapping, SURVEY §2.3)."""
+    out = [name]
+    cur = name
+    for k in range(int(target_sid), 1, -1):
+        sch = schemas.get(str(k))
+        if not sch:
+            continue
+        for f in sch:
+            if f["name"] == cur and "from" in f:
+                cur = f["from"]
+                out.append(cur)
+                break
+    return out
+
+
 def resolve_lww(df: DataFrame, key: str) -> DataFrame:
     """Merge-on-read resolution: collapse base + delta rows to each key's
     newest (_lsn, _seq) version — one hash(key) exchange + an in-partition
@@ -152,6 +191,13 @@ class TableSchema:
     upgrade required by the input_hint)."""
 
     fields: list[tuple[str, str]]  # (name, spark ddl type)
+    # new_name -> old_name for renames introduced AT THIS schema version
+    # (evolve.py rename_column). Read alignment walks these back through the
+    # schema chain so files written under any older schema resolve the
+    # renamed column by its then-current name — Iceberg tracks the same
+    # lineage with field ids; a per-version rename log is the name-based
+    # equivalent and survives chained renames (a->b at v5, b->c at v8).
+    renames: dict = field(default_factory=dict)
 
     def ddl(self) -> str:
         return ", ".join(f"{n} {t}" for n, t in self.fields)
@@ -160,11 +206,18 @@ class TableSchema:
         return [n for n, _ in self.fields]
 
     def to_json(self) -> list[dict]:
-        return [{"name": n, "type": t} for n, t in self.fields]
+        return [
+            {"name": n, "type": t,
+             **({"from": self.renames[n]} if n in self.renames else {})}
+            for n, t in self.fields
+        ]
 
     @staticmethod
     def from_json(obj: list[dict]) -> "TableSchema":
-        return TableSchema([(f["name"], f["type"]) for f in obj])
+        return TableSchema(
+            [(f["name"], f["type"]) for f in obj],
+            renames={f["name"]: f["from"] for f in obj if "from" in f},
+        )
 
 
 @dataclass
@@ -460,7 +513,9 @@ class LakeTable:
         if keys:
             files = [f for f in files if _file_may_contain(f, keys)]
         self._last_scan_file_count = len(files)  # test/ops introspection
-        out = self._read_file_entries(files, snap.schemas, cur)
+        out = self._read_file_entries(
+            files, snap.schemas, cur, target_sid=snap.schema_id
+        )
         if out is None:
             lineage = [
                 (LSN_COL, "bigint"), (SEQ_COL, "bigint"), (DELETED_COL, "boolean")
@@ -522,12 +577,20 @@ class LakeTable:
         )
 
     def _read_file_entries(
-        self, files: list[dict], schemas: dict, target: TableSchema
+        self,
+        files: list[dict],
+        schemas: dict,
+        target: TableSchema,
+        target_sid: int | None = None,
     ) -> DataFrame | None:
         """Read a list of manifest file entries, each with its write-time
-        schema (no inference), aligned (cast / null-fill) up to ``target``,
-        lineage columns included. None for an empty list. No tombstone filter
-        and no delta resolution — callers layer those."""
+        schema (no inference), aligned (cast / null-fill / rename-resolve)
+        up to ``target``, lineage columns included. None for an empty list.
+        No tombstone filter and no delta resolution — callers layer those.
+
+        ``target_sid``: the schema id ``target`` corresponds to — needed to
+        walk rename records back to each file's write-time name (omitted =
+        no rename resolution, the pre-rename behavior)."""
         if not files:
             return None
         lineage = [(LSN_COL, "bigint"), (SEQ_COL, "bigint"), (DELETED_COL, "boolean")]
@@ -544,8 +607,13 @@ class LakeTable:
             cols = []
             have = dict(wschema.fields)
             for name, typ in target.fields:
-                if name in have:
-                    cols.append(F.col(name).cast(typ).alias(name))
+                src = (
+                    _resolve_source_name(name, target_sid, sid, schemas)
+                    if target_sid is not None
+                    else name
+                )
+                if src in have:
+                    cols.append(F.col(src).cast(typ).alias(name))
                 else:
                     cols.append(F.lit(None).cast(typ).alias(name))
             for name, typ in lineage:
@@ -589,7 +657,8 @@ class LakeTable:
                 f"version {from_version} is not an ancestor of {to_v}"
             )
         chain.reverse()
-        target = self.snapshot(to_v).schema()
+        to_snap = self.snapshot(to_v)
+        target = to_snap.schema()
         key = self.meta()["key"]
         outs = []
         for s in chain:
@@ -603,7 +672,11 @@ class LakeTable:
             new_files = [f for f in s.files if f["path"] not in parent_paths]
             if not new_files:
                 continue
-            df = self._read_file_entries(new_files, s.schemas, target)
+            # to_snap.schemas: the accumulated superset, so rename records
+            # registered AFTER this intermediate commit still resolve
+            df = self._read_file_entries(
+                new_files, to_snap.schemas, target, target_sid=to_snap.schema_id
+            )
             if not all(f.get("kind") == "delta" for f in new_files):
                 # COW rewrite (or bulk append): keep only rows whose (key,
                 # version) is NOT in the parent's view of the same buckets —
