@@ -764,6 +764,81 @@ def sql_cdc_schema_widen() -> str:
     return sql_cdc_merge_final_state()  # widen changes types, never values
 
 
+def q_cdc_schema_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rename evolution end-to-end with a LAGGING upstream: replay the first
+    half, rename source->origin (metadata-only commit, lake/evolve.py), then
+    resume the replay whose events STILL carry the old field name — the
+    engine maps them onto the renamed column through the table's rename log
+    (cdc/replay.py alias_of; the reference's SnowflakeReader column-mapping
+    config, SURVEY §2.3). Files written before the rename resolve the new
+    name back at read time. Values equal the flagship oracle with the
+    column renamed — rename moves names, never data."""
+    from .lake.evolve import apply_schema_change
+
+    root = tempfile.mkdtemp(prefix="tgspark_gate_ren_")
+    table = LakeTable.create(
+        spark, f"{root}/seq", SEQ_SCHEMA, key="doc_id", n_buckets=16
+    )
+    table.append(derive_seed(spark, sf_dir), lsn_col=F.lit(-1), seq_col=F.lit(0))
+    log = derive_changelog(spark, sf_dir)
+    mid = log.agg(
+        F.floor((F.min("offset") + F.max("offset")) / 2).cast("bigint")
+    ).collect()[0][0]
+    eng = ReplayEngine(spark, table, ReplayConfig(events_per_batch=50_000))
+    eng.replay(log.where(F.col("offset") <= mid), run_id="gate_ren")
+    apply_schema_change(
+        table, '{"rename_column": {"name": "source", "to": "origin"}}'
+    )
+    eng.replay(log, run_id="gate_ren")  # events still say `source`
+    final = table.read()
+    assert "origin" in final.columns and "source" not in final.columns
+    return final.select(
+        "doc_id", _csv(F.col("tokens")).alias("tokens_csv"), "n_tok", "origin"
+    )
+
+
+def sql_cdc_schema_rename() -> str:
+    return (
+        f"SELECT doc_id, tokens_csv, n_tok, source AS origin "
+        f"FROM ({sql_cdc_merge_final_state()})"
+    )
+
+
+def q_cdc_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north rule's CONTINUOUS change-log tail: the changelog staged as
+    parquet files and tailed as a Structured Streaming source
+    (streaming/foreach.stream_replay), each micro-batch flowing through the
+    same apply path (quarantine -> LWW dedup -> MERGE -> snapshot commit)
+    via foreachBatch, throttled by maxFilesPerTrigger (the reference's
+    Channel byte/record limits, ``Channel.java:176-239``). foreachBatch is
+    at-least-once; the snapshot batch-id/watermark check upgrades it to
+    exactly-once. Final state equals the flagship BATCH oracle — streaming
+    tail and batch replay are the same engine."""
+    from .streaming import stream_replay
+
+    root = tempfile.mkdtemp(prefix="tgspark_gate_stream_")
+    table = LakeTable.create(
+        spark, f"{root}/seq", SEQ_SCHEMA, key="doc_id", n_buckets=16
+    )
+    table.append(derive_seed(spark, sf_dir), lsn_col=F.lit(-1), seq_col=F.lit(0))
+    src_dir = f"{root}/log"
+    derive_changelog(spark, sf_dir).repartition(8).write.parquet(src_dir)
+    eng = ReplayEngine(spark, table, ReplayConfig(events_per_batch=50_000))
+    q = stream_replay(
+        spark, eng, src_dir, f"{root}/ckpt", max_files_per_trigger=2
+    )
+    q.awaitTermination(600)
+    assert table.current_version() > 1  # micro-batches actually committed
+    final = table.read()
+    return final.select(
+        "doc_id", _csv(F.col("tokens")).alias("tokens_csv"), "n_tok", "source"
+    )
+
+
+def sql_cdc_stream_replay() -> str:
+    return sql_cdc_merge_final_state()  # same engine, streaming driver
+
+
 def _skewed_src(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Changelog with a synthetic hot key: a third of all events collapse
     onto ONE doc_id — the skew shape the reference's fair-assignment channel
@@ -1549,6 +1624,8 @@ QUERIES = {
     "sessionize_stream": (q_sessionize_stream, None),
     "cdc_schema_evolution": (q_cdc_schema_evolution, sql_cdc_schema_evolution),
     "cdc_schema_widen": (q_cdc_schema_widen, sql_cdc_schema_widen),
+    "cdc_schema_rename": (q_cdc_schema_rename, sql_cdc_schema_rename),
+    "cdc_stream_replay": (q_cdc_stream_replay, sql_cdc_stream_replay),
     "cdc_merge_mor": (q_cdc_merge_mor, sql_cdc_merge_mor),
     "lake_rebucket": (q_lake_rebucket, sql_lake_rebucket),
     "lake_wap_audit": (q_lake_wap_audit, sql_lake_wap_audit),
