@@ -764,6 +764,87 @@ def sql_cdc_schema_widen() -> str:
     return sql_cdc_merge_final_state()  # widen changes types, never values
 
 
+def q_lake_tag_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named refs (Iceberg tags): pin the mid-replay snapshot under a tag,
+    then EXPIRE everything but the last snapshot — the tagged version must
+    survive retention (ref-based keep) and read back byte-identical to the
+    time-travel oracle. Also pins tag immutability: re-tagging the same name
+    at another version raises; same version is an idempotent no-op."""
+    root = tempfile.mkdtemp(prefix="tgspark_gate_tag_")
+    table = LakeTable.create(
+        spark, f"{root}/seq", SEQ_SCHEMA, key="doc_id", n_buckets=16
+    )
+    table.append(derive_seed(spark, sf_dir), lsn_col=F.lit(-1), seq_col=F.lit(0))
+    v0 = table.current_version()
+    eng = ReplayEngine(spark, table, ReplayConfig(events_per_batch=50_000))
+    reports = eng.replay(derive_changelog(spark, sf_dir), run_id="gate_tag")
+    k = len(reports) // 2
+    table.tag("audit", v0 + k)
+    assert table.tag("audit", v0 + k) == v0 + k  # idempotent re-tag
+    try:
+        # v0+k+1 always exists (k = n//2 < n) and always differs from v0+k
+        table.tag("audit", v0 + k + 1)
+        raise AssertionError("re-tagging another version must fail")
+    except ValueError:
+        pass
+    from .lake.maintain import expire_snapshots
+
+    expired = expire_snapshots(table, keep_last=1)
+    assert expired and (v0 + k) not in expired  # tag kept it alive
+    assert (v0 + k) in table.history()
+    final = table.read(snapshot=table.snapshot(tag="audit"))
+    return final.select(
+        "doc_id", _csv(F.col("tokens")).alias("tokens_csv"), "n_tok", "source"
+    )
+
+
+def sql_lake_tag_read() -> str:
+    return sql_lake_time_travel()  # same mid-replay pin, reached via the ref
+
+
+def q_lake_files_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-inspection gate (lake/inspect.py — Iceberg's ``table.files``):
+    after the flagship replay, aggregate the FILES table built from manifests
+    alone (no data file opened). The manifest row counts must account for
+    every live row AND every retained delete tombstone, and the CoW layout
+    invariant (exactly one current file per bucket) must hold — proving the
+    stats the data-skipping and ops paths rely on are truthful."""
+    from .lake.inspect import files_df
+
+    root = tempfile.mkdtemp(prefix="tgspark_gate_meta_")
+    table = LakeTable.create(
+        spark, f"{root}/seq", SEQ_SCHEMA, key="doc_id", n_buckets=16
+    )
+    table.append(derive_seed(spark, sf_dir), lsn_col=F.lit(-1), seq_col=F.lit(0))
+    eng = ReplayEngine(spark, table, ReplayConfig(events_per_batch=50_000))
+    eng.replay(derive_changelog(spark, sf_dir), run_id="gate_meta")
+    meta = files_df(table)
+    return meta.agg(
+        F.count("*").cast("int").alias("n_files"),
+        F.sum("rows").alias("total_rows"),
+        F.countDistinct("bucket").cast("int").alias("n_buckets"),
+    )
+
+
+def sql_lake_files_meta() -> str:
+    # total_rows = one row per key ever touched: every clean-event LWW winner
+    # (live or tombstone — unmatched deletes tombstone too) + untouched seed
+    return f"""
+    WITH log AS ({CHANGELOG_SQL}),
+    clean AS (SELECT * FROM log WHERE NOT {DIRTY_SQL}),
+    latest AS (
+      SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                     ORDER BY commit_lsn DESC, seq_no DESC) AS rn FROM clean)
+      WHERE rn = 1),
+    seed AS ({SEED_SQL})
+    SELECT CAST(16 AS INT) AS n_files,
+           (SELECT count(*) FROM latest)
+           + (SELECT count(*) FROM seed s ANTI JOIN latest l
+              ON s.doc_id = l.doc_id) AS total_rows,
+           CAST(16 AS INT) AS n_buckets
+    """
+
+
 def q_cdc_schema_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rename evolution end-to-end with a LAGGING upstream: replay the first
     half, rename source->origin (metadata-only commit, lake/evolve.py), then
@@ -1626,6 +1707,8 @@ QUERIES = {
     "cdc_schema_widen": (q_cdc_schema_widen, sql_cdc_schema_widen),
     "cdc_schema_rename": (q_cdc_schema_rename, sql_cdc_schema_rename),
     "cdc_stream_replay": (q_cdc_stream_replay, sql_cdc_stream_replay),
+    "lake_tag_read": (q_lake_tag_read, sql_lake_tag_read),
+    "lake_files_meta": (q_lake_files_meta, sql_lake_files_meta),
     "cdc_merge_mor": (q_cdc_merge_mor, sql_cdc_merge_mor),
     "lake_rebucket": (q_lake_rebucket, sql_lake_rebucket),
     "lake_wap_audit": (q_lake_wap_audit, sql_lake_wap_audit),

@@ -442,7 +442,13 @@ class LakeTable:
     def current_version(self) -> int:
         return int(self.fs.read_text(self._current_path()).strip())
 
-    def snapshot(self, version: int | None = None) -> Snapshot:
+    def snapshot(
+        self, version: int | None = None, tag: str | None = None
+    ) -> Snapshot:
+        if tag is not None:
+            if version is not None:
+                raise ValueError("pass version OR tag, not both")
+            version = self.tags()[tag]
         v = self.current_version() if version is None else version
         hit = self._snap_cache.get(v)
         if hit is not None:
@@ -478,6 +484,50 @@ class LakeTable:
             if fn.startswith("v") and fn.endswith(".json"):
                 vs.append(int(fn[1:-5]))
         return vs
+
+    # ---------- tags (Iceberg named refs: immutable snapshot pins) ----------
+
+    def _tagdir(self) -> str:
+        return os.path.join(self.root, "_tags")
+
+    def tag(self, name: str, version: int | None = None) -> int:
+        """Pin a snapshot under a name (Iceberg ``create_tag``). Tags are
+        IMMUTABLE: re-tagging an existing name is an error unless it points
+        at the same version (idempotent re-run). ``expire_snapshots`` keeps
+        tagged versions regardless of retention count. Created with the
+        same compare-and-create primitive as version files, so two racing
+        taggers cannot silently overwrite each other."""
+        v = self.current_version() if version is None else int(version)
+        if not self.fs.exists(self._vpath(v)):
+            raise ValueError(f"version {v} does not exist")
+        self.fs.makedirs(self._tagdir())
+        path = os.path.join(self._tagdir(), f"{name}.json")
+        try:
+            self.fs.write_text_excl(path, json.dumps({"version": v}))
+        except Exception:
+            if not self.fs.exists(path):
+                raise
+            have = json.loads(self.fs.read_text(path))["version"]
+            if have != v:
+                raise ValueError(
+                    f"tag {name!r} already pins version {have}, not {v} — "
+                    "tags are immutable; drop_tag first"
+                ) from None
+        return v
+
+    def tags(self) -> dict[str, int]:
+        if not self.fs.exists(self._tagdir()):
+            return {}
+        out = {}
+        for fn in self.fs.listdir(self._tagdir()):
+            if fn.endswith(".json"):
+                out[fn[:-5]] = json.loads(
+                    self.fs.read_text(os.path.join(self._tagdir(), fn))
+                )["version"]
+        return out
+
+    def drop_tag(self, name: str) -> None:
+        self.fs.remove(os.path.join(self._tagdir(), f"{name}.json"))
 
     # ---------- read ----------
     def read(
