@@ -134,3 +134,60 @@ def test_replay_from_debezium_topic(spark, tmp_path):
     e = t.read().select("doc_id", "tokens", "n_tok", "source")
     o = oracle_final_state(seed, log).select("doc_id", "tokens", "n_tok", "source")
     assert e.exceptAll(o).count() + o.exceptAll(e).count() == 0
+
+
+def test_canal_literal_envelopes(spark):
+    """Hand-written Canal FlatMessage envelopes: multi-row data array with
+    positional seq, all-string cells cast to typed columns, DDL envelope
+    routed to quarantine (null op), unparseable cell -> null -> dirty."""
+    from tg_data_connector_spark.cdc.envelopes import from_canal
+
+    rows = [
+        ('{"data": [{"doc_id": "d1", "tokens": "[1,2]", "n_tok": "2", '
+         '"source": "s"}, {"doc_id": "d2", "tokens": "[5]", "n_tok": "1", '
+         '"source": "s"}], "type": "INSERT", "isDdl": false, "id": 700, '
+         '"es": 1}', 0, 10),
+        ('{"data": [{"doc_id": "d1", "tokens": null, "n_tok": null, '
+         '"source": null}], "type": "DELETE", "isDdl": false, "id": 701, '
+         '"es": 2}', 0, 11),
+        ('{"data": null, "type": "ALTER", "isDdl": true, "sql": '
+         '"ALTER TABLE t ADD c INT", "id": 702, "es": 3}', 0, 12),
+        ('{"data": [{"doc_id": "d3", "tokens": "oops", "n_tok": "x", '
+         '"source": "s"}], "type": "UPDATE", "isDdl": false, "id": 703, '
+         '"es": 4}', 1, 0),
+    ]
+    got = from_canal(spark.createDataFrame(rows, TOPIC), ROW_DDL).collect()
+    by_key = {(r["commit_lsn"], r["seq_no"]): r for r in got}
+    a, b = by_key[(700, 0)], by_key[(700, 1)]
+    assert (a["op"], a["doc_id"], a["tokens"], a["n_tok"]) == ("I", "d1", [1, 2], 2)
+    assert (b["op"], b["doc_id"], b["tokens"]) == ("I", "d2", [5])
+    d = by_key[(701, 0)]
+    assert (d["op"], d["doc_id"], d["tokens"]) == ("D", "d1", None)
+    ddl = by_key[(702, 0)]
+    assert ddl["op"] is None and ddl["doc_id"] is None  # -> dirty quarantine
+    bad = by_key[(703, 0)]
+    assert bad["op"] == "U" and bad["tokens"] is None and bad["n_tok"] is None
+
+
+def test_canal_roundtrip_replay_matches_oracle(spark, tmp_path):
+    """Engine events -> Canal JSON -> engine events -> full replay: final
+    state equals the oracle (string-typed codec is lossless end-to-end)."""
+    from tg_data_connector_spark.cdc.envelopes import from_canal, to_canal
+
+    log = gen_changelog(spark, 2000, 300, n_parts=4)
+    seed = gen_seed_sequences(spark, 200)
+    table = LakeTable.create(
+        spark, str(tmp_path / "tbl"), TableSchema(
+            [("doc_id", "string"), ("tokens", "array<int>"),
+             ("n_tok", "int"), ("source", "string")]
+        ), "doc_id", 8,
+    )
+    table.append(seed)
+    decoded = from_canal(
+        to_canal(log, ["doc_id", "tokens", "n_tok", "source"]), ROW_DDL
+    )
+    ReplayEngine(spark, table, ReplayConfig()).replay(decoded, run_id="c1")
+    expected = oracle_final_state(seed, log)
+    got = table.read().select("doc_id", "tokens", "n_tok", "source")
+    assert got.exceptAll(expected).count() == 0
+    assert expected.exceptAll(got).count() == 0

@@ -148,6 +148,141 @@ def from_maxwell(
     return df.select(cols)
 
 
+def from_canal(
+    df: DataFrame,
+    row_ddl: str,
+    value_col: str = "value",
+    part_col: str = "partition",
+    offset_col: str = "offset",
+    lsn_expr: Column | None = None,
+    seq_expr: Column | None = None,
+) -> DataFrame:
+    """Parse an Alibaba Canal FlatMessage topic into the engine's event frame.
+
+    Canal's JSON shape (public format, ``canal.protocol FlatMessage``):
+    ``{"data": [{...}, ...], "old": [...], "type": "INSERT|UPDATE|DELETE",
+    "isDdl": bool, "sql": "...", "database": ..., "table": ...,
+    "id": <batch id>, "es": <binlog ms>, "ts": <ack ms>}`` — with TWO quirks
+    the other adapters don't have: ``data`` is an ARRAY (one envelope can
+    carry a whole statement's rows, ordered), and every cell value is a
+    STRING (Canal serializes all column values as text).
+
+    Mapping: ``commit_lsn = id`` (falls back to ``es``); ``seq_no`` = the
+    row's position within the envelope (Canal's intra-batch order IS the
+    statement order — the same contract as Maxwell's ``xoffset``); cells are
+    cast to ``row_ddl`` types (``from_json`` for nested types, ``try_cast``
+    for primitives — a cell that doesn't parse becomes NULL and quarantines).
+    DDL envelopes (``isDdl=true``) yield one row with a NULL op: raw ALTER
+    SQL cannot be auto-applied, so it routes to the dirty quarantine where
+    an operator sees it, rather than being silently dropped."""
+    env_ddl = (
+        "data array<map<string,string>>, type string, isDdl boolean, "
+        "id bigint, es bigint, ts bigint, sql string"
+    )
+    fields = [
+        (f.split(None, 1)[0], f.split(None, 1)[1])
+        for f in _split_ddl(row_ddl)
+    ]
+    e = F.from_json(F.col(value_col).cast("string"), env_ddl)
+    x = df.select(
+        e.alias("_e"),
+        F.col(part_col).cast("int").alias("part"),
+        F.col(offset_col).cast("bigint").alias("offset"),
+    ).select(
+        "*", F.posexplode_outer(F.col("_e")["data"]).alias("_pos", "_row")
+    )
+    env = F.col("_e")
+    op = F.when(
+        F.coalesce(env["isDdl"], F.lit(False)), F.lit(None).cast("string")
+    ).otherwise(
+        _op_case(env["type"], {"INSERT": "I", "UPDATE": "U", "DELETE": "D"})
+    )
+    lsn = (
+        lsn_expr
+        if lsn_expr is not None
+        else F.coalesce(env["id"], env["es"]).cast("bigint")
+    )
+    seq = (
+        seq_expr
+        if seq_expr is not None
+        else F.coalesce(F.col("_pos"), F.lit(0)).cast("bigint")
+    )
+
+    def cell(name: str, typ: str) -> Column:
+        v = F.try_element_at(F.col("_row"), F.lit(name))
+        return (F.from_json(v, typ) if "<" in typ else v.try_cast(typ)).alias(
+            name
+        )
+
+    return x.select(
+        op.alias("op"),
+        lsn.alias("commit_lsn"),
+        seq.alias("seq_no"),
+        *[cell(n, t) for n, t in fields],
+        F.col("part"),
+        F.col("offset"),
+    )
+
+
+def to_canal(df: DataFrame, row_cols: list[str]) -> DataFrame:
+    """Inverse adapter (testing + sink symmetry): encode the engine's event
+    frame as Canal FlatMessage JSON. Events sharing a ``commit_lsn`` ride ONE
+    envelope with ``data`` ordered by ``seq_no`` (Canal's row order carries
+    the intra-transaction sequence), and every cell value is stringified the
+    way Canal does (nested types as JSON text)."""
+    import pyspark.sql.types as T
+
+    def as_text(c: str) -> Column:
+        typ = df.schema[c].dataType
+        if isinstance(typ, (T.ArrayType, T.MapType, T.StructType)):
+            return F.to_json(F.col(c))
+        return F.col(c).cast("string")
+
+    row_map = F.create_map(
+        *[x for c in row_cols for x in (F.lit(c), as_text(c))]
+    )
+    typed = df.select(
+        F.col("op"),
+        F.col("commit_lsn"),
+        F.col("seq_no"),
+        row_map.alias("_row"),
+        F.col("part").cast("int").alias("part"),
+        F.col("offset").cast("bigint").alias("offset"),
+    )
+    grouped = (
+        typed.groupBy("commit_lsn", "op")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("seq_no"), F.col("_row"))),
+                # explicit comparator: default struct ordering can't compare
+                # the map-typed _row field
+                lambda a, b: F.when(a["seq_no"] < b["seq_no"], -1)
+                .when(a["seq_no"] > b["seq_no"], 1)
+                .otherwise(0),
+            ).alias("_rows"),
+            F.min("part").alias("part"),
+            F.min("offset").alias("offset"),
+        )
+    )
+    env = F.struct(
+        F.transform(F.col("_rows"), lambda r: r["_row"]).alias("data"),
+        F.when(F.col("op") == "D", F.lit("DELETE"))
+        .when(F.col("op") == "U", F.lit("UPDATE"))
+        .otherwise(F.lit("INSERT"))
+        .alias("type"),
+        F.lit(False).alias("isDdl"),
+        F.col("commit_lsn").alias("id"),
+        F.lit(None).cast("bigint").alias("es"),
+        F.lit(None).cast("bigint").alias("ts"),
+        F.lit(None).cast("string").alias("sql"),
+    )
+    return grouped.select(
+        F.to_json(env).alias("value"),
+        F.col("part").alias("partition"),
+        F.col("offset"),
+    )
+
+
 def to_debezium(
     df: DataFrame,
     row_cols: list[str],

@@ -618,6 +618,41 @@ def sql_cdc_debezium_envelope() -> str:
     return sql_cdc_merge_final_state()  # lossless codec -> same final state
 
 
+def q_cdc_canal_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship replay fed from an Alibaba Canal FlatMessage topic: the
+    derived changelog is encoded into Canal's shape (row ARRAYS per
+    envelope, every cell a STRING, intra-envelope order carrying the seq),
+    parsed back with the pure-JVM adapter (cdc/envelopes.from_canal), and
+    replayed through the full engine. Oracle = the flagship SQL: the
+    string-typed codec must be lossless for every engine-relevant column
+    (dirty rows included — null cells still quarantine)."""
+    from .cdc.envelopes import from_canal, to_canal
+
+    root = tempfile.mkdtemp(prefix="tgspark_gate_canal_")
+    table = LakeTable.create(
+        spark, f"{root}/seq", SEQ_SCHEMA, key="doc_id", n_buckets=16
+    )
+    table.append(derive_seed(spark, sf_dir), lsn_col=F.lit(-1), seq_col=F.lit(0))
+    topic = to_canal(
+        derive_changelog(spark, sf_dir), ["doc_id", "tokens", "n_tok", "source"]
+    )
+    log = from_canal(
+        topic, "doc_id string, tokens array<int>, n_tok int, source string"
+    )
+    eng = ReplayEngine(spark, table, ReplayConfig(events_per_batch=50_000))
+    eng.replay(log, run_id="gate_canal")
+    final = table.read()
+    return final.select(
+        "doc_id", _csv(F.col("tokens")).alias("tokens_csv"), "n_tok", "source"
+    )
+
+
+def sql_cdc_canal_envelope() -> str:
+    # seq_no values become intra-envelope positions, but derive_changelog's
+    # commit_lsn is unique per event, so the LWW outcome is unchanged
+    return sql_cdc_merge_final_state()
+
+
 def q_cdc_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change-data-feed READ (the consumer side of CDC): replay the derived
     changelog under merge-on-read, then ask the table for every row-level
@@ -1709,6 +1744,7 @@ QUERIES = {
     "cdc_stream_replay": (q_cdc_stream_replay, sql_cdc_stream_replay),
     "lake_tag_read": (q_lake_tag_read, sql_lake_tag_read),
     "lake_files_meta": (q_lake_files_meta, sql_lake_files_meta),
+    "cdc_canal_envelope": (q_cdc_canal_envelope, sql_cdc_canal_envelope),
     "cdc_merge_mor": (q_cdc_merge_mor, sql_cdc_merge_mor),
     "lake_rebucket": (q_lake_rebucket, sql_lake_rebucket),
     "lake_wap_audit": (q_lake_wap_audit, sql_lake_wap_audit),
