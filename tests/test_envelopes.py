@@ -191,3 +191,43 @@ def test_canal_roundtrip_replay_matches_oracle(spark, tmp_path):
     got = table.read().select("doc_id", "tokens", "n_tok", "source")
     assert got.exceptAll(expected).count() == 0
     assert expected.exceptAll(got).count() == 0
+
+
+def test_canal_and_debezium_roundtrip_adversarial_strings(spark):
+    """Codec torture row set: JSON metacharacters, unicode, newlines, empty
+    strings, nulls, and extreme ints must survive encode->decode BYTE-EXACT
+    through both the Canal (all-string cells) and Debezium (typed image)
+    envelopes."""
+    from tg_data_connector_spark.cdc.envelopes import (
+        from_canal,
+        from_debezium,
+        to_canal,
+        to_debezium,
+    )
+
+    rows = [
+        ("I", 1, 0, 'd"quote"', [0], 1, 'back\\slash'),
+        ("U", 2, 3, "d,comma{}", [2147483647, -2147483648], 2, "line\nbreak"),
+        ("U", 3, 1, "dünicode中", [], 0, " sep"),
+        ("D", 4, 2, "dtab\there", None, None, None),
+        ("I", 5, 0, "", [1, 2, 3], 3, ""),
+        ("I", 9223372036854775807, 6, "dmax", [7], 1, "s"),
+    ]
+    ddl = (
+        "op string, commit_lsn bigint, seq_no bigint, doc_id string, "
+        "tokens array<int>, n_tok int, source string"
+    )
+    ev = spark.createDataFrame(rows, ddl).select(
+        "*", F.lit(0).alias("part"), F.monotonically_increasing_id().alias("offset")
+    )
+    cols = ["op", "commit_lsn", "doc_id", "tokens", "n_tok", "source"]
+
+    via_canal = from_canal(to_canal(ev, ["doc_id", "tokens", "n_tok", "source"]), ROW_DDL)
+    assert ev.select(cols).exceptAll(via_canal.select(cols)).count() == 0
+    assert via_canal.select(cols).exceptAll(ev.select(cols)).count() == 0
+
+    via_dbz = from_debezium(to_debezium(ev, ["doc_id", "tokens", "n_tok", "source"]), ROW_DDL)
+    # Debezium also preserves seq_no exactly (rides source.sequence)
+    cols_dbz = cols + ["seq_no"]
+    assert ev.select(cols_dbz).exceptAll(via_dbz.select(cols_dbz)).count() == 0
+    assert via_dbz.select(cols_dbz).exceptAll(ev.select(cols_dbz)).count() == 0

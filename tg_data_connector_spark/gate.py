@@ -837,6 +837,52 @@ def sql_lake_tag_read() -> str:
     return sql_lake_time_travel()  # same mid-replay pin, reached via the ref
 
 
+def q_lake_branch_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Branch workflow (Iceberg writable refs): replay the first half into
+    main, fork a ``staging`` branch, replay the REST through the branch
+    handle — main must stay frozen at the fork point the whole time — then
+    FAST-FORWARD main onto the branch head. Final main state equals the
+    flagship oracle exactly: the branch hop is pointer motion, never data
+    drift. Also pins: non-descendant fast-forward raises, drop_branch keeps
+    the commits time-travel-readable."""
+    root = tempfile.mkdtemp(prefix="tgspark_gate_br_")
+    table = LakeTable.create(
+        spark, f"{root}/seq", SEQ_SCHEMA, key="doc_id", n_buckets=16
+    )
+    table.append(derive_seed(spark, sf_dir), lsn_col=F.lit(-1), seq_col=F.lit(0))
+    log = derive_changelog(spark, sf_dir)
+    mid = log.agg(
+        F.floor((F.min("offset") + F.max("offset")) / 2).cast("bigint")
+    ).collect()[0][0]
+    eng = ReplayEngine(spark, table, ReplayConfig(events_per_batch=50_000))
+    eng.replay(log.where(F.col("offset") <= mid), run_id="gate_br")
+    fork = table.current_version()
+    staging = table.create_branch("staging")
+    eng2 = ReplayEngine(spark, staging, ReplayConfig(events_per_batch=50_000))
+    eng2.replay(log, run_id="gate_br")  # resumes past the applied half
+    assert table.current_version() == fork  # main frozen during branch work
+    head = staging.current_version()
+    assert head > fork and table.branches() == {"staging": head}
+    table.fast_forward(head)
+    assert table.current_version() == head
+    try:
+        staging.fast_forward(fork)  # ancestor, not descendant
+        raise AssertionError("non-descendant fast-forward must fail")
+    except ValueError:
+        pass
+    table.drop_branch("staging")
+    assert table.branches() == {}
+    assert table.snapshot(head).version == head  # commits outlive the ref
+    final = table.read()
+    return final.select(
+        "doc_id", _csv(F.col("tokens")).alias("tokens_csv"), "n_tok", "source"
+    )
+
+
+def sql_lake_branch_replay() -> str:
+    return sql_cdc_merge_final_state()  # ref motion adds no semantics
+
+
 def q_lake_files_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-inspection gate (lake/inspect.py — Iceberg's ``table.files``):
     after the flagship replay, aggregate the FILES table built from manifests
@@ -1745,6 +1791,7 @@ QUERIES = {
     "lake_tag_read": (q_lake_tag_read, sql_lake_tag_read),
     "lake_files_meta": (q_lake_files_meta, sql_lake_files_meta),
     "cdc_canal_envelope": (q_cdc_canal_envelope, sql_cdc_canal_envelope),
+    "lake_branch_replay": (q_lake_branch_replay, sql_lake_branch_replay),
     "cdc_merge_mor": (q_cdc_merge_mor, sql_cdc_merge_mor),
     "lake_rebucket": (q_lake_rebucket, sql_lake_rebucket),
     "lake_wap_audit": (q_lake_wap_audit, sql_lake_wap_audit),

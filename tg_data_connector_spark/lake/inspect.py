@@ -74,6 +74,16 @@ def tags_df(table: LakeTable) -> DataFrame:
     return table.spark.createDataFrame(rows, "name string, version int")
 
 
+def refs_df(table: LakeTable) -> DataFrame:
+    """All refs: main + branches (writable) + tags (immutable)."""
+    rows = [("main", "branch", table.checkout("main").current_version())]
+    rows += [(n, "branch", v) for n, v in sorted(table.branches().items())]
+    rows += [(n, "tag", v) for n, v in sorted(table.tags().items())]
+    return table.spark.createDataFrame(
+        rows, "name string, kind string, version int"
+    )
+
+
 def partition_stats(table: LakeTable, snapshot: Snapshot | None = None) -> DataFrame:
     """Per-bucket rollup of the files table — the skew dashboard: row and
     file counts per bucket straight from manifest stats."""

@@ -210,13 +210,19 @@ def gc_orphans(table: LakeTable, min_age_seconds: float = 3600.0) -> list[str]:
 
 def expire_snapshots(table: LakeTable, keep_last: int = 10) -> list[int]:
     """Drop version files older than the last N (current is always kept,
-    and so is every TAGGED version — Iceberg's ref-based retention). Data
-    files and manifest shards still referenced by retained snapshots survive;
-    newly unreferenced ones become orphans for gc_orphans. Returns expired
-    version numbers."""
+    and so is every TAGGED version and every BRANCH head — Iceberg's
+    ref-based retention; version files are self-contained, so a ref head
+    alone keeps its state readable). Data files and manifest shards still
+    referenced by retained snapshots survive; newly unreferenced ones become
+    orphans for gc_orphans. Returns expired version numbers."""
     history = table.history()
     current = table.current_version()
-    keep = set(history[-keep_last:]) | {current} | set(table.tags().values())
+    keep = (
+        set(history[-keep_last:])
+        | {current}
+        | set(table.tags().values())
+        | set(table.branches().values())
+    )
     expired = []
     for v in history:
         if v not in keep:

@@ -270,12 +270,18 @@ class LakeTable:
     files and shards are immutable, so the cache needs no invalidation).
     """
 
-    def __init__(self, spark: SparkSession, root: str, fs=None):
+    def __init__(self, spark: SparkSession, root: str, fs=None, ref: str = "main"):
         from .fs import LocalTableFS
 
         self.spark = spark
         self.root = root
         self.fs = fs or LocalTableFS()
+        # which pointer this handle follows: "main" = _current, anything else
+        # = _refs/<name> (a BRANCH — Iceberg writable ref). Version numbers
+        # are global across refs (_next_version probes the shared _versions/
+        # dir), so branch lineages never collide; a branch is just a second
+        # atomically-swapped pointer over the same snapshot protocol.
+        self.ref = ref
         self._snap_cache: dict[int, Snapshot] = {}
 
     # ---------- paths ----------
@@ -289,7 +295,12 @@ class LakeTable:
         return os.path.join(self.root, "_manifests")
 
     def _current_path(self) -> str:
-        return os.path.join(self.root, "_current")
+        if self.ref == "main":
+            return os.path.join(self.root, "_current")
+        return os.path.join(self._refdir(), f"{self.ref}.txt")
+
+    def _refdir(self) -> str:
+        return os.path.join(self.root, "_refs")
 
     # ---------- create / load ----------
     @staticmethod
@@ -528,6 +539,76 @@ class LakeTable:
 
     def drop_tag(self, name: str) -> None:
         self.fs.remove(os.path.join(self._tagdir(), f"{name}.json"))
+
+    # ---------- branches (Iceberg writable refs) ----------
+
+    def create_branch(self, name: str, at_version: int | None = None) -> "LakeTable":
+        """Fork a writable ref at ``at_version`` (default: this ref's head)
+        and return a handle checked out on it. Commits through the branch
+        handle advance ONLY the branch pointer — readers of main (or any
+        other ref) are untouched. Compare-and-create, so two racing
+        ``create_branch`` calls cannot both win the name."""
+        if name == "main":
+            raise ValueError("'main' is the table's primary ref")
+        v = self.current_version() if at_version is None else int(at_version)
+        if not self.fs.exists(self._vpath(v)):
+            raise ValueError(f"version {v} does not exist")
+        self.fs.makedirs(self._refdir())
+        self.fs.write_text_excl(
+            os.path.join(self._refdir(), f"{name}.txt"), str(v)
+        )
+        return self.checkout(name)
+
+    def checkout(self, name: str = "main") -> "LakeTable":
+        """A handle following ref ``name`` over the same table root. Snapshot
+        objects are immutable and version-keyed, so the cache is shared."""
+        t = LakeTable(self.spark, self.root, fs=self.fs, ref=name)
+        if name != "main" and not t.fs.exists(t._current_path()):
+            raise ValueError(f"branch {name!r} does not exist")
+        t._snap_cache = self._snap_cache
+        return t
+
+    def branches(self) -> dict[str, int]:
+        if not self.fs.exists(self._refdir()):
+            return {}
+        return {
+            fn[:-4]: int(
+                self.fs.read_text(os.path.join(self._refdir(), fn)).strip()
+            )
+            for fn in self.fs.listdir(self._refdir())
+            if fn.endswith(".txt")
+        }
+
+    def drop_branch(self, name: str) -> None:
+        """Delete the ref pointer; the branch's commits stay on disk (valid
+        time-travel targets) until expiry/GC ages them out — same afterlife
+        as a rolled-back lineage."""
+        if name == "main":
+            raise ValueError("cannot drop the primary ref")
+        self.fs.remove(os.path.join(self._refdir(), f"{name}.txt"))
+
+    def fast_forward(self, version: int) -> Snapshot:
+        """Advance THIS ref to ``version``, which must be a DESCENDANT of the
+        ref's head (the head lies on ``version``'s parent chain) — the merge
+        half of the branch workflow: replay into a staging branch, validate,
+        then fast-forward main onto the branch head. Never a cherry-pick:
+        a non-descendant target raises, because its copy-on-write files
+        embed a different basis (the ``publish_staged`` rule, extended to
+        multi-commit lineages). Racing publishers lose with
+        ``CommitConflict`` on the atomic swap."""
+        cur = self.current_version()
+        if version == cur:
+            return self.snapshot(cur)
+        v: int | None = version
+        while v is not None and v != cur:
+            v = self.snapshot(v).parent
+        if v != cur:
+            raise ValueError(
+                f"version {version} is not a descendant of {self.ref} "
+                f"head {cur}"
+            )
+        self._publish(version, expected_parent=cur)
+        return self.snapshot(version)
 
     # ---------- read ----------
     def read(
