@@ -338,3 +338,78 @@ def test_console_sink_single_action(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "1 | a" in out and "2 | b" in out
     assert "3 | c" not in out and "1 more rows" in out
+
+
+def test_cdc_topic_reader_validation_and_json_frames(spark, tmp_path):
+    """cdc_topic config errors surface in pre_check (dryRun parity), and the
+    json fileType path decodes the same envelopes the parquet path does."""
+    from tg_data_connector_spark.cdc.envelopes import to_canal
+
+    ev = spark.createDataFrame(
+        [("I", 1, 0, "d1", [1, 2], 2, "s", 0, 0)],
+        "op string, commit_lsn bigint, seq_no bigint, doc_id string, "
+        "tokens array<int>, n_tok int, source string, part int, offset bigint",
+    )
+    topic = to_canal(ev, ["doc_id", "tokens", "n_tok", "source"])
+    pq_dir, js_dir = str(tmp_path / "pq"), str(tmp_path / "js")
+    topic.write.parquet(pq_dir)
+    topic.write.json(js_dir)
+    base = {"type": "cdc_topic", "format": "canal", "path": pq_dir,
+            "rowSchema": "doc_id string, tokens array<int>, n_tok int, "
+                         "source string"}
+    sink = {"type": "console", "print": 1}
+
+    bad_fmt = dict(base, format="oplog")
+    assert any("oplog" in p for p in pre_check(spark, {"reader": bad_fmt,
+                                                       "writer": sink}))
+    no_schema = {k: v for k, v in base.items() if k != "rowSchema"}
+    assert any("rowSchema" in p for p in pre_check(spark, {"reader": no_schema,
+                                                           "writer": sink}))
+    assert pre_check(spark, {"reader": base, "writer": sink}) == []
+
+    from tg_data_connector_spark.job import _read_flagged
+
+    via_pq = _read_flagged(spark, base).collect()
+    via_js = _read_flagged(spark, dict(base, path=js_dir, fileType="json")).collect()
+    assert via_pq == via_js
+    r = via_pq[0]
+    assert (r["op"], r["doc_id"], r["tokens"], r["commit_lsn"]) == ("I", "d1", [1, 2], 1)
+
+
+def test_lake_replay_writer_end_to_end(spark, tmp_path):
+    """job.json drives the replay engine: cdc_topic reader -> lake_replay
+    writer, final state matches the oracle, re-run is a snapshot no-op."""
+    from tg_data_connector_spark.cdc import gen_changelog, gen_seed_sequences
+    from tg_data_connector_spark.cdc.envelopes import to_canal
+    from tg_data_connector_spark.lake import TableSchema
+
+    from oracle import oracle_final_state
+
+    seed = gen_seed_sequences(spark, 200)
+    log = gen_changelog(spark, 2000, 300, n_parts=4)
+    root = str(tmp_path / "tbl")
+    table = LakeTable.create(
+        spark, root,
+        TableSchema([("doc_id", "string"), ("tokens", "array<int>"),
+                     ("n_tok", "int"), ("source", "string")]),
+        "doc_id", 8,
+    )
+    table.append(seed)
+    topic_dir = str(tmp_path / "topic")
+    to_canal(log, ["doc_id", "tokens", "n_tok", "source"]).write.parquet(topic_dir)
+    job = {
+        "reader": {"type": "cdc_topic", "format": "canal", "path": topic_dir,
+                   "rowSchema": "doc_id string, tokens array<int>, "
+                                "n_tok int, source string"},
+        "writer": {"type": "lake_replay", "path": root, "key": "doc_id",
+                   "eventsPerBatch": 500, "runId": "j1"},
+    }
+    res = run_job(spark, job)
+    assert res.records_read > 0
+    expected = oracle_final_state(seed, log)
+    got = table.read().select("doc_id", "tokens", "n_tok", "source")
+    assert got.exceptAll(expected).count() == 0
+    assert expected.exceptAll(got).count() == 0
+    v = table.current_version()
+    run_job(spark, job)
+    assert table.current_version() == v

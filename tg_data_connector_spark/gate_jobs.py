@@ -598,7 +598,60 @@ def sql_jdbc_live_roundtrip() -> str:
     )
 
 
+def q_job_cdc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole north-rule shape behind the CONFIG surface: job.json with a
+    ``cdc_topic`` reader (a dumped Kafka topic of Canal FlatMessage
+    envelopes) and a ``lake_replay`` writer (the full batched watermarked
+    engine) — the reference's user writes job.json for a one-shot copy, this
+    one drives a change-log tail. Re-running the SAME job must be a no-op
+    (snapshot watermarks/batch-ids, not config state, carry exactly-once).
+    Final table state equals the flagship oracle."""
+    from .cdc.envelopes import to_canal
+    from .gate import SEQ_SCHEMA, derive_changelog, derive_seed
+    from .lake import LakeTable as LT
+
+    root = tempfile.mkdtemp(prefix="tg_gate_jobcdc_")
+    table = LT.create(spark, f"{root}/seq", SEQ_SCHEMA, key="doc_id", n_buckets=16)
+    table.append(derive_seed(spark, sf_dir), lsn_col=F.lit(-1), seq_col=F.lit(0))
+    topic_dir = f"{root}/topic"
+    to_canal(
+        derive_changelog(spark, sf_dir), ["doc_id", "tokens", "n_tok", "source"]
+    ).write.parquet(topic_dir)
+    job = {
+        "reader": {
+            "type": "cdc_topic",
+            "format": "canal",
+            "path": topic_dir,
+            "rowSchema": "doc_id string, tokens array<int>, n_tok int, "
+                         "source string",
+        },
+        "writer": {
+            "type": "lake_replay",
+            "path": f"{root}/seq",
+            "key": "doc_id",
+            "eventsPerBatch": 50_000,
+            "runId": "gate_jobcdc",
+        },
+    }
+    assert pre_check(spark, job) == []
+    run_job(spark, job)
+    v = table.current_version()
+    run_job(spark, job)  # idempotent re-run: no new snapshot
+    assert table.current_version() == v
+    return table.read().select(
+        "doc_id", F.array_join(F.col("tokens"), ",").alias("tokens_csv"),
+        "n_tok", "source",
+    )
+
+
+def sql_job_cdc_pipeline() -> str:
+    from .gate import sql_cdc_merge_final_state
+
+    return sql_cdc_merge_final_state()
+
+
 JOB_QUERIES = {
+    "job_cdc_pipeline": (q_job_cdc_pipeline, sql_job_cdc_pipeline),
     "jdbc_live_roundtrip": (q_jdbc_live_roundtrip, sql_jdbc_live_roundtrip),
     "job_stats_rollup": (q_job_stats_rollup, sql_job_stats_rollup),
     "job_console_sink": (q_job_console_sink, sql_job_console_sink),

@@ -142,6 +142,34 @@ def _read_flagged(spark: SparkSession, cfg: dict) -> DataFrame:
         if cfg.get("where"):
             df = df.where(cfg["where"])
         return df
+    if typ == "cdc_topic":
+        # a dumped Kafka topic of CDC envelopes (value/partition/offset
+        # frames, parquet or json-lines files) decoded by a PUBLIC format —
+        # the config-driven entry to the replay engine: the reference's user
+        # writes job.json for a batch copy, ours writes job.json for a
+        # change-log tail (north rule). Unparseable envelopes surface as
+        # NULL-op rows and quarantine downstream, never silent drops.
+        from .cdc.envelopes import from_canal, from_debezium, from_maxwell
+
+        decoders = {
+            "debezium": from_debezium,
+            "maxwell": from_maxwell,
+            "canal": from_canal,
+        }
+        fmt = cfg.get("format", "debezium")
+        if fmt not in decoders:
+            raise JobValidationError(
+                f"cdc_topic: unknown format {fmt!r} "
+                f"(one of {sorted(decoders)})"
+            )
+        if not cfg.get("rowSchema"):
+            raise JobValidationError("cdc_topic: rowSchema is required")
+        frame_ddl = "value string, partition int, offset bigint"
+        if cfg.get("fileType", "parquet") == "json":
+            src = spark.read.schema(frame_ddl).json(cfg["path"])
+        else:
+            src = spark.read.parquet(cfg["path"])
+        return decoders[fmt](src, cfg["rowSchema"])
     raise JobValidationError(f"unknown reader type {typ!r}")
 
 
@@ -201,7 +229,7 @@ def _write(spark: SparkSession, cfg: dict, df: DataFrame) -> int | None:
         if len(rows) > limit:
             print(f"... ({len(rows) - limit} more rows)")
         return len(rows)
-    if typ == "lake_merge":
+    if typ in ("lake_merge", "lake_replay"):
         root = cfg["path"]
         key = cfg.get("key", "doc_id")
         # URI roots (hdfs://, s3a://, file://) route metadata through the
@@ -218,9 +246,13 @@ def _write(spark: SparkSession, cfg: dict, df: DataFrame) -> int | None:
 
             fs = HadoopTableFS(spark, root)
         if not LakeTable.exists(root, fs=fs):
+            meta_cols = (
+                "op", "commit_lsn", "seq_no", "part", "offset",
+                "schema_change", "payload", "extra",
+            )
             schema = TableSchema(
                 [(f.name, f.dataType.simpleString()) for f in df.schema.fields
-                 if f.name not in ("op", "commit_lsn", "seq_no")]
+                 if f.name not in meta_cols]
             )
             table = LakeTable.create(
                 spark, root, schema, key=key,
@@ -228,6 +260,22 @@ def _write(spark: SparkSession, cfg: dict, df: DataFrame) -> int | None:
             )
         else:
             table = LakeTable(spark, root, fs=fs)
+        if typ == "lake_replay":
+            # the full engine behind the config surface: batched watermarked
+            # replay with snapshot commits — job.json drives a change-log
+            # tail instead of a one-shot copy (the north rule's shape)
+            from .cdc.replay import ReplayConfig, ReplayEngine
+
+            eng = ReplayEngine(
+                spark,
+                table,
+                ReplayConfig(
+                    events_per_batch=int(cfg.get("eventsPerBatch", 5_000_000)),
+                    merge_mode=cfg.get("mergeMode", "cow"),
+                ),
+            )
+            eng.replay(df, run_id=str(cfg.get("runId", "job")))
+            return None
         if mode in ("replace", "update", "merge"):
             src = df
             for c, d in (("op", "U"), ("commit_lsn", 0), ("seq_no", 0)):
@@ -255,7 +303,9 @@ def pre_check(spark: SparkSession, config) -> list[str]:
     except Exception as ex:
         problems.append(f"reader: {ex}")
     w = cfg.get("writer", {})
-    if w.get("type") not in ("parquet", "csv", "console", "lake_merge"):
+    if w.get("type") not in (
+        "parquet", "csv", "console", "lake_merge", "lake_replay"
+    ):
         problems.append(f"writer: unknown type {w.get('type')!r}")
     for stmt in cfg.get("preSql", []) + cfg.get("postSql", []):
         try:
