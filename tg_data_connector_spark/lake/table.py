@@ -938,6 +938,12 @@ class LakeTable:
         codec = self.meta().get("codec")
         if codec:
             writer = writer.option("compression", codec)
+        # A/B hook (tools/ab_parquet_dict.py): parquet dictionary encoding
+        # on/off for this write — the token arrays are near-uniform ints, so
+        # the dictionary build can be pure overhead; set from measurement
+        dict_knob = os.environ.get("SPARK_GRAFT_PARQUET_DICT", "")
+        if dict_knob in ("true", "false"):
+            writer = writer.option("parquet.enable.dictionary", dict_knob)
         writer.parquet(out_path)
         bucket_rows = {}
         bucket_stats: dict[int, tuple] = {}
