@@ -118,3 +118,56 @@ def test_refs_df_lists_all(spark, tmp_table_root):
     got = {(r["name"], r["kind"]): r["version"] for r in refs_df(t).collect()}
     v = t.current_version()
     assert got == {("main", "branch"): v, ("dev", "branch"): v, ("v1", "tag"): v}
+
+
+def test_job_writer_branch_config(spark, tmp_table_root):
+    """writer.branch routes a job's lake write onto a named ref: main stays
+    frozen; a second job reuses the existing branch."""
+    from tg_data_connector_spark.job import run_job
+
+    t = LakeTable.create(spark, tmp_table_root, SCHEMA, key="doc_id", n_buckets=4)
+    t.append(_seed(spark))
+    fork = t.current_version()
+    job = {
+        "reader": {
+            "type": "sql",
+            "querySql": "SELECT 'b' || CAST(id AS STRING) AS doc_id, "
+                        "array(CAST(id AS INT)) AS tokens, 1 AS n_tok, "
+                        "'s1' AS source, 'I' AS op, "
+                        "CAST(9 AS BIGINT) AS commit_lsn, "
+                        "CAST(0 AS BIGINT) AS seq_no FROM range(10)",
+        },
+        "writer": {"type": "lake_merge", "path": tmp_table_root,
+                   "key": "doc_id", "writeMode": "merge", "branch": "dev"},
+    }
+    run_job(spark, job)
+    assert t.current_version() == fork  # main untouched
+    br = t.checkout("dev")
+    assert br.read().count() == 40
+    run_job(spark, job)  # branch exists now: checkout path, LWW no-op merge
+    assert br.read().count() == 40
+    t.fast_forward(br.current_version())
+    assert t.read().count() == 40
+
+
+def test_branches_and_tags_over_hadoop_fs(spark, tmp_path):
+    """Refs use the same FS-seam primitives as version files: exercise the
+    full branch/tag lifecycle through HadoopTableFS over a file:// root."""
+    from tg_data_connector_spark.lake.fs import HadoopTableFS
+
+    root = f"file://{tmp_path}/t"
+    fs = HadoopTableFS(spark, root)
+    t = LakeTable.create(spark, root, SCHEMA, key="doc_id", n_buckets=4, fs=fs)
+    t.append(_seed(spark))
+    v = t.current_version()
+    t.tag("rel", v)
+    br = t.create_branch("dev")
+    merge_upsert(br, _events(spark, 5, lsn=5))
+    assert t.current_version() == v and br.current_version() > v
+    assert t.branches() == {"dev": br.current_version()}
+    assert t.tags() == {"rel": v}
+    t.fast_forward(br.current_version())
+    assert t.read().count() == 35
+    t.drop_branch("dev")
+    t.drop_tag("rel")
+    assert t.branches() == {} and t.tags() == {}

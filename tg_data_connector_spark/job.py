@@ -260,6 +260,16 @@ def _write(spark: SparkSession, cfg: dict, df: DataFrame) -> int | None:
             )
         else:
             table = LakeTable(spark, root, fs=fs)
+        branch = cfg.get("branch")
+        if branch:
+            # write into a named ref (created at the current head if absent),
+            # leaving main frozen — the staging-branch workflow behind the
+            # config surface; the operator fast-forwards main after review
+            table = (
+                table.checkout(branch)
+                if branch in table.branches()
+                else table.create_branch(branch)
+            )
         if typ == "lake_replay":
             # the full engine behind the config surface: batched watermarked
             # replay with snapshot commits — job.json drives a change-log
