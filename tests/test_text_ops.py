@@ -126,3 +126,33 @@ def test_ngram_jaccard_broadcasts_blocklist_not_keeplist(spark):
     assert "LeftAnti, BuildRight" in plan or (
         "BroadcastHashJoin" in plan and "LeftAnti" in plan
     ), plan[:2000]
+
+
+def test_connected_components_and_canonical(spark):
+    """Min-label propagation: chains (worst-case diameter), cliques, pair,
+    self-loop, singleton corpus docs; canonical assignment covers them all."""
+    from pyspark.sql import functions as F
+
+    from tg_data_connector_spark.operators.dedup_text import (
+        connected_components,
+        dedup_canonical,
+    )
+
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (4, 5),      # chain: diameter 4
+         (10, 11), (11, 12), (10, 12),        # clique
+         (20, 21),                            # pair
+         (30, 30)],                           # self-loop: own component
+        "a int, b int",
+    )
+    cc = {r["id"]: r["comp"] for r in connected_components(pairs).collect()}
+    assert all(cc[i] == 1 for i in (1, 2, 3, 4, 5))
+    assert all(cc[i] == 10 for i in (10, 11, 12))
+    assert cc[20] == cc[21] == 20 and cc[30] == 30
+    docs = spark.range(32).select(F.col("id").cast("int").alias("doc_id"))
+    can = {r["doc_id"]: r["canonical"] for r in dedup_canonical(docs, pairs).collect()}
+    assert can[5] == 1 and can[12] == 10 and can[21] == 20
+    assert can[7] == 7 and can[31] == 31  # singletons keep themselves
+    assert len(can) == 32
+    # keep-set size: 32 docs - (4 + 2 + 1 dropped) = 25
+    assert sum(1 for k, v in can.items() if k == v) == 25

@@ -1489,6 +1489,39 @@ def sql_minhash_lsh() -> str:
     """
 
 
+def q_dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERING: connected components over the MinHash-LSH pair
+    graph (operators/dedup_text.connected_components — min-label
+    propagation, O(cluster diameter) join+min rounds, localCheckpoint'ed),
+    then one canonical doc per cluster for the whole corpus (singletons keep
+    themselves). The keep/drop decision a 100-TB dedup pipeline actually
+    executes; oracle = DuckDB recursive-CTE transitive closure over the
+    identical pair SQL."""
+    from .operators.dedup_text import dedup_canonical
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", k=_SHINGLE_K, n_hashes=_MH_HASHES,
+        bands=_MH_BANDS, seed=_MH_SEED,
+    )
+    return dedup_canonical(docs, pairs, "doc_id")
+
+
+def sql_dedup_cluster_canonical() -> str:
+    return f"""
+    WITH RECURSIVE pairs AS (SELECT * FROM ({sql_minhash_lsh()})),
+    edges AS (SELECT a AS s, b AS d FROM pairs
+              UNION SELECT b, a FROM pairs),
+    reach(id, comp) AS (
+        SELECT s, s FROM edges
+      UNION
+        SELECT e.s, r.comp FROM edges e JOIN reach r ON e.d = r.id),
+    comp AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id)
+    SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS canonical
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+    """
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(_t(sf_dir, "documents"))
     return simhash_dedup(docs, "doc_id", "text", k=_SHINGLE_K)
@@ -1812,6 +1845,9 @@ QUERIES = {
     "doc_fingerprint": (q_fingerprint, sql_fingerprint),
     "dedup_ngram_jaccard": (q_ngram_jaccard, sql_ngram_jaccard),
     "dedup_minhash_lsh": (q_minhash_lsh, sql_minhash_lsh),
+    "dedup_cluster_canonical": (
+        q_dedup_cluster_canonical, sql_dedup_cluster_canonical,
+    ),
     "dedup_simhash": (q_simhash, sql_simhash),
     "dedup_simhash_hamming": (q_simhash_hamming, sql_simhash_hamming),
     "ann_cosine_topk": (q_cosine_topk, sql_cosine_topk),

@@ -262,3 +262,70 @@ def simhash_near_pairs(
         .distinct()
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def connected_components(
+    pairs: DataFrame, a: str = "a", b: str = "b", max_iter: int = 25
+) -> DataFrame:
+    """Connected components over an undirected near-dup edge list ->
+    ``(id, comp)`` where ``comp`` is the smallest id reachable — the step a
+    dedup pipeline runs AFTER LSH/banding to turn pairwise collisions into
+    keep/drop decisions (one canonical doc per duplicate cluster).
+
+    Min-label propagation: each round joins labels to neighbors and takes
+    the per-node min — O(cluster diameter) rounds, and banded near-dup
+    clusters are quasi-cliques (diameter 2-3), so it converges in a few
+    rounds even at corpus scale; ``max_iter`` bounds adversarial chains.
+    Each round is one shuffled join + one min-aggregate on (id) — no
+    all-pairs work, nothing driver-side except the convergence counter —
+    and the result is localCheckpoint'ed to cut the lineage chain
+    (an iterative DataFrame algorithm otherwise re-executes every prior
+    round per action; on a cluster use spark.sparkContext.setCheckpointDir
+    + .checkpoint() for executor-loss resilience instead)."""
+    edges = (
+        pairs.select(F.col(a).alias("s"), F.col(b).alias("d"))
+        .union(pairs.select(F.col(b).alias("s"), F.col(a).alias("d")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("s").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("comp"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr = edges.join(
+            labels.withColumnRenamed("id", "s"), "s"
+        ).select(F.col("d").alias("id"), "comp")
+        new = (
+            labels.union(nbr)
+            .groupBy("id")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.join(labels.withColumnRenamed("comp", "comp_old"), "id")
+            .where(F.col("comp") != F.col("comp_old"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_canonical(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Assign every doc its cluster canonical (the smallest reachable id;
+    singletons are their own canonical) -> ``(id_col, canonical)``. The
+    keep-set is ``canonical == id``; the drop-set joins back to the corpus
+    by id — both O(docs) after the component step."""
+    cc = connected_components(pairs)
+    return (
+        docs.select(id_col)
+        .join(cc.withColumnRenamed("id", id_col), id_col, "left")
+        .select(
+            id_col, F.coalesce("comp", F.col(id_col)).alias("canonical")
+        )
+    )
