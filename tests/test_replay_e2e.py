@@ -300,3 +300,51 @@ def test_rename_lag_events_map_to_new_column(spark, tmp_table_root):
         got.withColumnRenamed("provenance", "source"),
         oracle_final_state(seed, log.unionByName(log2)),
     )
+
+
+def test_requeue_quarantine_dead_letter(spark, tmp_table_root, tmp_path):
+    """Dead-letter replay: malformed events quarantine during the run; a
+    requeue with the upstream fix merges them by LWW (old versions lose to
+    applied newer rows, winning versions land); rows the fix does NOT cure
+    stay out; re-running the same requeue is a snapshot no-op; watermarks
+    never regress."""
+    from tg_data_connector_spark.cdc.replay import requeue_quarantine
+
+    qdir = str(tmp_path / "q")
+    t, seed = _setup(spark, tmp_table_root)
+    log = gen_changelog(spark, N_EVENTS, N_DOCS, n_parts=N_PARTS)
+    eng = ReplayEngine(
+        spark, t, ReplayConfig(events_per_batch=1000, quarantine_dir=qdir)
+    )
+    eng.replay(log, run_id="r1")
+    wm_before = t.snapshot().watermarks()
+    n_dirty = spark.read.parquet(qdir).count()
+    assert n_dirty > 0
+
+    def fix(df):
+        return df.withColumn(
+            "n_tok",
+            F.when(F.col("op") != "D",
+                   F.size(F.col("tokens")).cast("int")).otherwise(F.col("n_tok")),
+        )
+
+    rep = requeue_quarantine(spark, t, qdir, fix=fix, run_id="rq1")
+    assert not rep.skipped
+    assert t.snapshot().watermarks() == wm_before  # monotone: never regressed
+    # oracle: LWW over clean + fixed events
+    fixed_log = log.withColumn(
+        "n_tok",
+        F.when(
+            (F.col("op") != "D") & F.col("tokens").isNotNull()
+            & (F.size("tokens") != F.col("n_tok")),
+            F.size("tokens"),
+        ).otherwise(F.col("n_tok")),
+    )
+    _assert_equiv(t.read(), oracle_final_state(seed, fixed_log))
+    v = t.current_version()
+    assert requeue_quarantine(spark, t, qdir, fix=fix, run_id="rq1").skipped
+    assert t.current_version() == v
+    # a requeue whose fix cures NOTHING merges nothing (rows stay dirty)
+    rep3 = requeue_quarantine(spark, t, qdir, run_id="rq2")
+    assert rep3.dirty == n_dirty  # every row still dirty, all counted
+    _assert_equiv(t.read(), oracle_final_state(seed, fixed_log))

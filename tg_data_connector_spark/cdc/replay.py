@@ -621,7 +621,29 @@ class ReplayEngine:
                 holder.update(static_dirty)
                 metrics["dirty"] = static_dirty.get("nd", 0)
                 return  # limit already asserted up front in this mode
-            got = obs.get
+            try:
+                got = dict(obs.get)
+            except Exception:
+                # the observe node never materialized: when EVERY row of the
+                # batch is dirty (e.g. a no-fix quarantine requeue) the
+                # kept-branch subtree collapses to an empty relation and the
+                # write job runs without it — Observation.get then fails
+                # JVM-side. Fall back to one narrow dirty count (the batch is
+                # fully dirty in exactly the case this triggers, so the scan
+                # is the quarantine path's own cost, not a second data pass).
+                got = {}
+            if got.get("nd") is None:
+                if "part" in sub.columns:
+                    rows = (
+                        sub.where(dirty_pred)
+                        .groupBy("part")
+                        .agg(F.count("*").alias("nd"))
+                        .collect()
+                    )
+                    got = {f"nd_{int(r['part'])}": int(r["nd"]) for r in rows}
+                    got["nd"] = sum(int(r["nd"]) for r in rows)
+                else:
+                    got = {"nd": sub.where(dirty_pred).count()}
             holder.update(got)
             nd = int(got.get("nd") or 0)
             metrics["dirty"] = nd
@@ -825,3 +847,36 @@ class ReplayEngine:
                 break
         self.lineage.flush(self.spark)
         return reports
+
+
+def requeue_quarantine(
+    spark,
+    table,
+    quarantine_dir: str,
+    fix=None,
+    run_id: str = "requeue",
+    config: ReplayConfig | None = None,
+) -> BatchReport:
+    """Dead-letter replay: re-ingest quarantined dirty records after an
+    upstream fix (the reference's dirty records are terminal — a human reads
+    the TaskPluginCollector report and re-runs the whole job; here the
+    quarantine is a parquet dir and the fix is one bounded batch).
+
+    ``fix``: optional DataFrame -> DataFrame correction (e.g. recompute a
+    broken n_tok). Rows STILL violating the contract after the fix stay
+    dirty and never merge. The batch deliberately bypasses the watermark
+    pre-filter — quarantined offsets are below the high-watermark by
+    construction — which is safe because the MERGE is version-ordered and
+    idempotent: a corrected event wins only if its (commit_lsn, seq_no)
+    still beats the applied row, exactly the LWW contract. The snapshot's
+    watermark merge is monotone, so the old offsets never regress it; the
+    applied-batch-id check makes re-running the same requeue a no-op.
+    Fresh dirt quarantined after this call needs a new ``run_id``."""
+    cfg = config or ReplayConfig(error_limit=ErrorLimit())
+    eng = ReplayEngine(spark, table, cfg)
+    batch = spark.read.parquet(quarantine_dir).drop("_batch_id")
+    if fix is not None:
+        batch = fix(batch)
+    report = eng.apply_batch(batch, batch_id=f"requeue/{run_id}", run_id=run_id)
+    eng.lineage.flush(spark)
+    return report

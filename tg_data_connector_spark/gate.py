@@ -799,6 +799,71 @@ def sql_cdc_schema_widen() -> str:
     return sql_cdc_merge_final_state()  # widen changes types, never values
 
 
+def q_cdc_requeue_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter replay (cdc/replay.requeue_quarantine): the flagship
+    replay quarantines its malformed events (n_tok != len(tokens)) to a
+    parquet dir; a requeue pass re-ingests them with the upstream fix
+    applied (n_tok recomputed), bypassing the watermark pre-filter — safe
+    because the MERGE is version-ordered LWW, so a corrected old event wins
+    only where its (commit_lsn, seq_no) still beats the applied row. The
+    re-run of the same requeue is a no-op (applied-batch-id). Oracle: LWW
+    over clean events UNION the FIXED dirty events."""
+    from .cdc.replay import requeue_quarantine
+
+    root = tempfile.mkdtemp(prefix="tgspark_gate_rq_")
+    table = LakeTable.create(
+        spark, f"{root}/seq", SEQ_SCHEMA, key="doc_id", n_buckets=16
+    )
+    table.append(derive_seed(spark, sf_dir), lsn_col=F.lit(-1), seq_col=F.lit(0))
+    qdir = f"{root}/quarantine"
+    eng = ReplayEngine(
+        spark, table,
+        ReplayConfig(events_per_batch=50_000, quarantine_dir=qdir),
+    )
+    eng.replay(derive_changelog(spark, sf_dir), run_id="gate_rq")
+
+    def fix(df):  # upstream correction: recompute the token count
+        return df.withColumn(
+            "n_tok",
+            F.when(
+                F.col("op") != "D", F.size(F.col("tokens")).cast("int")
+            ).otherwise(F.col("n_tok")),
+        )
+
+    rep = requeue_quarantine(spark, table, qdir, fix=fix, run_id="gate_rq")
+    assert rep.deduped_keys > 0 and not rep.skipped
+    v = table.current_version()
+    rep2 = requeue_quarantine(spark, table, qdir, fix=fix, run_id="gate_rq")
+    assert rep2.skipped and table.current_version() == v  # idempotent
+    final = table.read()
+    return final.select(
+        "doc_id", _csv(F.col("tokens")).alias("tokens_csv"), "n_tok", "source"
+    )
+
+
+def sql_cdc_requeue_quarantine() -> str:
+    # same LWW as the flagship, but dirty I/U events participate with the
+    # FIX applied (n_tok := len(tokens)) instead of being dropped
+    return f"""
+    WITH log AS ({CHANGELOG_SQL}),
+    fixed AS (
+      SELECT op, commit_lsn, seq_no, doc_id, tokens,
+             CASE WHEN {DIRTY_SQL} THEN CAST(len(tokens) AS INT)
+                  ELSE n_tok END AS n_tok,
+             source
+      FROM log),
+    latest AS (
+      SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                     ORDER BY commit_lsn DESC, seq_no DESC) AS rn FROM fixed)
+      WHERE rn = 1),
+    seed AS ({SEED_SQL})
+    SELECT doc_id, {_CSV} AS tokens_csv, n_tok, source FROM latest WHERE op <> 'D'
+    UNION ALL
+    SELECT s.doc_id, array_to_string(s.tokens, ',') AS tokens_csv, s.n_tok, s.source
+    FROM seed s ANTI JOIN latest l ON s.doc_id = l.doc_id
+    """
+
+
 def q_lake_tag_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Named refs (Iceberg tags): pin the mid-replay snapshot under a tag,
     then EXPIRE everything but the last snapshot — the tagged version must
@@ -1825,6 +1890,9 @@ QUERIES = {
     "lake_files_meta": (q_lake_files_meta, sql_lake_files_meta),
     "cdc_canal_envelope": (q_cdc_canal_envelope, sql_cdc_canal_envelope),
     "lake_branch_replay": (q_lake_branch_replay, sql_lake_branch_replay),
+    "cdc_requeue_quarantine": (
+        q_cdc_requeue_quarantine, sql_cdc_requeue_quarantine,
+    ),
     "cdc_merge_mor": (q_cdc_merge_mor, sql_cdc_merge_mor),
     "lake_rebucket": (q_lake_rebucket, sql_lake_rebucket),
     "lake_wap_audit": (q_lake_wap_audit, sql_lake_wap_audit),
