@@ -135,3 +135,29 @@ def test_changes_aligns_evolved_schema(spark, tmp_table_root):
     assert "lang" in t.changes(v0).columns
     assert got["d1"]["lang"] is None
     assert got["d2"]["lang"] == "en"
+
+
+def test_changes_resolves_rename_across_range(spark, tmp_table_root):
+    """A rename mid-range: pre-rename commits resolve the NEW name back
+    through the rename log; post-rename commits carry it natively — the
+    feed is one uniform frame under the to-version's names."""
+    from tg_data_connector_spark.lake.evolve import apply_schema_change
+
+    t = _tbl(spark, tmp_table_root)
+    v0 = t.current_version()
+    delta_append(t, _ev(spark, [("d1", [7], 1, "pre", "U", 10, 0)]),
+                 summary_update={"batch_id": "b1"})
+    apply_schema_change(t, '{"rename_column": {"name": "source", "to": "origin"}}')
+    delta_append(
+        t,
+        spark.createDataFrame(
+            [("d2", [8], 1, "post", "U", 11, 0)],
+            "doc_id string, tokens array<int>, n_tok int, origin string, "
+            "op string, commit_lsn bigint, seq_no bigint",
+        ),
+        summary_update={"batch_id": "b2"},
+    )
+    feed = t.changes(v0)
+    assert "origin" in feed.columns and "source" not in feed.columns
+    got = {r["doc_id"]: r["origin"] for r in feed.collect()}
+    assert got["d1"] == "pre" and got["d2"] == "post"

@@ -266,3 +266,28 @@ def test_entries_without_stats_are_never_skipped(spark, tmp_path):
     assert not _file_may_contain({"kmin": "a", "kmax": "m"}, ["z"])
     # type-mismatched probe vs stored stats -> conservative keep
     assert _file_may_contain({"kmin": "a", "kmax": "m"}, [5])
+
+
+def test_lookup_after_rename(spark, tmp_path):
+    """Point lookup reads through the rename log: pre-rename files resolve
+    the renamed column, bucket pruning unaffected (key untouched)."""
+    from pyspark.sql import functions as F
+
+    from tg_data_connector_spark.lake import LakeTable, TableSchema
+    from tg_data_connector_spark.lake.evolve import apply_schema_change
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"),
+        TableSchema([("doc_id", "string"), ("tokens", "array<int>"),
+                     ("n_tok", "int"), ("source", "string")]),
+        "doc_id", 8, sort_on_write=True,
+    )
+    t.append(spark.range(100).select(
+        F.concat(F.lit("d"), F.lpad(F.col("id").cast("string"), 4, "0")).alias("doc_id"),
+        F.array(F.col("id").cast("int")).alias("tokens"),
+        F.lit(1).alias("n_tok"), F.lit("s0").alias("source"),
+    ))
+    apply_schema_change(t, '{"rename_column": {"name": "source", "to": "origin"}}')
+    got = t.lookup(["d0003", "d0042"])
+    rows = {r["doc_id"]: r["origin"] for r in got.collect()}
+    assert rows == {"d0003": "s0", "d0042": "s0"}

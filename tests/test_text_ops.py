@@ -156,3 +156,32 @@ def test_connected_components_and_canonical(spark):
     assert len(can) == 32
     # keep-set size: 32 docs - (4 + 2 + 1 dropped) = 25
     assert sum(1 for k, v in can.items() if k == v) == 25
+
+
+def test_gopher_filters_rules(spark):
+    """Hand-built docs pinning each Gopher rule's trigger."""
+    from tg_data_connector_spark.operators.text import gopher_filters
+
+    # 60 words, mean word length ~3.8, plenty of stop words
+    good = ("the quick brown fox jumps over the lazy dog today " * 6).strip()
+    rows = [
+        ("good", good),
+        ("short", "the and of"),                              # < 50 words
+        ("symbols", " ".join(["#tag"] * 60)),                  # sym ratio 1.0
+        ("bullets", "\n".join(["- item the and"] * 10)),       # 90%+ bullet lines
+        ("numeric", " ".join(["123"] * 60)),                   # no alpha words
+    ]
+    got = {
+        r["doc_id"]: r
+        for r in gopher_filters(
+            spark.createDataFrame(rows, "doc_id string, text string"), "text"
+        ).collect()
+    }
+    assert got["good"]["gopher_keep"]
+    assert not got["short"]["r_word_count"]
+    assert not got["symbols"]["r_symbol_ratio"]
+    assert not got["bullets"]["r_bullet_lines"]
+    assert not got["numeric"]["r_alpha_words"]
+    assert not got["numeric"]["r_stopwords"]
+    assert all(not got[k]["gopher_keep"] for k in
+               ("short", "symbols", "bullets", "numeric"))

@@ -1554,6 +1554,65 @@ def sql_minhash_lsh() -> str:
     """
 
 
+def q_text_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The published Gopher document-quality rule set (Rae et al. 2021 —
+    word-count/mean-word-length bounds, symbol ratio, bullet/ellipsis line
+    fractions, alphabetic-word fraction, stop-word floor) as pure
+    whole-stage-codegen expressions; per-rule booleans + composite keep."""
+    from .operators.text import gopher_filters
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return gopher_filters(docs.select("doc_id", "text"), "text").drop("text")
+
+
+def sql_text_gopher_filters() -> str:
+    sw = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    return rf"""
+    WITH b AS (
+      SELECT doc_id,
+        CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+             ELSE string_split_regex(trim(text), '\s+') END AS words,
+        list_filter(string_split(text, chr(10)),
+                    l -> length(trim(l)) > 0) AS lines,
+        len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                        w -> w IN ({sw}))) AS sw_hits
+      FROM documents),
+    m AS (
+      SELECT doc_id, sw_hits,
+        len(words) AS n_words,
+        CASE WHEN len(words) > 0 THEN
+          CAST(coalesce(list_sum(list_transform(words, w -> length(w))), 0)
+               AS DOUBLE) / len(words) ELSE 0.0 END AS mean_wlen,
+        CASE WHEN len(words) > 0 THEN
+          CAST(len(list_filter(words, w -> contains(w, '#')))
+             + len(list_filter(words, w -> contains(w, '...')))
+               AS DOUBLE) / len(words) ELSE 0.0 END AS sym_ratio,
+        CASE WHEN len(lines) > 0 THEN
+          CAST(len(list_filter(lines, l -> starts_with(trim(l), '-')
+              OR starts_with(trim(l), '*') OR starts_with(trim(l), '•')))
+               AS DOUBLE) / len(lines) ELSE 0.0 END AS bullet_frac,
+        CASE WHEN len(lines) > 0 THEN
+          CAST(len(list_filter(lines, l -> ends_with(rtrim(l), '...')))
+               AS DOUBLE) / len(lines) ELSE 0.0 END AS ellipsis_frac,
+        CASE WHEN len(words) > 0 THEN
+          CAST(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]')))
+               AS DOUBLE) / len(words) ELSE 0.0 END AS alpha_frac
+      FROM b)
+    SELECT doc_id,
+      (n_words >= 50 AND n_words <= 100000) AS r_word_count,
+      (mean_wlen >= 3 AND mean_wlen <= 10) AS r_mean_word_len,
+      (sym_ratio <= 0.1) AS r_symbol_ratio,
+      (bullet_frac < 0.9) AS r_bullet_lines,
+      (ellipsis_frac < 0.3) AS r_ellipsis_lines,
+      (alpha_frac >= 0.8) AS r_alpha_words,
+      (sw_hits >= 2) AS r_stopwords,
+      ((n_words >= 50 AND n_words <= 100000) AND (mean_wlen >= 3 AND mean_wlen <= 10)
+       AND sym_ratio <= 0.1 AND bullet_frac < 0.9 AND ellipsis_frac < 0.3
+       AND alpha_frac >= 0.8 AND sw_hits >= 2) AS gopher_keep
+    FROM m
+    """
+
+
 def q_dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERING: connected components over the MinHash-LSH pair
     graph (operators/dedup_text.connected_components — min-label
@@ -1909,6 +1968,7 @@ QUERIES = {
     "dedup_exact": (q_dedup_exact, sql_dedup_exact),
     "token_counts": (q_token_counts, sql_token_counts),
     "text_quality": (q_text_quality, sql_text_quality),
+    "text_gopher_filters": (q_text_gopher_filters, sql_text_gopher_filters),
     "lang_id": (q_lang_id, sql_lang_id),
     "doc_fingerprint": (q_fingerprint, sql_fingerprint),
     "dedup_ngram_jaccard": (q_ngram_jaccard, sql_ngram_jaccard),

@@ -108,3 +108,73 @@ def rolling_fingerprint(col: Column, window: int = 16, keep: int = 4) -> Column:
     grams = F.transform(F.sequence(F.lit(1), n), lambda i: F.substring(col, i, window))
     hashes = F.transform(grams, hash32)
     return F.slice(F.array_sort(hashes), 1, keep)
+
+
+def gopher_filters(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The published Gopher document-quality rule set (Rae et al. 2021,
+    table A1 — public), as pure-expression boolean columns + a composite
+    ``gopher_keep``. Thresholds are the paper's:
+
+      * 50 <= word count <= 100_000
+      * 3 <= mean word length <= 10
+      * symbol-to-word ratio <= 0.1  (symbols: ``#`` and ``...``)
+      * < 90% of lines start with a bullet ("-", "*", "•")
+      * < 30% of lines end with an ellipsis
+      * >= 80% of words contain at least one alphabetic character
+      * >= 2 hits from a small English stop-word list
+
+    Everything stays in whole-stage codegen (split / filter / aggregate
+    expressions — no UDF), so at 100 TB these rules ride the same scan as
+    any other projection."""
+    c = F.col(text_col)
+    words = tokenize_ws(c)
+    n_words = F.size(words)
+    total_wlen = F.aggregate(
+        words, F.lit(0), lambda acc, w: acc + F.length(w)
+    )
+    mean_wlen = F.when(n_words > 0, total_wlen / n_words).otherwise(F.lit(0.0))
+    n_hash = F.size(F.filter(words, lambda w: w.contains("#")))
+    n_ellip_w = F.size(F.filter(words, lambda w: w.contains("...")))
+    sym_ratio = F.when(
+        n_words > 0, (n_hash + n_ellip_w) / n_words
+    ).otherwise(F.lit(0.0))
+    lines = F.filter(F.split(c, "\n"), lambda l: F.length(F.trim(l)) > 0)
+    n_lines = F.size(lines)
+    bullet_frac = F.when(
+        n_lines > 0,
+        F.size(
+            F.filter(
+                lines,
+                lambda l: F.trim(l).startswith("-")
+                | F.trim(l).startswith("*")
+                | F.trim(l).startswith("•"),
+            )
+        )
+        / n_lines,
+    ).otherwise(F.lit(0.0))
+    ellipsis_frac = F.when(
+        n_lines > 0,
+        F.size(F.filter(lines, lambda l: F.rtrim(l).endswith("..."))) / n_lines,
+    ).otherwise(F.lit(0.0))
+    alpha_frac = F.when(
+        n_words > 0,
+        F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))) / n_words,
+    ).otherwise(F.lit(0.0))
+    sw_hits = stopword_hits(c, "en")
+    rules = {
+        "r_word_count": (n_words >= 50) & (n_words <= 100_000),
+        "r_mean_word_len": (mean_wlen >= 3) & (mean_wlen <= 10),
+        "r_symbol_ratio": sym_ratio <= 0.1,
+        "r_bullet_lines": bullet_frac < 0.9,
+        "r_ellipsis_lines": ellipsis_frac < 0.3,
+        "r_alpha_words": alpha_frac >= 0.8,
+        "r_stopwords": sw_hits >= 2,
+    }
+    keep = None
+    for expr in rules.values():
+        keep = expr if keep is None else (keep & expr)
+    return df.select(
+        "*",
+        *[e.alias(n) for n, e in rules.items()],
+        keep.alias("gopher_keep"),
+    )
