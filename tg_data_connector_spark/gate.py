@@ -1930,6 +1930,105 @@ def sql_multimodal_features() -> str:
     return f"SELECT doc_id, {', '.join(feats)} FROM documents"
 
 
+# ------------------------------------------------- tokens-pipeline terminal ops
+_PACK_W = 97  # prime, not a divisor of any doc length -> chunks always span docs
+
+
+def q_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing over a portable tokenizer (token =
+    word length — identical arithmetic in both engines, same trick as
+    token_counts)."""
+    from .operators.packing import pack_sequences
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    toks = docs.where(F.length(F.trim(F.col("text"))) > 0).select(
+        "source",
+        "doc_id",
+        F.transform(
+            F.split(F.trim(F.col("text")), r"\s+"), lambda w: F.length(w)
+        ).alias("tokens"),
+    )
+    packed = pack_sequences(
+        toks, tokens_col="tokens", order_col="doc_id",
+        part_col="source", window=_PACK_W,
+    )
+    return packed.select(
+        "source",
+        "chunk_id",
+        _csv(F.col("tokens")).alias("tokens_csv"),
+        F.col("n_tok").cast("bigint").alias("n_tok"),
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+    )
+
+
+def sql_seq_packing() -> str:
+    return rf"""
+    WITH docs AS (
+      SELECT source, doc_id,
+             list_transform(string_split_regex(trim(text), '\s+'),
+                            w -> length(w)) AS toks
+      FROM documents
+      WHERE length(trim(text)) > 0
+    ), sized AS (
+      SELECT source, doc_id, toks, len(toks)::bigint AS n,
+             (sum(len(toks)) OVER (PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - len(toks))::bigint AS off
+      FROM docs
+    ), spans AS (
+      SELECT source, off, n, toks,
+             unnest(generate_series(off // {_PACK_W},
+                                    (off + n - 1) // {_PACK_W})) AS chunk_id
+      FROM sized
+    ), pieces AS (
+      SELECT source, chunk_id, off,
+             toks[(greatest(chunk_id*{_PACK_W} - off, 0) + 1)::int :
+                  (least((chunk_id+1)*{_PACK_W} - off, n))::int] AS piece
+      FROM spans
+    )
+    SELECT source, chunk_id,
+           array_to_string(flatten(list(piece ORDER BY off)), ',') AS tokens_csv,
+           len(flatten(list(piece ORDER BY off)))::bigint AS n_tok,
+           count(*)::bigint AS n_docs
+    FROM pieces
+    GROUP BY source, chunk_id
+    """
+
+
+_MIX_WEIGHTS = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.0}
+_MIX_DEFAULT = 0.1
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source mixture downsampling. The gate swaps the
+    production hash (xxhash64, Spark-only) for a portable polynomial hash both
+    engines compute identically on the int64 key; the threshold plumbing under
+    test is the same either way."""
+    from .operators.packing import sample_mixture
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    portable = F.pmod(
+        (F.col("doc_id") % F.lit(1000003)) * F.lit(31) + F.lit(7),
+        F.lit(1_000_000),
+    )
+    return sample_mixture(
+        docs, _MIX_WEIGHTS, part_col="source", key_col="doc_id",
+        hash_expr=portable, default_weight=_MIX_DEFAULT,
+    ).select("doc_id", "source")
+
+
+def sql_mixture_sample() -> str:
+    cases = " ".join(
+        f"WHEN '{s}' THEN {int(f * 1_000_000)}"
+        for s, f in sorted(_MIX_WEIGHTS.items())
+    )
+    return f"""
+    SELECT doc_id, source FROM documents
+    WHERE ((doc_id % 1000003) * 31 + 7) % 1000000 <
+          CASE source {cases} ELSE {int(_MIX_DEFAULT * 1_000_000)} END
+    """
+
+
 QUERIES = {
     "cdc_changelog_derive": (q_cdc_changelog, sql_cdc_changelog),
     "cdc_quarantine_counts": (q_cdc_quarantine, sql_cdc_quarantine),
@@ -1984,6 +2083,8 @@ QUERIES = {
     "dedup_embedding_cosine": (q_embedding_near_dup, sql_embedding_near_dup),
     "multimodal_meta": (q_multimodal_meta, sql_multimodal_meta),
     "multimodal_features": (q_multimodal_features, sql_multimodal_features),
+    "seq_packing": (q_seq_packing, sql_seq_packing),
+    "mixture_sample": (q_mixture_sample, sql_mixture_sample),
 }
 
 

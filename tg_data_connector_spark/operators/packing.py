@@ -1,0 +1,137 @@
+"""Sequence packing: concat-and-chunk pre-tokenized documents into fixed-length
+training windows (the standard GPT-style pretraining packing — concatenate every
+document's token stream in a deterministic order, then cut the stream into
+windows of exactly ``window`` tokens).
+
+This is the terminal operator of the tokens pipeline this engine ingests for
+(north rule: "Iceberg tables of pre-tokenized training sequences"): the lake
+table holds (doc_id, tokens, n_tok, source) rows; a training job wants
+fixed-length context windows. The reference connector stops at row delivery
+(its Record stream, ``TaskGroupContainer.java`` plumbing); packing is the
+value-add a training-data pipeline needs on top.
+
+Scale design (how this avoids the two naive traps):
+
+  * NO global sort. Packing needs a total order; a single global stream is a
+    1-task scan at 100 TB. We pack per ``part_col`` stream (``source`` by
+    default): the window prefix-sum partitions by source, so each source's
+    stream packs independently and in parallel. A source so large that even
+    its own stream is a bottleneck gets split further by the caller (pack per
+    (source, shard) with a deterministic shard = hash(doc_id) % k — same
+    semantics, k independent streams).
+  * NO token-level explode. A doc spanning chunks [c0..c1] emits one row PER
+    CHUNK it overlaps (``sequence(first_chunk, last_chunk)``) carrying the
+    array SLICE that lands in that chunk — the shuffle moves each token value
+    exactly once, inside an array cell, never as a row. groupBy(chunk) then
+    stitches slices back in stream order (array_sort on the carried offset).
+
+Everything is expression-only (sequence/slice/aggregate inside whole-stage
+codegen + one hash shuffle on (part, chunk)); no Python in the path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pack_sequences(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    order_col: str = "doc_id",
+    part_col: str = "source",
+    window: int = 128,
+    drop_last: bool = False,
+) -> DataFrame:
+    """Pack ``tokens_col`` arrays into fixed-``window`` chunks per ``part_col``
+    stream, concatenating docs in ``order_col`` order.
+
+    Returns one row per (part, chunk): part_col, chunk_id (0-based within the
+    part's stream), tokens (exactly ``window`` values except the stream's tail
+    chunk), n_tok, n_docs (documents contributing at least one token).
+
+    ``drop_last``: drop the tail chunk when it is shorter than ``window``
+    (training jobs usually do; default keeps it so nothing is silently lost).
+    """
+    W = window
+    n = F.size(F.col(tokens_col))
+    w = Window.partitionBy(part_col).orderBy(order_col)
+    sized = (
+        df.select(part_col, order_col, tokens_col)
+        .where(n > 0)
+        .withColumn("_n", n)
+        .withColumn("_off", F.sum("_n").over(w) - F.col("_n"))
+    )
+    # one row per chunk the doc overlaps, carrying only that chunk's slice
+    spans = sized.select(
+        part_col,
+        F.col("_off"),
+        F.explode(
+            F.sequence(
+                F.floor(F.col("_off") / W),
+                F.floor((F.col("_off") + F.col("_n") - 1) / W),
+            )
+        ).alias("chunk_id"),
+        F.col("_n"),
+        F.col(tokens_col),
+    )
+    start = F.greatest(F.col("chunk_id") * W - F.col("_off"), F.lit(0))
+    length = (
+        F.least((F.col("chunk_id") + 1) * W - F.col("_off"), F.col("_n")) - start
+    )
+    pieces = spans.select(
+        part_col,
+        "chunk_id",
+        F.col("_off"),
+        F.slice(F.col(tokens_col), (start + 1).cast("int"), length.cast("int")).alias(
+            "_piece"
+        ),
+    )
+    out = (
+        pieces.groupBy(part_col, "chunk_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_off", "_piece"))),
+                    lambda s: s["_piece"],
+                )
+            ).alias("tokens"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .withColumn("n_tok", F.size("tokens"))
+        .withColumn("chunk_id", F.col("chunk_id").cast("bigint"))
+        .select(part_col, "chunk_id", "tokens", "n_tok", "n_docs")
+    )
+    if drop_last:
+        out = out.where(F.col("n_tok") == W)
+    return out
+
+
+def sample_mixture(
+    df: DataFrame,
+    weights: dict[str, float],
+    part_col: str = "source",
+    key_col: str = "doc_id",
+    hash_expr=None,
+    default_weight: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-source downsampling to target mixture weights.
+
+    ``weights`` maps a ``part_col`` value to a keep-fraction in [0, 1]; rows
+    from unlisted sources keep ``default_weight``. Selection is a pure
+    function of the row key (hash threshold), so re-runs, retries and
+    incremental batches select the SAME rows — the property a resumable
+    pipeline needs (a rand() sampler breaks idempotent replay).
+
+    ``hash_expr``: column expression mapping the key to [0, 1_000_000).
+    Default is ``pmod(xxhash64(key), 1e6)`` — uniform and cheap (JVM-side).
+    Scale: a map-only filter; no shuffle, predicate stays in scan codegen.
+    """
+    if hash_expr is None:
+        hash_expr = F.pmod(F.xxhash64(F.col(key_col)), F.lit(1_000_000))
+    thresh = F.lit(int(default_weight * 1_000_000))
+    for src, frac in sorted(weights.items()):
+        thresh = F.when(
+            F.col(part_col) == src, F.lit(int(frac * 1_000_000))
+        ).otherwise(thresh)
+    return df.where(hash_expr < thresh)
