@@ -706,6 +706,49 @@ def sql_cdc_changes_feed() -> str:
     """
 
 
+def q_cdf_stream_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CONSUMER parity: the same change feed as cdc_changes_feed,
+    but delivered through ``readStream.format("lake_cdf")`` (the Python
+    streaming data source over snapshot-version offsets,
+    ``streaming/cdf_source.py``) instead of batch ``table.changes()`` —
+    drained with availableNow into a memory sink and checked against the
+    SAME DuckDB oracle. Proves stream == batch == oracle on real data."""
+    from .streaming.cdf_source import read_change_stream
+
+    root = tempfile.mkdtemp(prefix="tgspark_gate_cdfs_")
+    table = LakeTable.create(
+        spark, f"{root}/seq", SEQ_SCHEMA, key="doc_id", n_buckets=16
+    )
+    table.append(derive_seed(spark, sf_dir), lsn_col=F.lit(-1), seq_col=F.lit(0))
+    v0 = table.current_version()
+    eng = ReplayEngine(
+        spark, table, ReplayConfig(events_per_batch=50_000, merge_mode="mor")
+    )
+    reports = eng.replay(derive_changelog(spark, sf_dir), run_id="gate_cdfs")
+    assert table.current_version() - v0 == len(reports)
+    name = "gate_cdf_stream_tail"
+    q = (
+        read_change_stream(spark, f"{root}/seq", starting_version=v0)
+        .writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", f"{root}/cp")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    ch = spark.table(name)
+    return ch.select(
+        (F.col("_commit_version") - F.lit(v0 + 1)).cast("int").alias("w"),
+        "doc_id",
+        _csv(F.col("tokens")).alias("tokens_csv"),
+        "n_tok",
+        "source",
+        F.col("_lsn").alias("lsn"),
+        F.col("_seq").alias("seq"),
+        F.col("_deleted").alias("deleted"),
+    )
+
+
 def q_cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-rule schema evolution: an ``op='S'`` event (add_column lang)
     spliced mid-log must be applied transactionally as its own snapshot
@@ -2085,6 +2128,7 @@ QUERIES = {
     "multimodal_features": (q_multimodal_features, sql_multimodal_features),
     "seq_packing": (q_seq_packing, sql_seq_packing),
     "mixture_sample": (q_mixture_sample, sql_mixture_sample),
+    "cdf_stream_tail": (q_cdf_stream_tail, sql_cdc_changes_feed),
 }
 
 
