@@ -185,3 +185,51 @@ def test_gopher_filters_rules(spark):
     assert not got["numeric"]["r_stopwords"]
     assert all(not got[k]["gopher_keep"] for k in
                ("short", "symbols", "bullets", "numeric"))
+
+
+def test_repetition_filters_known_doc(spark):
+    from tg_data_connector_spark.operators.text import repetition_filters
+
+    docs = spark.createDataFrame(
+        [
+            # 4 lines, "dup dup" repeated: heavy repetition -> rejected
+            (1, "dup dup\ndup dup\ndup dup\nother line"),
+            # clean prose, no repeated lines or dominant 2-gram
+            (2, "a quick brown fox jumps over the lazy old dog"),
+            (3, ""),  # empty -> all fracs 0, kept
+        ],
+        "doc_id int, text string",
+    )
+    rows = {r["doc_id"]: r for r in repetition_filters(docs).collect()}
+    r1 = rows[1]
+    assert abs(r1["dup_line_frac"] - 0.5) < 1e-9  # 4 lines, 2 distinct
+    # line chars: 3*7+10=31, distinct 7+10=17 -> 1-17/31
+    assert abs(r1["dup_line_char_frac"] - (1 - 17 / 31)) < 1e-9
+    # top 2-gram "dup dup" occurs 3x (within lines; text keeps \n so grams
+    # split on whitespace incl newline): verify dominance and rejection
+    assert r1["top_2gram_char_frac"] > 0.2 and not r1["rep_keep"]
+    assert rows[2]["rep_keep"] and rows[2]["dup_line_frac"] == 0.0
+    assert rows[3]["rep_keep"] and rows[3]["top_2gram_char_frac"] == 0.0
+
+
+def test_pii_scrub_counts_and_redaction(spark):
+    from tg_data_connector_spark.operators.text import pii_scrub
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@ex.org and d@sub.ex.co.uk ip 192.168.0.1 "
+                "tel +44 20-7946-0958 end"),
+            (2, "no pii here"),
+        ],
+        "doc_id int, text string",
+    )
+    rows = {r["doc_id"]: r for r in pii_scrub(docs).collect()}
+    r1 = rows[1]
+    assert (r1["n_emails"], r1["n_ips"], r1["n_phones"]) == (2, 1, 1)
+    assert "<EMAIL>" in r1["text_scrubbed"] and "<IP>" in r1["text_scrubbed"]
+    assert "<PHONE>" in r1["text_scrubbed"]
+    assert "a.b+c@ex.org" not in r1["text_scrubbed"]
+    assert "192.168.0.1" not in r1["text_scrubbed"]
+    r2 = rows[2]
+    assert (r2["n_emails"], r2["n_ips"], r2["n_phones"]) == (0, 0, 0)
+    assert r2["text_scrubbed"] == "no pii here"

@@ -2038,6 +2038,140 @@ def sql_seq_packing() -> str:
     """
 
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MassiveText repetition rules. sf documents are single-line, so the
+    gate splices a deterministic repeated-line suffix onto every third doc
+    (same concat arithmetic in both engines) to exercise the dup-line path;
+    the top-2-gram statistic runs on the real text."""
+    from .operators.text import repetition_filters
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    t = F.col("text")
+    spliced = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(
+            t, F.lit("\n"), F.substring(t, 1, 40),
+            F.lit("\n"), F.substring(t, 1, 40),
+        ),
+    ).otherwise(t)
+    rf = repetition_filters(
+        docs.select("doc_id", spliced.alias("text"))
+    )
+    return rf.select(
+        "doc_id",
+        F.round("dup_line_frac", 6).alias("dup_line_frac"),
+        F.round("dup_line_char_frac", 6).alias("dup_line_char_frac"),
+        F.round("top_2gram_char_frac", 6).alias("top_2gram_char_frac"),
+        "rep_keep",
+    )
+
+
+def sql_text_repetition() -> str:
+    return r"""
+    WITH spliced AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0
+                  THEN text || chr(10) || substr(text, 1, 40)
+                       || chr(10) || substr(text, 1, 40)
+                  ELSE text END AS text
+      FROM documents
+    ), base AS (
+      SELECT doc_id,
+        list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+                    l -> length(l) > 0) AS lines,
+        CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+             ELSE string_split_regex(trim(text), '\s+') END AS words
+      FROM spliced
+    ), stats AS (
+      SELECT doc_id,
+        len(lines) AS n_lines,
+        len(list_distinct(lines)) AS n_dlines,
+        coalesce(list_sum(list_transform(lines, l -> length(l))), 0) AS line_chars,
+        coalesce(list_sum(list_transform(list_distinct(lines), l -> length(l))), 0)
+          AS dline_chars,
+        coalesce(list_sum(list_transform(words, w -> length(w))), 0) AS word_chars
+      FROM base
+    ), grams AS (
+      SELECT doc_id, words[i] || ' ' || words[i+1] AS gram
+      FROM base, unnest(generate_series(1, len(words) - 1)) t(i)
+      WHERE len(words) >= 2
+    ), counts AS (
+      SELECT doc_id, gram, count(*) AS n FROM grams GROUP BY 1, 2
+    ), top AS (
+      SELECT doc_id, n * (length(gram) - 1) AS top2_chars
+      FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                       ORDER BY n DESC, gram ASC) AS rk FROM counts)
+      WHERE rk = 1
+    )
+    SELECT s.doc_id,
+      round(CASE WHEN n_lines > 0 THEN 1.0 - n_dlines / CAST(n_lines AS DOUBLE)
+                 ELSE 0.0 END, 6) AS dup_line_frac,
+      round(CASE WHEN line_chars > 0 THEN 1.0 - dline_chars / CAST(line_chars AS DOUBLE)
+                 ELSE 0.0 END, 6) AS dup_line_char_frac,
+      round(CASE WHEN word_chars > 0 AND top2_chars IS NOT NULL
+                 THEN top2_chars / CAST(word_chars AS DOUBLE)
+                 ELSE 0.0 END, 6) AS top_2gram_char_frac,
+      (CASE WHEN n_lines > 0 THEN 1.0 - n_dlines / CAST(n_lines AS DOUBLE) ELSE 0.0 END) <= 0.30
+      AND (CASE WHEN line_chars > 0 THEN 1.0 - dline_chars / CAST(line_chars AS DOUBLE) ELSE 0.0 END) <= 0.20
+      AND (CASE WHEN word_chars > 0 AND top2_chars IS NOT NULL
+                THEN top2_chars / CAST(word_chars AS DOUBLE) ELSE 0.0 END) <= 0.20
+        AS rep_keep
+    FROM stats s LEFT JOIN top USING (doc_id)
+    """
+
+
+_PII_EMAIL = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+_PII_IPV4 = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+_PII_PHONE = r"\+[0-9]{1,3}[ \-][0-9]{2,4}([ \-][0-9]{2,4}){1,3}"
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction parity. sf documents carry no PII, so the gate appends a
+    deterministic contact block derived from doc_id (identical concat in both
+    engines), then checks counts + the scrubbed text byte-for-byte."""
+    from .operators.text import pii_scrub
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    d = F.col("doc_id")
+    contact = F.concat(
+        F.col("text"),
+        F.lit(" contact u"), d.cast("string"), F.lit("@ex"),
+        (d % 7).cast("string"), F.lit(".org ip 10."),
+        (d % 256).cast("string"), F.lit(".0."), (d % 100).cast("string"),
+        F.when(d % 2 == 0, F.concat(F.lit(" tel +1 555-01"),
+                                    F.lpad((d % 100).cast("string"), 2, "0")))
+        .otherwise(F.lit("")),
+        F.lit(" ."),
+    )
+    out = pii_scrub(docs.select("doc_id", contact.alias("text")))
+    return out.select("doc_id", "n_emails", "n_ips", "n_phones", "text_scrubbed")
+
+
+def sql_pii_scrub() -> str:
+    return rf"""
+    WITH aug AS (
+      SELECT doc_id,
+        text || ' contact u' || doc_id || '@ex' || (doc_id % 7)
+             || '.org ip 10.' || (doc_id % 256) || '.0.' || (doc_id % 100)
+             || CASE WHEN doc_id % 2 = 0
+                     THEN ' tel +1 555-01' || lpad((doc_id % 100)::varchar, 2, '0')
+                     ELSE '' END
+             || ' .' AS text
+      FROM documents
+    )
+    SELECT doc_id,
+      len(regexp_extract_all(text, '{_PII_EMAIL}'))::int AS n_emails,
+      len(regexp_extract_all(text, '{_PII_IPV4}'))::int AS n_ips,
+      len(regexp_extract_all(text, '{_PII_PHONE}'))::int AS n_phones,
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+          '{_PII_IPV4}', '<IP>', 'g'),
+        '{_PII_PHONE}', '<PHONE>', 'g') AS text_scrubbed
+    FROM aug
+    """
+
+
 _MIX_WEIGHTS = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.0}
 _MIX_DEFAULT = 0.1
 
@@ -2129,6 +2263,8 @@ QUERIES = {
     "seq_packing": (q_seq_packing, sql_seq_packing),
     "mixture_sample": (q_mixture_sample, sql_mixture_sample),
     "cdf_stream_tail": (q_cdf_stream_tail, sql_cdc_changes_feed),
+    "text_repetition": (q_text_repetition, sql_text_repetition),
+    "pii_scrub": (q_pii_scrub, sql_pii_scrub),
 }
 
 

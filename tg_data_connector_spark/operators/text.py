@@ -178,3 +178,135 @@ def gopher_filters(df: DataFrame, text_col: str = "text") -> DataFrame:
         *[e.alias(n) for n, e in rules.items()],
         keep.alias("gopher_keep"),
     )
+
+
+def repetition_filters(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """MassiveText/RefinedWeb repetition rules (Rae et al. 2021 table A1,
+    "repetitious text"): documents dominated by repeated lines or a single
+    n-gram are boilerplate/spam. Adds per-doc fractions + a composite
+    ``rep_keep`` with the paper's thresholds:
+
+      * dup_line_frac       <= 0.30  (fraction of non-empty lines that are
+                                      repeats of an earlier line)
+      * dup_line_char_frac  <= 0.20  (fraction of line characters inside
+                                      those repeats)
+      * top_2gram_char_frac <= 0.20  (fraction of word characters covered by
+                                      the most frequent word 2-gram; ties
+                                      break to the lexicographically smallest
+                                      gram so the statistic is deterministic)
+
+    Line stats are pure array expressions (distinct-vs-all, in-scan, no
+    shuffle). The top-2-gram needs a per-(doc, gram) count — one explode +
+    one partial-aggregated groupBy, shuffling (doc_id, gram_hash-sized) rows;
+    at 100 TB that is the same shape as the shingle pass in dedup_text and
+    scales the same way."""
+    c = F.col(text_col)
+    lines = F.filter(
+        # NOT `F.transform(..., F.trim)`: F.trim takes an optional second
+        # parameter, so transform() would call it as (element, index) and
+        # trim index digits instead of whitespace
+        F.transform(F.split(c, "\n"), lambda l: F.trim(l)),
+        lambda l: F.length(l) > 0,
+    )
+    n_lines = F.size(lines)
+    dlines = F.array_distinct(lines)
+    line_chars = F.aggregate(lines, F.lit(0), lambda a, l: a + F.length(l))
+    dline_chars = F.aggregate(dlines, F.lit(0), lambda a, l: a + F.length(l))
+    dup_line_frac = F.when(
+        n_lines > 0, 1.0 - F.size(dlines) / n_lines
+    ).otherwise(F.lit(0.0))
+    dup_line_char_frac = F.when(
+        line_chars > 0, 1.0 - dline_chars / line_chars
+    ).otherwise(F.lit(0.0))
+
+    words = tokenize_ws(c)
+    word_chars = F.aggregate(words, F.lit(0), lambda a, w: a + F.length(w))
+    base = df.select("*", dup_line_frac.alias("dup_line_frac"),
+                     dup_line_char_frac.alias("dup_line_char_frac"),
+                     word_chars.alias("_word_chars"))
+
+    id_cols = [f for f in df.columns if f != text_col]
+    grams = (
+        df.select(*id_cols, tokenize_ws(c).alias("_w"))
+        .where(F.size("_w") >= 2)
+        .select(
+            *id_cols,
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("_w") - 2),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at(F.col("_w"), i + 1),
+                        F.element_at(F.col("_w"), i + 2),
+                    ),
+                )
+            ).alias("_gram"),
+        )
+    )
+    counts = grams.groupBy(*id_cols, "_gram").agg(F.count(F.lit(1)).alias("_n"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*id_cols).orderBy(F.desc("_n"), F.asc("_gram"))
+    top = (
+        counts.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .select(
+            *id_cols,
+            (F.col("_n") * (F.length("_gram") - 1)).alias("_top2_chars"),
+        )
+    )
+    out = base.join(top, id_cols, "left").select(
+        "*",
+        F.when(
+            (F.col("_word_chars") > 0) & F.col("_top2_chars").isNotNull(),
+            F.col("_top2_chars") / F.col("_word_chars"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("top_2gram_char_frac"),
+    )
+    keep = (
+        (F.col("dup_line_frac") <= 0.30)
+        & (F.col("dup_line_char_frac") <= 0.20)
+        & (F.col("top_2gram_char_frac") <= 0.20)
+    )
+    return out.select(
+        *df.columns, "dup_line_frac", "dup_line_char_frac",
+        "top_2gram_char_frac", keep.alias("rep_keep"),
+    )
+
+
+PII_EMAIL = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+PII_PHONE = r"\+[0-9]{1,3}[ \-][0-9]{2,4}([ \-][0-9]{2,4}){1,3}"
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Training-data PII redaction (the standard pre-release scrub): replace
+    emails, IPv4 addresses and international-format phone numbers with typed
+    placeholder tokens, and count each per document (the counts feed audit
+    metrics / routing, e.g. quarantine docs above a PII threshold).
+
+    Regexes are RE2-safe (no lookaround) so the exact same pattern runs in
+    Spark (Java regex) and the DuckDB oracle (RE2). Pure regexp_replace
+    expressions — in-scan at 100 TB, no shuffle, no UDF."""
+    c = F.col(text_col)
+    email, ipv4, phone = PII_EMAIL, PII_IPV4, PII_PHONE
+
+    def count(pat: str) -> Column:
+        # regexp_count, not size(split())-1: engines disagree on whether a
+        # trailing match leaves a trailing empty split element
+        return F.regexp_count(c, F.lit(pat)).cast("int")
+
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(c, email, "<EMAIL>"), ipv4, "<IP>"
+        ),
+        phone,
+        "<PHONE>",
+    )
+    return df.select(
+        "*",
+        count(email).alias("n_emails"),
+        count(ipv4).alias("n_ips"),
+        count(phone).alias("n_phones"),
+        scrubbed.alias("text_scrubbed"),
+    )
