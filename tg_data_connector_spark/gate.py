@@ -2206,6 +2206,94 @@ def sql_mixture_sample() -> str:
     """
 
 
+_DECON_N = 5  # word n-gram width (published pipelines use 8-13; the synthetic
+# corpus draws ~100 words/doc from a small vocabulary, so 5 keeps genuine
+# cross-doc collisions in the sample — the operator is width-agnostic)
+
+
+def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/decontam.py): the eval set is the
+    docs with doc_id % 41 == 0 (a stand-in benchmark); every corpus doc gets
+    (n_hits, contaminated) for shared word 5-grams. Eval n-grams broadcast;
+    the corpus-side shuffle carries only (doc_id, hit-count)."""
+    from .operators.decontam import contamination_flags
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    ev = docs.where(F.col("doc_id") % 41 == 0)
+    return contamination_flags(docs, ev, n=_DECON_N)
+
+
+def sql_text_decontaminate() -> str:
+    k = _DECON_N - 1
+    return rf"""
+    WITH w AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+               FROM documents),
+    ng AS (SELECT doc_id, list_distinct(list_transform(
+              generate_series(1, greatest(len(ws) - {k}, 0)),
+              i -> array_to_string(ws[i:i+{k}], ' '))) AS gs FROM w),
+    ev AS (SELECT DISTINCT unnest(gs) AS ngram FROM ng WHERE doc_id % 41 = 0),
+    dn AS (SELECT doc_id, unnest(gs) AS ngram FROM ng),
+    hits AS (SELECT dn.doc_id, count(*) AS n_hits
+             FROM dn JOIN ev USING (ngram) GROUP BY dn.doc_id)
+    SELECT d.doc_id, CAST(coalesce(h.n_hits, 0) AS INT) AS n_hits,
+           coalesce(h.n_hits, 0) > 0 AS contaminated
+    FROM documents d LEFT JOIN hits h USING (doc_id)
+    """
+
+
+def q_lake_dml_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level DML (lake/dml.py) over the flagship replay result: an
+    UPDATE ... WHERE committed as merge-on-read deltas, then a
+    DELETE ... WHERE (GDPR-style purge) committed as a copy-on-write rewrite
+    — the rewrite folds the update's delta files in the touched buckets, so
+    the gate also pins the MOR->COW cross-path interaction. Both mutations
+    are stamped per-row (_lsn, _seq+1), beating exactly the versions read."""
+    from .lake.dml import delete_where, update_where
+
+    root = tempfile.mkdtemp(prefix="tgspark_gate_dml_")
+    table = LakeTable.create(
+        spark, f"{root}/seq", SEQ_SCHEMA, key="doc_id", n_buckets=16
+    )
+    table.append(derive_seed(spark, sf_dir), lsn_col=F.lit(-1), seq_col=F.lit(0))
+    eng = ReplayEngine(spark, table, ReplayConfig(events_per_batch=50_000))
+    eng.replay(derive_changelog(spark, sf_dir), run_id="gate_dml")
+    last = F.substring(F.col("doc_id"), 9, 1)
+    update_where(
+        table,
+        last.isin("2", "6"),
+        {
+            "n_tok": (F.col("n_tok") + 1000).cast("int"),
+            "source": F.lit("corrected"),
+        },
+        mode="mor",
+        batch_id="gate-dml-update",
+    )
+    delete_where(
+        table,
+        F.substring(F.col("doc_id"), 9, 1).isin("3", "7"),
+        mode="cow",
+        batch_id="gate-dml-delete",
+    )
+    final = table.read()
+    return final.select(
+        "doc_id", _csv(F.col("tokens")).alias("tokens_csv"), "n_tok", "source"
+    )
+
+
+def sql_lake_dml_purge() -> str:
+    return f"""
+    WITH final AS ({sql_cdc_merge_final_state()}),
+    upd AS (SELECT doc_id, tokens_csv,
+              CASE WHEN substr(doc_id, 9, 1) IN ('2','6')
+                   THEN CAST(n_tok + 1000 AS INT) ELSE n_tok END AS n_tok,
+              CASE WHEN substr(doc_id, 9, 1) IN ('2','6')
+                   THEN 'corrected' ELSE source END AS source
+            FROM final)
+    SELECT doc_id, tokens_csv, n_tok, source FROM upd
+    WHERE substr(doc_id, 9, 1) NOT IN ('3','7')
+    """
+
+
 QUERIES = {
     "cdc_changelog_derive": (q_cdc_changelog, sql_cdc_changelog),
     "cdc_quarantine_counts": (q_cdc_quarantine, sql_cdc_quarantine),
@@ -2265,6 +2353,8 @@ QUERIES = {
     "cdf_stream_tail": (q_cdf_stream_tail, sql_cdc_changes_feed),
     "text_repetition": (q_text_repetition, sql_text_repetition),
     "pii_scrub": (q_pii_scrub, sql_pii_scrub),
+    "text_decontaminate": (q_text_decontaminate, sql_text_decontaminate),
+    "lake_dml_purge": (q_lake_dml_purge, sql_lake_dml_purge),
 }
 
 
