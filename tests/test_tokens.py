@@ -1,0 +1,117 @@
+"""Vocab-maintenance operators: remap_vocab (expr vs arrow parity, OOV,
+nulls, schema preservation), token_histogram, shard_shuffle determinism."""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from tg_data_connector_spark.operators.packing import shard_shuffle
+from tg_data_connector_spark.operators.tokens import (
+    remap_vocab,
+    token_histogram,
+)
+
+
+def _docs(spark, rows, elem="int"):
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField(
+                "tokens",
+                T.ArrayType(
+                    T.IntegerType() if elem == "int" else T.LongType()
+                ),
+            ),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+MAPPING = {1: 101, 2: 202, 3: 303, 7: 707}
+
+
+@pytest.mark.parametrize("strategy", ["expr", "arrow"])
+def test_remap_basic_and_oov(spark, strategy):
+    df = _docs(spark, [(1, [1, 2, 9, 3]), (2, [7, 7, 0])])
+    out = {
+        r["doc_id"]: r["tokens"]
+        for r in remap_vocab(
+            df, MAPPING, unk_id=-1, strategy=strategy
+        ).collect()
+    }
+    assert out[1] == [101, 202, -1, 303]
+    assert out[2] == [707, 707, -1]
+
+
+@pytest.mark.parametrize("strategy", ["expr", "arrow"])
+def test_remap_nulls_and_empty(spark, strategy):
+    df = _docs(spark, [(1, []), (2, None), (3, [2])])
+    out = {
+        r["doc_id"]: r["tokens"]
+        for r in remap_vocab(
+            df, MAPPING, unk_id=0, strategy=strategy
+        ).collect()
+    }
+    assert out[1] == []
+    assert out[2] is None
+    assert out[3] == [202]
+
+
+def test_remap_strategies_agree_on_wide_vocab(spark):
+    mapping = {v: (v * 37) % 5000 for v in range(900) if v % 11 != 0}
+    rows = [
+        (i, [(i * 13 + j * 7) % 1100 for j in range(20)]) for i in range(200)
+    ]
+    df = _docs(spark, rows).repartition(4)
+    a = remap_vocab(df, mapping, unk_id=0, strategy="expr")
+    b = remap_vocab(df, mapping, unk_id=0, strategy="arrow")
+    assert a.schema == b.schema == df.schema
+    ra = {r["doc_id"]: r["tokens"] for r in a.collect()}
+    rb = {r["doc_id"]: r["tokens"] for r in b.collect()}
+    assert ra == rb
+
+
+def test_remap_auto_picks_by_size(spark):
+    df = _docs(spark, [(1, [1])])
+    small = remap_vocab(df, {1: 2}, strategy="auto")
+    big = remap_vocab(
+        df, {v: v for v in range(600)}, strategy="auto"
+    )
+    small_plan = small._jdf.queryExecution().executedPlan().toString()
+    big_plan = big._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in small_plan and "MapInArrow" not in small_plan
+    assert "MapInArrow" in big_plan
+
+
+def test_remap_long_elem_type_preserved(spark):
+    df = _docs(spark, [(1, [1, 5])], elem="long")
+    out = remap_vocab(df, MAPPING, unk_id=9, strategy="arrow")
+    assert out.schema["tokens"].dataType.elementType == T.LongType()
+    assert out.collect()[0]["tokens"] == [101, 9]
+
+
+def test_token_histogram_counts(spark):
+    df = _docs(spark, [(1, [5, 5, 6]), (2, [5, 7]), (3, [7, 7, 7])])
+    got = {
+        r["token"]: (r["n_occurrences"], r["n_docs"])
+        for r in token_histogram(df).collect()
+    }
+    assert got == {5: (3, 2), 6: (1, 1), 7: (4, 2)}
+    filtered = token_histogram(df, min_count=3).collect()
+    assert sorted(r["token"] for r in filtered) == [5, 7]
+
+
+def test_shard_shuffle_deterministic_and_dense(spark):
+    df = spark.range(0, 500).select(F.col("id").alias("doc_id"))
+    a = shard_shuffle(df, n_shards=4).collect()
+    b = shard_shuffle(df, n_shards=4).collect()
+    key = lambda rows: sorted((r["doc_id"], r["shard"], r["pos"]) for r in rows)
+    assert key(a) == key(b)  # idempotent re-export
+    by_shard = {}
+    for r in a:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    assert set(by_shard) == {0, 1, 2, 3}
+    for shard, ps in by_shard.items():
+        assert sorted(ps) == list(range(len(ps)))  # dense 0..n-1 positions
+    sizes = sorted(len(v) for v in by_shard.values())
+    assert sizes[0] > 50  # roughly balanced on a uniform key

@@ -2294,6 +2294,137 @@ def sql_lake_dml_purge() -> str:
     """
 
 
+# ----------------------------------------------------- vocab maintenance ops
+_VOCAB_N = 4096  # synthetic old-id space (length*257 + ascii of first char)
+_VOCAB_MOD = 65521  # largest prime < 2^16 — new-id space after the remap
+
+
+def _portable_tokens(prefix: str = "") -> str:
+    """DuckDB expression mirroring the Spark-side synthetic tokenizer below."""
+    return (
+        rf"list_transform(string_split_regex(trim({prefix}text), '\s+'), "
+        rf"w -> (length(w) * 257 + ascii(w)) % {_VOCAB_N})"
+    )
+
+
+def _spark_tokens():
+    return F.transform(
+        F.split(F.trim(F.col("text")), r"\s+"),
+        lambda w: (F.length(w) * 257 + F.ascii(w)) % _VOCAB_N,
+    )
+
+
+def q_token_vocab_remap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary migration over pre-tokenized sequences: ids divisible by 17
+    are pruned from the vocab (→ unk 0), survivors move to a new id space via
+    a Knuth multiplicative hash. The 3855-entry mapping forces the Arrow
+    broadcast-LUT strategy (the 100-TB path); the expr path is pinned against
+    it in tests/test_tokens.py."""
+    from .operators.tokens import remap_vocab
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    toks = docs.where(F.length(F.trim(F.col("text"))) > 0).select(
+        "doc_id", _spark_tokens().alias("tokens")
+    )
+    mapping = {
+        v: (v * 2654435761) % _VOCAB_MOD
+        for v in range(_VOCAB_N)
+        if v % 17 != 0
+    }
+    out = remap_vocab(toks, mapping, tokens_col="tokens", unk_id=0)
+    return out.select(
+        "doc_id",
+        _csv(F.col("tokens")).alias("tokens_csv"),
+        F.size(F.filter(F.col("tokens"), lambda t: t == 0))
+        .cast("bigint")
+        .alias("n_unk"),
+    )
+
+
+def sql_token_vocab_remap() -> str:
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {_portable_tokens()} AS toks
+      FROM documents WHERE length(trim(text)) > 0
+    ), remap AS (
+      SELECT doc_id, list_transform(toks,
+               t -> CASE WHEN t % 17 = 0 THEN 0
+                         ELSE (t * 2654435761) % {_VOCAB_MOD} END) AS rt
+      FROM toks
+    )
+    SELECT doc_id, array_to_string(rt, ',') AS tokens_csv,
+           len(list_filter(rt, t -> t = 0))::bigint AS n_unk
+    FROM remap
+    """
+
+
+def q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token-frequency table (occurrences + document frequency per
+    distinct id) — the statistic that drives vocab prune/merge decisions."""
+    from .operators.tokens import token_histogram
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    toks = docs.where(F.length(F.trim(F.col("text"))) > 0).select(
+        "doc_id", _spark_tokens().alias("tokens")
+    )
+    return token_histogram(toks, min_count=2)
+
+
+def sql_token_histogram() -> str:
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {_portable_tokens()} AS toks
+      FROM documents WHERE length(trim(text)) > 0
+    ), occ AS (
+      SELECT unnest(toks) AS token FROM toks
+    ), docs_per AS (
+      SELECT doc_id, unnest(list_distinct(toks)) AS token FROM toks
+    ), o AS (
+      SELECT token, count(*)::bigint AS n_occurrences FROM occ GROUP BY token
+    ), d AS (
+      SELECT token, count(*)::bigint AS n_docs FROM docs_per GROUP BY token
+    )
+    SELECT o.token::bigint AS token, o.n_occurrences, d.n_docs
+    FROM o JOIN d USING (token) WHERE o.n_occurrences >= 2
+    """
+
+
+_SHARD_K = 8
+
+
+def q_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard export order: shard + in-shard position as
+    pure key functions (idempotent re-export). Gate swaps xxhash64 for the
+    portable polynomial hash, same as mixture_sample."""
+    from .operators.packing import shard_shuffle
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    portable = F.pmod(
+        F.col("doc_id") * F.lit(2654435761), F.lit(1048573)
+    )
+    out = shard_shuffle(
+        docs.select("doc_id", "source"),
+        n_shards=_SHARD_K,
+        key_col="doc_id",
+        hash_expr=portable,
+    )
+    return out.select("shard", "pos", "doc_id", "source")
+
+
+def sql_shard_shuffle() -> str:
+    return f"""
+    WITH h AS (
+      SELECT doc_id, source, (doc_id * 2654435761) % 1048573 AS hv
+      FROM documents
+    )
+    SELECT (hv % {_SHARD_K})::int AS shard,
+           (row_number() OVER (PARTITION BY hv % {_SHARD_K}
+                               ORDER BY hv, doc_id) - 1)::bigint AS pos,
+           doc_id, source
+    FROM h
+    """
+
+
 QUERIES = {
     "cdc_changelog_derive": (q_cdc_changelog, sql_cdc_changelog),
     "cdc_quarantine_counts": (q_cdc_quarantine, sql_cdc_quarantine),
@@ -2355,6 +2486,9 @@ QUERIES = {
     "pii_scrub": (q_pii_scrub, sql_pii_scrub),
     "text_decontaminate": (q_text_decontaminate, sql_text_decontaminate),
     "lake_dml_purge": (q_lake_dml_purge, sql_lake_dml_purge),
+    "token_vocab_remap": (q_token_vocab_remap, sql_token_vocab_remap),
+    "token_histogram": (q_token_histogram, sql_token_histogram),
+    "shard_shuffle": (q_shard_shuffle, sql_shard_shuffle),
 }
 
 

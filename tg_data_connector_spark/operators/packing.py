@@ -107,6 +107,39 @@ def pack_sequences(
     return out
 
 
+def shard_shuffle(
+    df: DataFrame,
+    n_shards: int,
+    key_col: str = "doc_id",
+    hash_expr=None,
+) -> DataFrame:
+    """Deterministic global shuffle into ``n_shards`` training shards: every
+    row gets a ``shard`` in [0, n_shards) and a 0-based ``pos`` within its
+    shard, both pure functions of the row key — re-runs produce byte-identical
+    shard files (the property a resumable export needs; ``orderBy(rand())``
+    breaks idempotent retry and is NOT a global shuffle fix either).
+
+    Shard = hash(key) % n_shards (uniform balance); within-shard order = the
+    hash itself (key tie-break), so consecutive input rows scatter across
+    shards AND across positions — the decorrelation a training loader wants.
+
+    Scale: one hash shuffle on ``shard``; each shard's row_number is a single
+    sorted task, so pick n_shards ≥ cluster parallelism (training exports
+    want thousands of shard files anyway, which also bounds per-task size).
+    """
+    from pyspark.sql import Window as W
+
+    if hash_expr is None:
+        hash_expr = F.pmod(F.xxhash64(F.col(key_col)), F.lit(2**40))
+    w = W.partitionBy("shard").orderBy("_h", key_col)
+    return (
+        df.withColumn("_h", hash_expr)
+        .withColumn("shard", F.pmod(F.col("_h"), F.lit(n_shards)).cast("int"))
+        .withColumn("pos", (F.row_number().over(w) - 1).cast("bigint"))
+        .drop("_h")
+    )
+
+
 def sample_mixture(
     df: DataFrame,
     weights: dict[str, float],

@@ -1,0 +1,184 @@
+"""Token-id operators over pre-tokenized sequences (``array<int>`` columns).
+
+These are the vocabulary-maintenance ops a tokens lake needs between ingest
+(the CDC replay) and export (packing): remapping every stored sequence when
+the tokenizer's vocabulary changes (merge, prune, re-train → new id space),
+and corpus-level token-frequency statistics that drive those vocab decisions.
+The reference connector stops at row delivery (its Record/Column stream,
+``TaskGroupContainer.java``); vocab maintenance is pipeline value-add on top,
+same tier as packing/mixture in ``operators/packing.py``.
+
+Scale design:
+
+  * ``remap_vocab`` never explodes tokens to rows and never joins the corpus
+    against the vocab table — a vocab is at most a few million (old → new)
+    pairs, i.e. megabytes, so it rides to every task as a broadcast dense
+    numpy lookup table and the remap is one vectorized ``lut[ids]`` gather
+    over the FLAT Arrow values buffer of each record batch (list offsets are
+    untouched; no per-row or per-token Python). A corpus-side shuffle would
+    be the naive trap: remapping is map-only and must stay map-only.
+  * Small vocabs (≤ ``_EXPR_MAX_VOCAB`` entries) instead inline a literal
+    ``map<int,int>`` into the plan (``F.transform`` + element_at) so the
+    whole remap stays inside whole-stage codegen with zero Python workers.
+  * ``token_histogram`` is the one op that genuinely needs per-token
+    aggregation; ``explode`` + groupBy is correct at scale because the
+    hash-aggregate combines map-side — the shuffle carries one row per
+    DISTINCT token per task, bounded by vocab size, not corpus size.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Mapping
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_EXPR_MAX_VOCAB = 512  # beyond this a literal map bloats the plan; go Arrow
+
+
+def remap_vocab(
+    df: DataFrame,
+    mapping: Mapping[int, int],
+    tokens_col: str = "tokens",
+    unk_id: int = 0,
+    strategy: str = "auto",
+) -> DataFrame:
+    """Rewrite every token id through ``mapping``; ids absent from the
+    mapping (out-of-vocabulary after a prune) become ``unk_id``.
+
+    ``strategy``: ``"expr"`` inlines the mapping as a literal map expression
+    (codegen, no Python — right for small vocabs); ``"arrow"`` broadcasts a
+    dense numpy LUT and gathers over the flat Arrow buffer via ``mapInArrow``
+    (right for real vocabs, 32k-1M+ ids); ``"auto"`` picks by size.
+
+    The output keeps the input schema (element type included) so the remap
+    composes with downstream packing/merge without a schema change.
+    """
+    if strategy == "auto":
+        strategy = "expr" if len(mapping) <= _EXPR_MAX_VOCAB else "arrow"
+    if strategy == "expr":
+        return _remap_expr(df, mapping, tokens_col, unk_id)
+    if strategy == "arrow":
+        return _remap_arrow(df, mapping, tokens_col, unk_id)
+    raise ValueError(f"unknown remap strategy {strategy!r}")
+
+
+def _remap_expr(
+    df: DataFrame, mapping: Mapping[int, int], tokens_col: str, unk_id: int
+) -> DataFrame:
+    elem_t = df.schema[tokens_col].dataType.elementType.simpleString()
+    pairs: list = []
+    for old, new in sorted(mapping.items()):
+        pairs.append(F.lit(int(old)).cast(elem_t))
+        pairs.append(F.lit(int(new)).cast(elem_t))
+    m = F.create_map(*pairs) if pairs else F.create_map()
+    unk = F.lit(int(unk_id)).cast(elem_t)
+    remapped = (
+        F.transform(F.col(tokens_col), lambda t: F.coalesce(m[t], unk))
+        .cast(df.schema[tokens_col].dataType)  # preserve containsNull exactly
+        .alias(tokens_col)
+    )
+    return df.select(
+        *[remapped if c == tokens_col else F.col(c) for c in df.columns]
+    )
+
+
+def _remap_arrow(
+    df: DataFrame, mapping: Mapping[int, int], tokens_col: str, unk_id: int
+) -> DataFrame:
+    import numpy as np
+
+    max_old = max(mapping) if mapping else 0
+    lut = np.full(max_old + 2, int(unk_id), dtype=np.int64)
+    for old, new in mapping.items():
+        if old < 0:
+            raise ValueError("token ids must be non-negative for the LUT path")
+        lut[old] = int(new)
+    bc = df.sparkSession.sparkContext.broadcast(lut)
+    unk = int(unk_id)
+    idx = df.columns.index(tokens_col)
+
+    def batches(it: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        import pyarrow as pa
+
+        table_lut = bc.value
+        hi = len(table_lut) - 1  # sentinel slot: every OOB id gathers unk
+        for batch in it:
+            lst = batch.column(idx)
+            elem_t = lst.type.value_type
+            if lst.null_count == 0:
+                flat = lst.flatten()  # offset/slice-safe view of the values
+                ids = flat.to_numpy(zero_copy_only=False).astype(
+                    np.int64, copy=False
+                )
+                safe = np.where((ids >= 0) & (ids < hi), ids, hi)
+                new_vals = pa.array(table_lut[safe], type=elem_t)
+                off = lst.offsets
+                # re-zero offsets: flatten() already applied the base offset
+                off_np = off.to_numpy(zero_copy_only=False)
+                off0 = pa.array(off_np - off_np[0], type=off.type)
+                cls = (
+                    pa.LargeListArray
+                    if pa.types.is_large_list(lst.type)
+                    else pa.ListArray
+                )
+                new_col = cls.from_arrays(off0, new_vals)
+            else:
+                # null-bearing batches are rare in a tokens lake; correctness
+                # beats zero-copy here
+                py = lst.to_pylist()
+                new_col = pa.array(
+                    [
+                        None
+                        if row is None
+                        else [
+                            int(table_lut[t]) if 0 <= t < hi else unk
+                            for t in row
+                        ]
+                        for row in py
+                    ],
+                    type=lst.type,
+                )
+            cols = list(batch.columns)
+            cols[idx] = new_col.cast(lst.type)
+            yield pa.RecordBatch.from_arrays(cols, schema=batch.schema)
+
+    return df.mapInArrow(batches, df.schema)
+
+
+def token_histogram(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    min_count: int = 1,
+) -> DataFrame:
+    """Corpus-level token frequency: one row per distinct token id with its
+    total occurrence count and the number of documents containing it.
+
+    ONE shuffle: document frequency needs per-(doc, token) distinctness, which
+    is row-local — each exploded element carries a ``first`` flag (is this the
+    token's first position in its row?), so a single vocab-keyed
+    hash-aggregate (map-side combined) yields both counts. The naive plan
+    (two groupBys + a join) shuffles three times for the same answer.
+    """
+    toks = F.col(tokens_col)
+    elems = df.select(
+        F.explode(
+            F.transform(
+                toks,
+                lambda t, i: F.struct(
+                    t.alias("token"),
+                    (F.array_position(toks, t) == i + 1).alias("first"),
+                ),
+            )
+        ).alias("e")
+    )
+    out = (
+        elems.groupBy(F.col("e.token").cast("bigint").alias("token"))
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.sum(F.col("e.first").cast("bigint")).alias("n_docs"),
+        )
+    )
+    if min_count > 1:
+        out = out.where(F.col("n_occurrences") >= min_count)
+    return out.select("token", "n_occurrences", "n_docs")
