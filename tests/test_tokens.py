@@ -7,7 +7,10 @@ from pyspark.sql import types as T
 
 from tg_data_connector_spark.operators.packing import shard_shuffle
 from tg_data_connector_spark.operators.tokens import (
+    chunk_sequences,
     remap_vocab,
+    token_contamination_flags,
+    token_decontaminate,
     token_histogram,
 )
 
@@ -99,6 +102,72 @@ def test_token_histogram_counts(spark):
     assert got == {5: (3, 2), 6: (1, 1), 7: (4, 2)}
     filtered = token_histogram(df, min_count=3).collect()
     assert sorted(r["token"] for r in filtered) == [5, 7]
+
+
+def test_chunk_sequences_disjoint_and_tail(spark):
+    df = _docs(spark, [(1, list(range(10))), (2, [1, 2]), (3, [])])
+    got = {
+        (r["doc_id"], r["chunk_id"]): (r["tokens"], r["n_tok"])
+        for r in chunk_sequences(df, window=4).collect()
+    }
+    assert got == {
+        (1, 0): ([0, 1, 2, 3], 4),
+        (1, 1): ([4, 5, 6, 7], 4),
+        (1, 2): ([8, 9], 2),  # short tail kept by default
+        (2, 0): ([1, 2], 2),
+    }  # empty doc 3 emits nothing
+
+
+def test_chunk_sequences_overlap_and_drop_last(spark):
+    df = _docs(spark, [(1, list(range(9))), (2, [5])])
+    got = {
+        (r["doc_id"], r["chunk_id"]): r["tokens"]
+        for r in chunk_sequences(df, window=4, stride=2, drop_last=True).collect()
+    }
+    # starts 0,2,4,6,8 -> full windows only at 0,2,4; 6 and 8 are short tails
+    assert got == {
+        (1, 0): [0, 1, 2, 3],
+        (1, 1): [2, 3, 4, 5],
+        (1, 2): [4, 5, 6, 7],
+    }
+    # token conservation with stride == window: every token exactly once
+    full = chunk_sequences(df, window=4, stride=4)
+    tot = full.agg(F.sum("n_tok")).collect()[0][0]
+    assert tot == 10
+
+
+def test_chunk_sequences_no_shuffle(spark):
+    df = _docs(spark, [(1, list(range(10)))])
+    plan = (
+        chunk_sequences(df, window=4, stride=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan  # map-only by design
+
+
+def test_token_decontam_flags_and_drop(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, [1, 2, 3, 4, 5]),      # eval doc: self-contaminated
+            (2, [9, 1, 2, 3, 8]),      # shares 3-gram (1,2,3) with doc 1
+            (3, [1, 2, 4, 3, 5]),      # same ids, no shared 3-gram window
+            (4, [1, 2]),               # shorter than n: never flagged
+        ],
+    )
+    ev = docs.where("doc_id = 1")
+    flags = {
+        r["doc_id"]: (r["n_hits"], r["contaminated"])
+        for r in token_contamination_flags(docs, ev, n=3).collect()
+    }
+    assert flags[1] == (3, True)   # its own 3 distinct 3-grams
+    assert flags[2] == (1, True)
+    assert flags[3] == (0, False)
+    assert flags[4] == (0, False)
+    kept = sorted(
+        r["doc_id"] for r in token_decontaminate(docs, ev, n=3).collect()
+    )
+    assert kept == [3, 4]
 
 
 def test_shard_shuffle_deterministic_and_dense(spark):

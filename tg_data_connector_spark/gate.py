@@ -2425,6 +2425,82 @@ def sql_shard_shuffle() -> str:
     """
 
 
+def q_token_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document sliding context windows (window 16, stride 8 = 50%
+    overlap): the no-cross-document-attention chunking recipe. Tail chunks
+    kept (drop_last=False) so token conservation is oracle-checkable."""
+    from .operators.tokens import chunk_sequences
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    toks = docs.where(F.length(F.trim(F.col("text"))) > 0).select(
+        "doc_id", _spark_tokens().alias("tokens")
+    )
+    out = chunk_sequences(toks, window=16, stride=8)
+    return out.select(
+        "doc_id",
+        "chunk_id",
+        _csv(F.col("tokens")).alias("tokens_csv"),
+        "n_tok",
+    )
+
+
+def sql_token_chunk_windows() -> str:
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {_portable_tokens()} AS toks
+      FROM documents WHERE length(trim(text)) > 0
+    ), s AS (
+      SELECT doc_id, toks, len(toks) AS n FROM toks WHERE len(toks) >= 1
+    )
+    SELECT doc_id, gs::bigint AS chunk_id,
+           array_to_string(list_slice(toks, gs * 8 + 1, gs * 8 + 16), ',')
+             AS tokens_csv,
+           len(list_slice(toks, gs * 8 + 1, gs * 8 + 16))::int AS n_tok
+    FROM s, LATERAL unnest(generate_series(0, ((n - 1) // 8)::bigint)) AS t(gs)
+    """
+
+
+def q_token_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-space benchmark decontamination: docs whose id % 37 == 0 stand
+    in for a tokenized eval benchmark; every document is flagged with its
+    distinct 5-gram-id overlap count. Eval docs self-flag by construction
+    (their own stream contains their n-grams) — a built-in positive control
+    the oracle confirms."""
+    from .operators.tokens import token_contamination_flags
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    toks = docs.where(F.length(F.trim(F.col("text"))) > 0).select(
+        "doc_id", _spark_tokens().alias("tokens")
+    )
+    ev = toks.where(F.col("doc_id") % 37 == 0)
+    return token_contamination_flags(toks, ev, n=5)
+
+
+def sql_token_decontam() -> str:
+    grams = (
+        "list_distinct(list_transform(range(1, len(toks) - 3), "
+        "i -> array_to_string(list_slice(toks, i, i + 4), ',')))"
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {_portable_tokens()} AS toks
+      FROM documents WHERE length(trim(text)) > 0
+    ), ng AS (
+      SELECT doc_id, {grams} AS grams FROM toks
+    ), ev AS (
+      SELECT DISTINCT unnest(grams) AS g FROM ng WHERE doc_id % 37 = 0
+    ), dng AS (
+      SELECT doc_id, unnest(grams) AS g FROM ng
+    ), hits AS (
+      SELECT doc_id, count(*)::int AS n_hits
+      FROM dng JOIN ev USING (g) GROUP BY doc_id
+    )
+    SELECT t.doc_id, coalesce(h.n_hits, 0)::int AS n_hits,
+           coalesce(h.n_hits, 0) > 0 AS contaminated
+    FROM toks t LEFT JOIN hits h USING (doc_id)
+    """
+
+
 QUERIES = {
     "cdc_changelog_derive": (q_cdc_changelog, sql_cdc_changelog),
     "cdc_quarantine_counts": (q_cdc_quarantine, sql_cdc_quarantine),
@@ -2489,6 +2565,8 @@ QUERIES = {
     "token_vocab_remap": (q_token_vocab_remap, sql_token_vocab_remap),
     "token_histogram": (q_token_histogram, sql_token_histogram),
     "shard_shuffle": (q_shard_shuffle, sql_shard_shuffle),
+    "token_chunk_windows": (q_token_chunk_windows, sql_token_chunk_windows),
+    "token_decontam": (q_token_decontam, sql_token_decontam),
 }
 
 

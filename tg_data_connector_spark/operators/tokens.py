@@ -30,7 +30,7 @@ from __future__ import annotations
 
 from typing import Iterator, Mapping
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 _EXPR_MAX_VOCAB = 512  # beyond this a literal map bloats the plan; go Arrow
@@ -144,6 +144,144 @@ def _remap_arrow(
             yield pa.RecordBatch.from_arrays(cols, schema=batch.schema)
 
     return df.mapInArrow(batches, df.schema)
+
+
+def chunk_sequences(
+    df: DataFrame,
+    window: int,
+    stride: int | None = None,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    drop_last: bool = False,
+) -> DataFrame:
+    """Per-document sliding-window chunking: cut each sequence into windows of
+    ``window`` tokens starting every ``stride`` positions (stride < window =
+    overlapping context windows, stride == window = disjoint chunks). The
+    per-document complement of ``packing.pack_sequences`` — use this when the
+    training recipe forbids cross-document attention, packing when it doesn't.
+
+    Output: one row per (doc, chunk): ``id_col``, ``chunk_id`` (0-based),
+    ``tokens`` (the window slice), ``n_tok``. The tail chunk may be shorter
+    than ``window``; ``drop_last`` drops short tails (and therefore emits
+    nothing for documents shorter than ``window``). Empty documents emit
+    nothing either way.
+
+    Scale: expression-only (sequence/transform/slice inside whole-stage
+    codegen) and map-only — no shuffle, no Python. The explode fan-out is
+    bounded by ceil(n_tok/stride) rows per document; overlap duplicates
+    token values by design (that IS the operator's contract).
+    """
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    stride = window if stride is None else stride
+    if stride < 1:
+        raise ValueError("stride must be >= 1")
+    toks = F.col(tokens_col)
+    n = F.size(toks)
+    # number of window starts: ceil(n/stride) chunks at 0, stride, 2*stride...
+    n_starts = F.floor((n - 1) / F.lit(stride)) + 1
+    # guard: sequence(0, -1) would DESCEND in Spark, not return empty
+    starts = F.when(n >= 1, F.sequence(F.lit(0), (n_starts - 1).cast("int"))
+                    ).otherwise(F.array().cast("array<int>"))
+    chunk = F.explode(
+        F.transform(
+            starts,
+            lambda i: F.struct(
+                i.cast("bigint").alias("chunk_id"),
+                F.slice(toks, i * stride + 1, window).alias("tokens"),
+            ),
+        )
+    ).alias("c")
+    out = df.select(F.col(id_col), chunk).select(
+        id_col,
+        F.col("c.chunk_id").alias("chunk_id"),
+        F.col("c.tokens").alias("tokens"),
+        F.size("c.tokens").cast("int").alias("n_tok"),
+    )
+    if drop_last:
+        out = out.where(F.col("n_tok") == window)
+    return out
+
+
+def token_ngrams(col: Column, n: int) -> Column:
+    """Distinct token-id n-grams of an ``array<int>`` as 64-bit hashes
+    (xxhash64 over the comma-joined ids — 8-byte shuffle keys instead of
+    variable-width arrays). Sequences shorter than n yield an EMPTY array."""
+    cnt = F.size(col) - F.lit(n - 1)
+    return F.when(
+        cnt >= 1,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), cnt),
+                lambda i: F.xxhash64(F.array_join(F.slice(col, i, n), ",")),
+            )
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+
+
+def token_contamination_flags(
+    docs: DataFrame,
+    eval_seqs: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    eval_tokens_col: str | None = None,
+) -> DataFrame:
+    """Benchmark decontamination over PRE-TOKENIZED sequences: per-document
+    (id_col, n_hits, contaminated) where ``n_hits`` counts distinct eval
+    token-id n-grams the document contains. The token-space twin of
+    ``decontam.contamination_flags`` — run it when the lake stores ids and
+    the benchmark is tokenized with the same vocabulary, so contamination is
+    judged in the exact representation the model trains on (immune to
+    whitespace/casing drift that text-space n-grams suffer).
+
+    Scale shape (same as the text op): the eval side is small by
+    construction -> distinct + BROADCAST; the corpus side explodes its
+    per-doc distinct n-gram hashes map-side and broadcast-hash-joins; only
+    hits reach the groupBy shuffle.
+    """
+    ev = (
+        eval_seqs.select(
+            F.explode(
+                token_ngrams(F.col(eval_tokens_col or tokens_col), n)
+            ).alias("g")
+        )
+        .distinct()
+    )
+    doc_ng = docs.select(
+        F.col(id_col),
+        F.explode(token_ngrams(F.col(tokens_col), n)).alias("g"),
+    )
+    hits = (
+        doc_ng.join(F.broadcast(ev), "g")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        docs.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("int").alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def token_decontaminate(
+    docs: DataFrame,
+    eval_seqs: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    eval_tokens_col: str | None = None,
+) -> DataFrame:
+    """The corpus with token-contaminated documents REMOVED. Hit ids are a
+    tiny set by construction, so the anti-join broadcasts."""
+    hit_ids = token_contamination_flags(
+        docs, eval_seqs, n, id_col, tokens_col, eval_tokens_col
+    ).where("contaminated").select(id_col)
+    return docs.join(F.broadcast(hit_ids), id_col, "left_anti")
 
 
 def token_histogram(
