@@ -413,3 +413,69 @@ def test_lake_replay_writer_end_to_end(spark, tmp_path):
     v = table.current_version()
     run_job(spark, job)
     assert table.current_version() == v
+
+
+def test_lake_reader_time_travel_and_branch(spark, tmp_path):
+    """The `lake` reader: current read, snapshot time travel, branch
+    checkout, and projection/predicate options."""
+    from tg_data_connector_spark.lake import TableSchema
+
+    root = str(tmp_path / "t")
+    table = LakeTable.create(
+        spark, root,
+        TableSchema([("doc_id", "string"), ("n_tok", "int")]),
+        key="doc_id", n_buckets=4,
+    )
+    table.append(spark.createDataFrame([("a", 1), ("b", 2)], "doc_id string, n_tok int"))
+    v1 = table.current_version()
+    table.append(spark.createDataFrame([("c", 3)], "doc_id string, n_tok int"))
+    table.create_branch("wip").append(
+        spark.createDataFrame([("d", 4)], "doc_id string, n_tok int")
+    )
+
+    def ids(reader):
+        job = {"reader": reader,
+               "writer": {"type": "parquet", "path": str(tmp_path / "o"),
+                          "writeMode": "truncate"}}
+        run_job(spark, job)
+        return sorted(
+            r["doc_id"]
+            for r in spark.read.parquet(str(tmp_path / "o")).collect()
+        )
+
+    assert ids({"type": "lake", "path": root}) == ["a", "b", "c"]
+    assert ids({"type": "lake", "path": root, "snapshot": v1}) == ["a", "b"]
+    assert ids({"type": "lake", "path": root, "branch": "wip"}) == ["a", "b", "c", "d"]
+    assert ids({"type": "lake", "path": root, "where": "n_tok >= 2",
+                "column": ["doc_id", "n_tok"]}) == ["b", "c"]
+
+
+def test_training_export_unpacked_and_staleness(spark, tmp_path):
+    """training_export without packing (window=0): raw rows shard
+    deterministically; written count reports the exported rows; nonConflict
+    refuses a second run into the same dir."""
+    df = spark.range(0, 100).select(
+        F.concat(F.lit("d"), F.col("id").cast("string")).alias("doc_id"),
+        F.col("id").cast("int").alias("n_tok"),
+    )
+    src = str(tmp_path / "src")
+    df.write.parquet(src)
+    out = str(tmp_path / "exp")
+    job = {
+        "reader": {"type": "parquet", "path": src},
+        "writer": {"type": "training_export", "path": out, "shards": 5,
+                   "orderCol": "doc_id", "window": 0},
+    }
+    res = run_job(spark, job)
+    assert res.records_written == 100
+    back = spark.read.parquet(out)
+    assert back.count() == 100
+    assert back.select("shard").distinct().count() == 5
+    # dense per-shard positions
+    mx = back.groupBy("shard").agg(
+        F.max("pos").alias("mx"), F.count("*").alias("n")
+    )
+    assert all(r["mx"] == r["n"] - 1 for r in mx.collect())
+    job["writer"]["writeMode"] = "nonConflict"
+    with pytest.raises(Exception):
+        run_job(spark, job)

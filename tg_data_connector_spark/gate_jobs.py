@@ -650,8 +650,67 @@ def sql_job_cdc_pipeline() -> str:
     return sql_cdc_merge_final_state()
 
 
+def q_job_training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lake -> training-shards terminal pipeline behind the CONFIG
+    surface: a ``lake`` reader (branch/time-travel-capable read of a lake
+    table — the write-side's missing twin) feeding a ``training_export``
+    writer (concat-and-chunk packing + deterministic shard shuffle +
+    shard-partitioned parquet). Shard/pos are pure key functions, so the
+    re-run assert pins idempotent export; the oracle recomputes the packing
+    from the same base table (shard assignment is xxhash64-based and
+    pytest-covered instead — DuckDB cannot mirror it)."""
+    from .lake import TableSchema
+
+    root = tempfile.mkdtemp(prefix="tg_gate_jobexp_")
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    toks = docs.where(F.length(F.trim(F.col("text"))) > 0).select(
+        "doc_id",
+        F.transform(
+            F.split(F.trim(F.col("text")), r"\s+"), lambda w: F.length(w)
+        ).alias("tokens"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tok"),
+        "source",
+    )
+    table = LakeTable.create(
+        spark, f"{root}/t",
+        TableSchema([("doc_id", "bigint"), ("tokens", "array<int>"),
+                     ("n_tok", "int"), ("source", "string")]),
+        key="doc_id", n_buckets=8,
+    )
+    table.append(toks)
+    job = {
+        "reader": {"type": "lake", "path": f"{root}/t",
+                   "column": ["doc_id", "tokens", "source"]},
+        "writer": {"type": "training_export", "path": f"{root}/out",
+                   "window": 97, "shards": 4, "partCol": "source",
+                   "orderCol": "doc_id"},
+    }
+    assert pre_check(spark, job) == []
+    res1 = run_job(spark, job)
+    first = spark.read.parquet(f"{root}/out").collect()
+    res2 = run_job(spark, job)  # overwrite re-run: byte-identical export
+    again = spark.read.parquet(f"{root}/out").collect()
+    assert res1.records_written == res2.records_written
+    assert sorted(map(tuple, first)) == sorted(map(tuple, again))
+    out = spark.read.parquet(f"{root}/out")
+    assert out.select("shard").distinct().count() == 4
+    return out.select(
+        "source", "chunk_id",
+        F.array_join(F.col("tokens"), ",").alias("tokens_csv"),
+        F.col("n_tok").cast("bigint").alias("n_tok"),
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+    )
+
+
+def sql_job_training_export() -> str:
+    from .gate import sql_seq_packing
+
+    return sql_seq_packing()
+
+
 JOB_QUERIES = {
     "job_cdc_pipeline": (q_job_cdc_pipeline, sql_job_cdc_pipeline),
+    "job_training_export": (q_job_training_export, sql_job_training_export),
     "jdbc_live_roundtrip": (q_jdbc_live_roundtrip, sql_jdbc_live_roundtrip),
     "job_stats_rollup": (q_job_stats_rollup, sql_job_stats_rollup),
     "job_console_sink": (q_job_console_sink, sql_job_console_sink),

@@ -8,9 +8,11 @@ A user of the reference describes a sync job declaratively; this module gives
 the same declarative surface over the Spark engine:
 
   {
-    "reader":       {"type": "parquet|csv|sharded_parquet|jdbc", ...},
+    "reader":       {"type": "parquet|csv|sharded_parquet|jdbc|sql|csv_multi|
+                              cdc_topic|lake", ...},
     "transformers": [{"name": "dx_substr", "column": ..., "paras": [...]}, ...],
-    "writer":       {"type": "lake_merge|parquet|csv|console", "writeMode": ...},
+    "writer":       {"type": "lake_merge|lake_replay|parquet|csv|console|
+                              training_export", "writeMode": ...},
     "errorLimit":   {"record": 0, "percentage": 0.02},
     "preSql": [...], "postSql": [...]
   }
@@ -130,6 +132,34 @@ def _read_flagged(spark: SparkSession, cfg: dict) -> DataFrame:
         for p in parts[1:]:
             out = out.unionByName(p)
         return out
+    if typ == "lake":
+        # read a lake table through the config surface (the write-side twin
+        # has existed since round 2; without this a user cannot express
+        # lake -> file/export syncs in job.json). Supports branch checkout
+        # and time travel; projection/predicate push into the parquet scan
+        # exactly as for the parquet reader.
+        from .lake.fs import uri_scheme
+
+        root = cfg["path"]
+        fs = None
+        if uri_scheme(root) is not None:
+            from .lake.fs import HadoopTableFS
+
+            fs = HadoopTableFS(spark, root)
+        table = LakeTable(spark, root, fs=fs)
+        if cfg.get("branch"):
+            table = table.checkout(cfg["branch"])
+        snap = None
+        if cfg.get("snapshot") is not None or cfg.get("tag") is not None:
+            snap = table.snapshot(
+                version=cfg.get("snapshot"), tag=cfg.get("tag")
+            )
+        df = table.read(snapshot=snap)
+        if cfg.get("column"):
+            df = df.select(*cfg["column"])
+        if cfg.get("where"):
+            df = df.where(cfg["where"])
+        return df
     if typ == "jdbc":
         df = read_jdbc_split(
             spark,
@@ -213,6 +243,52 @@ def _write(spark: SparkSession, cfg: dict, df: DataFrame) -> int | None:
         else:
             w.parquet(path)
         return None
+    if typ == "training_export":
+        # terminal export of a tokens table into training shards: optional
+        # concat-and-chunk packing (window > 0) then a deterministic shard
+        # shuffle, written as parquet partitioned by shard. Pure key-function
+        # shard/pos assignment means a re-run (or a retried task) produces
+        # byte-identical shards — the idempotence a resumable export needs.
+        from pyspark.sql import Observation
+
+        from .operators.packing import pack_sequences, shard_shuffle
+
+        window = int(cfg.get("window", 0))
+        part_col = cfg.get("partCol", "source")
+        order_col = cfg.get("orderCol", "doc_id")
+        out = df
+        if window > 0:
+            out = pack_sequences(
+                df,
+                tokens_col=cfg.get("tokensCol", "tokens"),
+                order_col=order_col,
+                part_col=part_col,
+                window=window,
+                drop_last=bool(cfg.get("dropLast", False)),
+            )
+            key_cols = [part_col, "chunk_id"]
+        else:
+            key_cols = [order_col]
+        out = shard_shuffle(
+            out,
+            n_shards=int(cfg.get("shards", 64)),
+            key_col=key_cols[0],
+            hash_expr=F.pmod(
+                F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(2**40)
+            ),
+        )
+        obs = Observation()
+        out = out.observe(obs, F.count(F.lit(1)).alias("n"))
+        mode = cfg.get("writeMode", "truncate")
+        spark_mode = {"truncate": "overwrite", "append": "append",
+                      "insert": "append", "nonConflict": "errorifexists"}[mode]
+        w = out.write.mode(spark_mode).partitionBy("shard")
+        if cfg.get("compress"):
+            w = w.option("compression", cfg["compress"])
+        w.parquet(cfg["path"])
+        # the packed row count differs from the input count the caller
+        # observed upstream, so this sink reports its own (same action)
+        return int(obs.get["n"])
     if typ == "console":  # streamwriter analog (debug sink)
         # ONE action: collect, count locally, print the first `print` rows.
         # The reference's streamwriter prints EVERY record to stdout
@@ -314,7 +390,8 @@ def pre_check(spark: SparkSession, config) -> list[str]:
         problems.append(f"reader: {ex}")
     w = cfg.get("writer", {})
     if w.get("type") not in (
-        "parquet", "csv", "console", "lake_merge", "lake_replay"
+        "parquet", "csv", "console", "lake_merge", "lake_replay",
+        "training_export",
     ):
         problems.append(f"writer: unknown type {w.get('type')!r}")
     for stmt in cfg.get("preSql", []) + cfg.get("postSql", []):
