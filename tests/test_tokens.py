@@ -184,3 +184,89 @@ def test_shard_shuffle_deterministic_and_dense(spark):
         assert sorted(ps) == list(range(len(ps)))  # dense 0..n-1 positions
     sizes = sorted(len(v) for v in by_shard.values())
     assert sizes[0] > 50  # roughly balanced on a uniform key
+
+
+# ------------------------------------------------- winnowing span dedup
+
+
+def _span_pairs(spark, rows, k=8, w=4, cap=64):
+    from tg_data_connector_spark.operators.tokens import dedup_token_spans
+
+    df = _docs(spark, rows)
+    out = dedup_token_spans(df, k=k, w=w, max_fp_docs=cap).orderBy(
+        "id_a", "id_b"
+    )
+    return [(r.id_a, r.id_b, r.shared_fps) for r in out.collect()]
+
+
+def test_winnow_guarantee_shared_run(spark):
+    # docs 1 and 2 share an exact run of exactly k+w-1 = 11 tokens at
+    # different offsets; the rest of each stream is disjoint -> the
+    # winnowing theorem guarantees >= 1 shared fingerprint.
+    run = [9000 + i for i in range(11)]
+    rows = [
+        (1, [100 + i for i in range(20)] + run),
+        (2, run + [300 + i for i in range(20)]),
+        (3, [500 + i for i in range(40)]),  # disjoint: pairs with nobody
+    ]
+    pairs = _span_pairs(spark, rows)
+    assert [(a, b) for a, b, _ in pairs] == [(1, 2)]
+
+
+def test_winnow_disjoint_docs_no_pairs(spark):
+    rows = [(i, [i * 1000 + j for j in range(30)]) for i in range(1, 5)]
+    assert _span_pairs(spark, rows) == []
+
+
+def test_winnow_short_doc_semantics(spark):
+    # < k tokens: no fingerprints at all. k <= n < k+w-1: single min-gram
+    # fingerprint, so two IDENTICAL short docs still pair.
+    rows = [
+        (1, [7, 7, 7]),            # 3 < k=8 -> nothing
+        (2, list(range(9))),       # 2 grams < w -> one fp
+        (3, list(range(9))),       # identical -> pairs with 2
+    ]
+    pairs = _span_pairs(spark, rows)
+    assert pairs == [(2, 3, 1)]
+    from tg_data_connector_spark.operators.tokens import (
+        winnow_token_fingerprints,
+    )
+
+    fps = winnow_token_fingerprints(_docs(spark, rows), k=8, w=4)
+    per_doc = {
+        r.doc_id: r.n
+        for r in fps.groupBy("doc_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert 1 not in per_doc and per_doc[2] == 1
+
+
+def test_winnow_hot_cap_drops_boilerplate(spark):
+    # 5 identical docs with cap=3: every shared fingerprint is hotter than
+    # the cap, so candidate generation drops them all -> no pairs. With the
+    # default cap they all pair.
+    rows = [(i, list(range(50))) for i in range(5)]
+    assert _span_pairs(spark, rows, cap=3) == []
+    assert len(_span_pairs(spark, rows, cap=64)) == 10  # C(5,2)
+
+
+def test_winnow_fp_count_symmetry(spark):
+    # shared_fps is symmetric evidence: a doc containing ALL of another
+    # doc's tokens as a contiguous run shares every one of the shorter
+    # doc's fingerprints.
+    short = [4000 + i for i in range(15)]
+    rows = [
+        (1, short),
+        (2, [100 + i for i in range(20)] + short + [200 + i for i in range(20)]),
+    ]
+    from tg_data_connector_spark.operators.tokens import (
+        winnow_token_fingerprints,
+    )
+
+    fps1 = {
+        r.fp
+        for r in winnow_token_fingerprints(
+            _docs(spark, rows[:1]), k=8, w=4
+        ).collect()
+    }
+    pairs = _span_pairs(spark, rows)
+    assert len(pairs) == 1 and pairs[0][2] >= len(fps1)

@@ -2501,6 +2501,80 @@ def sql_token_decontam() -> str:
     """
 
 
+_SPAN_K = 8  # token k-gram length
+_SPAN_W = 4  # winnow window -> detection guaranteed for runs >= k+w-1 = 11
+_SPAN_RUN = 24  # planted boilerplate run length
+_SPAN_CAP = 64  # hot-fingerprint blocklist threshold
+
+
+def q_dedup_token_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup candidates over pre-tokenized sequences
+    (winnowing fingerprints, Lee et al. 2021 candidate step): docs whose
+    id % 41 == 0 get one of three 24-token boilerplate runs (keyed by
+    id % 3) prepended to their real token stream — the planted analog of a
+    shared licence header — plus whatever exact >=11-token word runs the
+    corpus naturally shares. Gate uses the portable md5 hash32 so DuckDB
+    reproduces the min-selection bit-for-bit (engine default: xxhash64)."""
+    from .functions.hashing import hash32
+    from .operators.tokens import dedup_token_spans
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    run = F.transform(
+        F.sequence(F.lit(0), F.lit(_SPAN_RUN - 1)),
+        lambda i: ((F.col("doc_id") % 3 + 1) * 5000 + i).cast("int"),
+    )
+    toks = F.when(
+        F.col("doc_id") % 41 == 0, F.concat(run, _spark_tokens())
+    ).otherwise(_spark_tokens())
+    t = docs.where(F.length(F.trim(F.col("text"))) > 0).select(
+        "doc_id", toks.alias("tokens")
+    )
+    return dedup_token_spans(
+        t, k=_SPAN_K, w=_SPAN_W, max_fp_docs=_SPAN_CAP, hasher=hash32
+    )
+
+
+def sql_dedup_token_spans() -> str:
+    k, w = _SPAN_K, _SPAN_W
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 41 = 0 THEN
+          list_concat(list_transform(range(0, {_SPAN_RUN}),
+                        i -> (doc_id % 3 + 1) * 5000 + i),
+                      {_portable_tokens()})
+        ELSE {_portable_tokens()} END AS tokens
+      FROM documents WHERE length(trim(text)) > 0
+    ), g AS (
+      SELECT doc_id,
+        CASE WHEN len(tokens) >= {k} THEN
+          list_transform(range(1, len(tokens) - {k - 1} + 1),
+            i -> CAST(concat('0x', substr(md5(array_to_string(
+                   list_slice(tokens, i, i + {k - 1}), ',')), 1, 8)) AS BIGINT))
+        ELSE CAST([] AS BIGINT[]) END AS grams
+      FROM toks
+    ), f AS (
+      SELECT doc_id, CASE
+          WHEN len(grams) >= {w} THEN
+            list_distinct(list_transform(range(1, len(grams) - {w - 1} + 1),
+              i -> list_aggregate(list_slice(grams, i, i + {w - 1}), 'min')))
+          WHEN len(grams) >= 1 THEN [list_aggregate(grams, 'min')]
+          ELSE CAST([] AS BIGINT[]) END AS fps
+      FROM g
+    ), e AS (
+      SELECT doc_id, unnest(fps) AS fp FROM f
+    ), hot AS (
+      SELECT fp FROM e GROUP BY fp HAVING count(*) > {_SPAN_CAP}
+    ), ee AS (
+      SELECT * FROM e WHERE fp NOT IN (SELECT fp FROM hot)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::bigint AS shared_fps
+    FROM ee a JOIN ee b USING (fp)
+    WHERE a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """
+
+
 QUERIES = {
     "cdc_changelog_derive": (q_cdc_changelog, sql_cdc_changelog),
     "cdc_quarantine_counts": (q_cdc_quarantine, sql_cdc_quarantine),
@@ -2567,6 +2641,7 @@ QUERIES = {
     "shard_shuffle": (q_shard_shuffle, sql_shard_shuffle),
     "token_chunk_windows": (q_token_chunk_windows, sql_token_chunk_windows),
     "token_decontam": (q_token_decontam, sql_token_decontam),
+    "dedup_token_spans": (q_dedup_token_spans, sql_dedup_token_spans),
 }
 
 

@@ -320,3 +320,107 @@ def token_histogram(
     if min_count > 1:
         out = out.where(F.col("n_occurrences") >= min_count)
     return out.select("token", "n_occurrences", "n_docs")
+
+
+def winnow_token_fingerprints(
+    df: DataFrame,
+    k: int = 16,
+    w: int = 8,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    hasher=None,
+) -> DataFrame:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003) over
+    TOKEN-ID k-grams: hash every k-gram, slide a w-hash window over the gram
+    sequence, keep each window's minimum, distinct per document.
+
+    Guarantee (the winnowing theorem): two documents sharing an exact token
+    run of length >= k + w - 1 select at least one identical fingerprint —
+    some w-window falls entirely inside the shared run on both sides and
+    picks the same minimum. This is the candidate-generation step of
+    exact-substring training-data dedup (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better"): ~2/(w+1) fingerprints per
+    token instead of suffix-array all-pairs comparison, which cannot shard.
+
+    Scale notes: the gram-hash array materializes as ONE column before the
+    window pass — Catalyst does not common-subexpression-eliminate through
+    lambda bodies, so inlining it would recompute every gram w times. All
+    steps are whole-stage-codegen expressions; output rows are (id, fp)
+    with 8-byte fingerprints, the shuffle payload of the downstream pair
+    join. Documents shorter than k tokens emit nothing; documents with
+    1..w-1 grams emit their single minimum gram (short docs still dedup).
+
+    ``hasher`` maps a rendered gram (string Column) to a bigint Column.
+    Default is ``F.xxhash64`` (one JVM instruction-level hash); the
+    correctness gate passes the md5-prefix ``hash32`` so an external SQL
+    engine can reproduce the selection bit-for-bit.
+    """
+    if k < 1 or w < 1:
+        raise ValueError("k and w must be >= 1")
+    hh = hasher if hasher is not None else (lambda s: F.xxhash64(s))
+    toks = F.col(tokens_col)
+    n_grams = (F.size(toks) - F.lit(k - 1)).cast("int")
+    grams = F.when(
+        n_grams >= 1,
+        F.transform(
+            F.sequence(F.lit(0), n_grams - 1),
+            lambda i: hh(F.array_join(F.slice(toks, i + 1, k), ",")),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    g = df.select(F.col(id_col), grams.alias("_grams"))
+    ng = F.size("_grams")
+    n_win = (ng - F.lit(w - 1)).cast("int")
+    fps = (
+        F.when(
+            n_win >= 1,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), n_win - 1),
+                    lambda i: F.array_min(F.slice(F.col("_grams"), i + 1, w)),
+                )
+            ),
+        )
+        .when(ng >= 1, F.array(F.array_min("_grams")))
+        .otherwise(F.array().cast("array<bigint>"))
+    )
+    return g.select(F.col(id_col), F.explode(fps).alias("fp"))
+
+
+def dedup_token_spans(
+    df: DataFrame,
+    k: int = 16,
+    w: int = 8,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    max_fp_docs: int = 64,
+    hasher=None,
+) -> DataFrame:
+    """Document pairs (id_a < id_b, shared_fps) sharing >= 1 winnowing
+    fingerprint — the exact-substring-dedup candidate set over pre-tokenized
+    sequences, with the shared-fingerprint count as evidence strength.
+
+    Scale shape mirrors ``dedup_text.ngram_jaccard_pairs``: a fingerprint
+    present in f documents contributes f^2 join rows, so fingerprints hotter
+    than ``max_fp_docs`` (boilerplate token runs: licence headers, padding,
+    template preambles) are dropped from candidate generation via a
+    broadcast BLOCKLIST — tiny by construction (at most total_fps/cap
+    entries) — never a corpus-sized keep-list. Fingerprints are per-document
+    distinct already (``array_distinct`` upstream), so the frequency pass
+    needs no extra dedup shuffle.
+    """
+    fps = winnow_token_fingerprints(df, k, w, id_col, tokens_col, hasher)
+    hot = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > max_fp_docs)
+        .select("fp")
+    )
+    fps = fps.join(F.broadcast(hot), "fp", "left_anti")
+    a = fps.select(F.col(id_col).alias("id_a"), "fp")
+    b = fps.select(F.col(id_col).alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+    )
