@@ -291,3 +291,49 @@ def test_lookup_after_rename(spark, tmp_path):
     got = t.lookup(["d0003", "d0042"])
     rows = {r["doc_id"]: r["origin"] for r in got.collect()}
     assert rows == {"d0003": "s0", "d0042": "s0"}
+
+
+# ------------------------------------------------------------ bloom filters
+def _bloom_offsets(spark, table):
+    """(path, bloom_offset) of the key column chunk of every data file,
+    read from the parquet footers through the JVM (pyarrow's metadata
+    wrapper does not expose bloom offsets)."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    out = []
+    import os
+
+    for e in table.snapshot().files:
+        p = jvm.org.apache.hadoop.fs.Path(os.path.join(table.root, e["path"]))
+        rdr = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(
+            jvm.org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
+        )
+        try:
+            for rg in rdr.getRowGroups():
+                for col in rg.getColumns():
+                    if col.getPath().toDotString() == table.meta()["key"]:
+                        out.append((str(p), col.getBloomFilterOffset()))
+        finally:
+            rdr.close()
+    return out
+
+
+def test_bloom_key_writes_filters_and_lookup_parity(spark, tmp_path):
+    t = LakeTable.create(
+        spark, str(tmp_path / "b"), SCHEMA, key="doc_id",
+        n_buckets=4, bloom_key=True, bloom_ndv=256,
+    )
+    rows = [(d, tok, len(tok), s) for d, tok, _, s in _rows(300)]
+    t.append(spark.createDataFrame(rows, SCHEMA.ddl()),
+             lsn_col=F.lit(1), seq_col=F.lit(0))
+    offs = _bloom_offsets(spark, t)
+    assert offs and all(off >= 0 for _, off in offs)
+    keys = ["doc-000007", "doc-000123", "missing"]
+    got = sorted(r.doc_id for r in t.lookup(keys).collect())
+    assert got == ["doc-000007", "doc-000123"]
+
+
+def test_no_bloom_by_default(spark, tmp_path):
+    t = _make(spark, str(tmp_path / "nb"), n=100, n_buckets=4)
+    offs = _bloom_offsets(spark, t)
+    assert offs and all(off < 0 for _, off in offs)

@@ -313,6 +313,8 @@ class LakeTable:
         fs=None,
         sort_on_write: bool = False,
         codec: str | None = "zstd",
+        bloom_key: bool = False,
+        bloom_ndv: int | None = None,
     ) -> "LakeTable":
         """``codec``: parquet compression for this table's data files
         (recorded in _meta.json so every writer of the table agrees;
@@ -322,7 +324,19 @@ class LakeTable:
         end-to-end than snappy (best-of-3: 52.0 s vs 79.7 s per 31.5M-event
         batch at 4 lanes) and ~3x faster than parquet-lz4 — the same ratio
         argument holds harder on a real DFS cluster where the written bytes
-        also cross the network and replicate."""
+        also cross the network and replicate.
+
+        ``bloom_key``: write a parquet BLOOM FILTER on the key column of
+        every data file (Iceberg's write.parquet.bloom-filter-enabled
+        analog). Pays on UNSORTED tables with point-lookup traffic: the
+        manifest's min/max stats cannot prune inside a hash bucket (a
+        bucket's key range spans the key space), but the pushed IN-filter
+        probes the bloom and skips whole row groups. Redundant when
+        ``sort_on_write`` already gives tight row-group ranges. Off by
+        default, SET FROM DATA: tools/ab_bloom.py / BENCH.md round 4.
+        ``bloom_ndv``: expected distinct keys PER FILE (sizes the bitset;
+        parquet's default 1M costs ~1.2 MB per file — set it to about
+        rows/n_buckets)."""
         t = LakeTable(spark, root, fs=fs)
         t.fs.makedirs(os.path.join(root, "_versions"))
         t.fs.makedirs(os.path.join(root, "_manifests"))
@@ -344,6 +358,8 @@ class LakeTable:
                     "bucket_hash": BUCKET_HASH_ID,
                     "sort_on_write": bool(sort_on_write),
                     **({"codec": codec} if codec else {}),
+                    **({"bloom_key": True} if bloom_key else {}),
+                    **({"bloom_ndv": int(bloom_ndv)} if bloom_ndv else {}),
                 },
                 f,
             )
@@ -944,6 +960,13 @@ class LakeTable:
         dict_knob = os.environ.get("SPARK_GRAFT_PARQUET_DICT", "")
         if dict_knob in ("true", "false"):
             writer = writer.option("parquet.enable.dictionary", dict_knob)
+        if self.meta().get("bloom_key"):
+            writer = writer.option(f"parquet.bloom.filter.enabled#{key}", "true")
+            ndv = self.meta().get("bloom_ndv")
+            if ndv:
+                writer = writer.option(
+                    f"parquet.bloom.filter.expected.ndv#{key}", str(int(ndv))
+                )
         writer.parquet(out_path)
         bucket_rows = {}
         bucket_stats: dict[int, tuple] = {}
