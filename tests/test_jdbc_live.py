@@ -141,3 +141,103 @@ def test_quoted_identifier_pk_passes_through_split(spark, string_db):
     )
     assert back.count() == 50
     assert back.select(F.countDistinct("pk")).collect()[0][0] == 50
+
+
+# ----------------------------------------------------------- jdbc WRITER
+def _read_tgt(spark, url, table="TGT"):
+    df = spark.read.jdbc(url, table, properties=PROPS)
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _src(spark, tmp_path, rows, name):
+    p = str(tmp_path / name)
+    spark.createDataFrame(rows, "K int, NAME string, V double").write.parquet(p)
+    return p
+
+
+def test_jdbc_writer_insert_creates_and_appends(spark, tmp_path):
+    from tg_data_connector_spark.job import run_job
+
+    url = _new_db(spark, [])
+    cfg = {
+        "reader": {"type": "parquet",
+                   "path": _src(spark, tmp_path, [(1, "a", 1.0)], "s1")},
+        "writer": {"type": "jdbc", "url": url, "table": "TGT",
+                   "writeMode": "insert",
+                   "createTableColumnTypes": "NAME VARCHAR(16)"},
+    }
+    r = run_job(spark, cfg)
+    assert r.records_written == 1
+    cfg["reader"]["path"] = _src(spark, tmp_path, [(2, "b", 2.0)], "s2")
+    run_job(spark, cfg)  # append into the existing table
+    assert _read_tgt(spark, url) == [(1, "a", 1.0), (2, "b", 2.0)]
+
+
+def test_jdbc_writer_update_merges_and_drops_stage(spark, tmp_path):
+    from tg_data_connector_spark.job import run_job
+
+    url = _new_db(spark, [])
+    base = {"type": "jdbc", "url": url, "table": "TGT",
+            "createTableColumnTypes": "NAME VARCHAR(16)"}
+    run_job(spark, {
+        "reader": {"type": "parquet", "path": _src(
+            spark, tmp_path, [(1, "a", 1.0), (2, "b", 2.0)], "b")},
+        "writer": dict(base, writeMode="insert"),
+    })
+    # replace is the same full-row upsert (MERGE); exercise both modes
+    for mode, rows, exp in (
+        ("update", [(2, "B", 22.0), (3, "c", 3.0)],
+         [(1, "a", 1.0), (2, "B", 22.0), (3, "c", 3.0)]),
+        ("replace", [(1, "A", 11.0)],
+         [(1, "A", 11.0), (2, "B", 22.0), (3, "c", 3.0)]),
+    ):
+        run_job(spark, {
+            "reader": {"type": "parquet", "path": _src(
+                spark, tmp_path, rows, f"m_{mode}")},
+            "writer": dict(base, writeMode=mode, writeKeys=["K"]),
+        })
+        assert _read_tgt(spark, url) == exp
+    # the staging table is dropped after the MERGE
+    with pytest.raises(Exception, match="TGT_DX_STAGE"):
+        spark.read.jdbc(url, "TGT_DX_STAGE", properties=PROPS).collect()
+
+
+def test_jdbc_writer_target_side_pre_post_sql(spark, tmp_path):
+    from tg_data_connector_spark.job import run_job
+
+    url = _new_db(spark, [])
+    run_job(spark, {
+        "reader": {"type": "parquet",
+                   "path": _src(spark, tmp_path, [(1, "a", 1.0)], "pp")},
+        "writer": {
+            "type": "jdbc", "url": url, "table": "TGT", "writeMode": "insert",
+            # preSql creates the target ON THE TARGET CONNECTION (quoted
+            # identifiers so they match write.jdbc's quoted DDL case)
+            "preSql": ['CREATE TABLE @table '
+                       '("K" INT, "NAME" VARCHAR(16), "V" DOUBLE)'],
+            "postSql": ["INSERT INTO @table VALUES (9, 'post', 9.0)"],
+        },
+    })
+    assert _read_tgt(spark, url) == [(1, "a", 1.0), (9, "post", 9.0)]
+
+
+def test_jdbc_writer_validation(spark, tmp_path):
+    from tg_data_connector_spark.job import JobValidationError, pre_check, run_job
+
+    url = _new_db(spark, [])
+    src = _src(spark, tmp_path, [(1, "a", 1.0)], "v")
+    with pytest.raises(JobValidationError, match="writeKeys"):
+        run_job(spark, {
+            "reader": {"type": "parquet", "path": src},
+            "writer": {"type": "jdbc", "url": url, "table": "TGT",
+                       "writeMode": "update"},
+        })
+    problems = pre_check(spark, {
+        "reader": {"type": "parquet", "path": src},
+        "writer": {"type": "jdbc", "driver": PROPS["driver"],
+                   "url": "jdbc:derby:/nonexistent/db", "table": "T",
+                   "writeMode": "update"},
+    })
+    assert any("writeKeys" in p for p in problems)
+    assert any("jdbc connect" in p for p in problems)
+    assert not any("\n" in p for p in problems)  # no stack traces

@@ -598,6 +598,78 @@ def sql_jdbc_live_roundtrip() -> str:
     )
 
 
+def q_job_jdbc_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1/W2 against a REAL database: the config surface writes supplier to
+    an embedded Derby target (writeMode=insert creates the table,
+    distributed ``df.write.jdbc``), then applies a correction batch with
+    writeMode=update — stage + one driver-side ANSI MERGE on writeKeys
+    (``WriterUtil.java:111-168``'s REPLACE INTO / ON DUPLICATE KEY UPDATE,
+    portably) — plus a target-side ``postSql`` sentinel (``WriterUtil.java:
+    79-109`` runs pre/post statements on the DESTINATION connection). Read
+    back over JDBC and compare the final table to the DuckDB oracle."""
+    sup = spark.read.parquet(_t(sf_dir, "supplier")).select(
+        F.col("s_suppkey").alias("S_SUPPKEY"),
+        F.col("s_name").alias("S_NAME"),
+        F.col("s_nationkey").alias("S_NATIONKEY"),
+        F.col("s_acctbal").alias("S_ACCTBAL"),
+    )
+    src = tempfile.mkdtemp(prefix="gate_jw_")
+    sup.write.parquet(f"{src}/base")
+    corr = sup.where(F.col("S_SUPPKEY") % 7 == 0)
+    upd = corr.select(
+        "S_SUPPKEY",
+        F.lit("CORR").alias("S_NAME"),
+        "S_NATIONKEY",
+        (F.col("S_ACCTBAL") + 1000).alias("S_ACCTBAL"),
+    )
+    new = corr.select(
+        (F.col("S_SUPPKEY") + 100000).alias("S_SUPPKEY"),
+        F.lit("NEW").alias("S_NAME"),
+        "S_NATIONKEY",
+        "S_ACCTBAL",
+    )
+    upd.unionByName(new).write.parquet(f"{src}/corr")
+    db = tempfile.mkdtemp(prefix="gate_jw_db_") + "/db"
+    url = f"jdbc:derby:{db};create=true"
+    drv = "org.apache.derby.jdbc.EmbeddedDriver"
+    common = {
+        "type": "jdbc", "url": url, "driver": drv, "table": "SUPP_TGT",
+        # Derby maps StringType to CLOB, which MERGE cannot assign to a
+        # VARCHAR — pin the staging/target column type (same constraint the
+        # read-path gate pins)
+        "createTableColumnTypes": "S_NAME VARCHAR(40)",
+    }
+    run_job(spark, {
+        "reader": {"type": "parquet", "path": f"{src}/base"},
+        "writer": dict(common, writeMode="insert"),
+    })
+    run_job(spark, {
+        "reader": {"type": "parquet", "path": f"{src}/corr"},
+        "writer": dict(
+            common, writeMode="update", writeKeys=["S_SUPPKEY"],
+            postSql=["INSERT INTO @table VALUES (999999, 'POSTSQL', 0, 0.0)"],
+        ),
+    })
+    back = spark.read.jdbc(url, "SUPP_TGT", properties={"driver": drv})
+    return back.select([F.col(c).alias(c.lower()) for c in back.columns])
+
+
+def sql_job_jdbc_writer() -> str:
+    return """
+    SELECT s_suppkey,
+           CASE WHEN s_suppkey % 7 = 0 THEN 'CORR' ELSE s_name END AS s_name,
+           s_nationkey,
+           CASE WHEN s_suppkey % 7 = 0 THEN s_acctbal + 1000
+                ELSE s_acctbal END AS s_acctbal
+    FROM supplier
+    UNION ALL
+    SELECT s_suppkey + 100000, 'NEW', s_nationkey, s_acctbal
+    FROM supplier WHERE s_suppkey % 7 = 0
+    UNION ALL
+    SELECT 999999, 'POSTSQL', 0, 0.0
+    """
+
+
 def q_job_cdc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The whole north-rule shape behind the CONFIG surface: job.json with a
     ``cdc_topic`` reader (a dumped Kafka topic of Canal FlatMessage
@@ -728,6 +800,7 @@ JOB_QUERIES = {
         q_job_lake_merge_writemode, sql_job_lake_merge_writemode,
     ),
     "job_presql_atable": (q_job_presql_atable, sql_job_presql_atable),
+    "job_jdbc_writer": (q_job_jdbc_writer, sql_job_jdbc_writer),
     "job_dry_run_problems": (q_job_dry_run_problems, sql_job_dry_run_problems),
     "transformer_registry_custom": (
         q_transformer_registry, sql_transformer_registry,

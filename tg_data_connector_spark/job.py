@@ -12,7 +12,7 @@ the same declarative surface over the Spark engine:
                               cdc_topic|lake", ...},
     "transformers": [{"name": "dx_substr", "column": ..., "paras": [...]}, ...],
     "writer":       {"type": "lake_merge|lake_replay|parquet|csv|console|
-                              training_export", "writeMode": ...},
+                              training_export|jdbc", "writeMode": ...},
     "errorLimit":   {"record": 0, "percentage": 0.02},
     "preSql": [...], "postSql": [...]
   }
@@ -289,6 +289,8 @@ def _write(spark: SparkSession, cfg: dict, df: DataFrame) -> int | None:
         # the packed row count differs from the input count the caller
         # observed upstream, so this sink reports its own (same action)
         return int(obs.get["n"])
+    if typ == "jdbc":
+        return _jdbc_write(spark, cfg, df, mode)
     if typ == "console":  # streamwriter analog (debug sink)
         # ONE action: collect, count locally, print the first `print` rows.
         # The reference's streamwriter prints EVERY record to stdout
@@ -375,6 +377,100 @@ def _write(spark: SparkSession, cfg: dict, df: DataFrame) -> int | None:
 
 
 # --------------------------------------------------------------- lifecycle
+def _jdbc_connect(spark: SparkSession, cfg: dict):
+    """Driver-side java.sql connection to the writer's target DB (for
+    target-side preSql/postSql and the MERGE step — the reference executes
+    these on the destination connection, ``WriterUtil.java:79-168``, not on
+    the compute engine)."""
+    jvm = spark._jvm
+    if cfg.get("driver"):
+        jvm.java.lang.Class.forName(cfg["driver"])
+    props = jvm.java.util.Properties()
+    for k in ("user", "password"):
+        if cfg.get(k):
+            props.setProperty(k, cfg[k])
+    return jvm.java.sql.DriverManager.getConnection(cfg["url"], props)
+
+
+def _exec_on_target(conn, stmts: list[str], table: str) -> None:
+    st = conn.createStatement()
+    try:
+        for s in stmts:
+            st.execute(s.replace("@table", table))
+    finally:
+        st.close()
+
+
+def _jdbc_write(
+    spark: SparkSession, cfg: dict, df: DataFrame, mode: str
+) -> int | None:
+    """The reference's primary sink — write to a relational DB over JDBC
+    (``WriterUtil.java:111-168``):
+
+      insert           -> distributed ``df.write.jdbc`` append (INSERT INTO)
+      replace / update -> stage the batch into ``<table>_DX_STAGE`` via the
+                          same distributed append, then ONE driver-side ANSI
+                          ``MERGE INTO target USING stage ON (writeKeys)``
+                          (the portable form of REPLACE INTO / ON DUPLICATE
+                          KEY UPDATE; with full-row images the two reference
+                          modes are equivalent — a DataFrame always carries
+                          every column, so the partial-column distinction
+                          never arises), then DROP the stage.
+
+    Writer-scoped ``preSql``/``postSql`` run ON THE TARGET connection (the
+    top-level job preSql runs through spark.sql — lake-side); ``@table``
+    renders to the target table in both. Identifier case must match the
+    target exactly (quoted identifiers, same constraint as the read path —
+    Derby folds unquoted DDL to UPPER; tests pin this).
+
+    Scale: the data path is the executor-parallel ``write.jdbc`` (one
+    connection per partition, ``batchSize``-batched inserts); the driver
+    executes only constant-size DDL/MERGE statements. The stage+MERGE is the
+    same two-phase shape as the lake sink — the target engine applies the
+    upsert set-wise instead of per-row upsert statements from every task.
+    """
+    url, table = cfg["url"], cfg["table"]
+    props = {"batchsize": str(int(cfg.get("batchSize", 1000)))}
+    for k in ("driver", "user", "password"):
+        if cfg.get(k):
+            props[k] = cfg[k]
+    if cfg.get("createTableColumnTypes"):
+        props["createTableColumnTypes"] = cfg["createTableColumnTypes"]
+    conn = _jdbc_connect(spark, cfg)
+    try:
+        _exec_on_target(conn, cfg.get("preSql", []), table)
+        if mode in ("insert", "append"):
+            df.write.jdbc(url, table, mode="append", properties=props)
+        elif mode in ("replace", "update"):
+            keys = cfg.get("writeKeys") or []
+            if not keys:
+                raise JobValidationError(
+                    "jdbc writeMode=replace/update requires writeKeys"
+                )
+            stage = cfg.get("stageTable", f"{table}_DX_STAGE")
+            df.write.jdbc(url, stage, mode="overwrite", properties=props)
+            q = '"{}"'.format
+            cols = df.columns
+            on = " AND ".join(f"t.{q(c)} = s.{q(c)}" for c in keys)
+            non_keys = [c for c in cols if c not in keys]
+            upd = ", ".join(f"{q(c)} = s.{q(c)}" for c in non_keys)
+            ins_cols = ", ".join(q(c) for c in cols)
+            ins_vals = ", ".join(f"s.{q(c)}" for c in cols)
+            merge = (
+                f"MERGE INTO {table} t USING {stage} s ON ({on}) "
+                + (f"WHEN MATCHED THEN UPDATE SET {upd} " if non_keys else "")
+                + f"WHEN NOT MATCHED THEN INSERT ({ins_cols}) "
+                f"VALUES ({ins_vals})"
+            )
+            _exec_on_target(conn, [merge, f"DROP TABLE {stage}"], table)
+        else:
+            raise JobValidationError(f"jdbc writer: unknown writeMode {mode!r}")
+        _exec_on_target(conn, cfg.get("postSql", []), table)
+    finally:
+        conn.close()
+    return None
+
+
 def pre_check(spark: SparkSession, config) -> list[str]:
     """dryRun: validate without moving data (JobContainer.preCheck parity).
     Returns a list of problems (empty = ok)."""
@@ -391,9 +487,24 @@ def pre_check(spark: SparkSession, config) -> list[str]:
     w = cfg.get("writer", {})
     if w.get("type") not in (
         "parquet", "csv", "console", "lake_merge", "lake_replay",
-        "training_export",
+        "training_export", "jdbc",
     ):
         problems.append(f"writer: unknown type {w.get('type')!r}")
+    if w.get("type") == "jdbc":
+        for req in ("url", "table"):
+            if not w.get(req):
+                problems.append(f"writer: jdbc requires {req!r}")
+        if w.get("writeMode") in ("replace", "update") and not w.get("writeKeys"):
+            problems.append("writer: jdbc writeMode=replace/update requires writeKeys")
+        if w.get("url"):
+            # the reference preCheck opens a real connection to the target
+            # (JobContainer.preCheck); do the same rather than parsing
+            # target-dialect SQL with Spark's parser
+            try:
+                _jdbc_connect(spark, w).close()
+            except Exception as ex:
+                head = " ".join(str(ex).splitlines()[:2]).strip()
+                problems.append(f"writer: jdbc connect: {head}")
     for stmt in cfg.get("preSql", []) + cfg.get("postSql", []):
         try:
             _parse_only(spark, _render_sql(stmt, w))
