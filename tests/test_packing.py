@@ -94,3 +94,86 @@ def test_mixture_sample_deterministic_and_weighted(spark):
     assert abs(counts["s0"] - 5000) < 300  # ~50% of 10k, hash-uniform
     again = sample_mixture(df, {"s0": 0.5, "s1": 0.0}, default_weight=0.0)
     assert out.exceptAll(again).count() == 0 and again.exceptAll(out).count() == 0
+
+
+# ----------------------------------------------------- greedy no-split bins
+def _pack_bins_rows(spark, rows, window, **kw):
+    from tg_data_connector_spark.operators.packing import pack_bins
+
+    df = spark.createDataFrame(rows, "source string, doc_id int, n_tok int")
+    return sorted(tuple(r) for r in pack_bins(df, window=window, **kw).collect())
+
+
+def test_pack_bins_matches_naive_reference(spark):
+    import random
+
+    rng = random.Random(3)
+    rows = [
+        (src, i, rng.choice([0, 1, 5, 30, 63, 64, 65, 200]))
+        for i, src in enumerate(
+            rng.choice(["web", "wiki", "code"]) for _ in range(120)
+        )
+    ]
+    got = _pack_bins_rows(spark, rows, 64)
+    # independent sequential reference
+    exp = []
+    by_src = {}
+    for s, d, n in sorted(rows):
+        by_src.setdefault(s, []).append((d, n))
+    for s, docs in by_src.items():
+        bin_id, fill, first = 0, 0, True
+        for d, n in docs:
+            take = min(n, 64)
+            if first:
+                first, off, fill = False, 0, take
+            elif fill + take <= 64:
+                off, fill = fill, fill + take
+            else:
+                bin_id, off, fill = bin_id + 1, 0, take
+            exp.append((s, bin_id, d, off, take, n > 64))
+    assert got == sorted(exp)
+
+
+def test_pack_bins_truncates_only_overlength(spark):
+    rows = [("a", 1, 100), ("a", 2, 10)]
+    got = _pack_bins_rows(spark, rows, 64)
+    assert got == [("a", 0, 1, 0, 64, True), ("a", 1, 2, 0, 10, False)]
+
+
+def test_pack_bins_exact_fill_and_empty_docs(spark):
+    rows = [("a", 1, 32), ("a", 2, 32), ("a", 3, 0), ("a", 4, 1)]
+    # 32+32 fills exactly; the zero-length doc still fits (adds nothing);
+    # the next doc closes the bin
+    got = _pack_bins_rows(spark, rows, 64)
+    assert got == [
+        ("a", 0, 1, 0, 32, False),
+        ("a", 0, 2, 32, 32, False),
+        ("a", 0, 3, 64, 0, False),
+        ("a", 1, 4, 0, 1, False),
+    ]
+
+
+def test_pack_bins_sources_pack_independently(spark):
+    rows = [("a", 1, 40), ("b", 2, 40), ("a", 3, 40), ("b", 4, 20)]
+    got = _pack_bins_rows(spark, rows, 64)
+    assert got == [
+        ("a", 0, 1, 0, 40, False),
+        ("a", 1, 3, 0, 40, False),
+        ("b", 0, 2, 0, 40, False),
+        ("b", 0, 4, 40, 20, False),
+    ]
+
+
+def test_pack_bins_order_col_override(spark):
+    # pack in REVERSE doc order via a derived order column
+    from tg_data_connector_spark.operators.packing import pack_bins
+
+    df = spark.createDataFrame(
+        [("a", 1, 40, 2), ("a", 2, 40, 1)],
+        "source string, doc_id int, n_tok int, ord int",
+    )
+    got = sorted(
+        tuple(r) for r in pack_bins(df, window=64, order_col="ord").collect()
+    )
+    # doc 2 (ord 1) packs first and opens bin 0; doc 1 opens bin 1
+    assert got == [("a", 0, 2, 0, 40, False), ("a", 1, 1, 0, 40, False)]

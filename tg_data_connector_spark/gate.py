@@ -2501,6 +2501,55 @@ def sql_token_decontam() -> str:
     """
 
 
+_BIN_W = 64  # pack_bins gate capacity (tokens = whitespace words here)
+
+
+def q_pack_bins_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy no-split bin packing of whole documents into fixed-capacity
+    training bins (the fewer-truncations recipe) per source stream in doc_id
+    order. The oracle replays the identical sequential recurrence as a
+    DuckDB recursive CTE — one recursion step per document rank."""
+    from .operators.packing import pack_bins
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    t = docs.where(F.length(F.trim(F.col("text"))) > 0).select(
+        "source",
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tok"),
+    )
+    return pack_bins(t, window=_BIN_W)
+
+
+def sql_pack_bins_greedy() -> str:
+    w = _BIN_W
+    return rf"""
+    WITH RECURSIVE toks AS (
+      SELECT source, doc_id,
+             len(string_split_regex(trim(text), '\s+')) AS n_tok
+      FROM documents WHERE length(trim(text)) > 0
+    ), s AS (
+      SELECT source, doc_id, n_tok, least(n_tok, {w}) AS take,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS r
+      FROM toks
+    ), rec AS (
+      SELECT source, doc_id, r, take, 0::BIGINT AS bin_id, 0::BIGINT AS off,
+             take::BIGINT AS fill
+      FROM s WHERE r = 1
+      UNION ALL
+      SELECT s.source, s.doc_id, s.r, s.take,
+             CASE WHEN rec.fill + s.take <= {w}
+                  THEN rec.bin_id ELSE rec.bin_id + 1 END,
+             CASE WHEN rec.fill + s.take <= {w} THEN rec.fill ELSE 0 END,
+             CASE WHEN rec.fill + s.take <= {w}
+                  THEN rec.fill + s.take ELSE s.take::BIGINT END
+      FROM rec JOIN s ON s.source = rec.source AND s.r = rec.r + 1
+    )
+    SELECT rec.source, bin_id, doc_id, off, take::INT AS take,
+           (take < n_tok) AS truncated
+    FROM rec JOIN toks USING (source, doc_id)
+    """
+
+
 _SPAN_K = 8  # token k-gram length
 _SPAN_W = 4  # winnow window -> detection guaranteed for runs >= k+w-1 = 11
 _SPAN_RUN = 24  # planted boilerplate run length
@@ -2642,6 +2691,7 @@ QUERIES = {
     "token_chunk_windows": (q_token_chunk_windows, sql_token_chunk_windows),
     "token_decontam": (q_token_decontam, sql_token_decontam),
     "dedup_token_spans": (q_dedup_token_spans, sql_dedup_token_spans),
+    "pack_bins_greedy": (q_pack_bins_greedy, sql_pack_bins_greedy),
 }
 
 

@@ -168,3 +168,87 @@ def sample_mixture(
             F.col(part_col) == src, F.lit(int(frac * 1_000_000))
         ).otherwise(thresh)
     return df.where(hash_expr < thresh)
+
+
+def pack_bins(
+    df: DataFrame,
+    window: int,
+    id_col: str = "doc_id",
+    len_col: str = "n_tok",
+    part_col: str = "source",
+    order_col: str | None = None,
+) -> DataFrame:
+    """Greedy NO-SPLIT bin packing of whole documents into fixed-capacity
+    training bins — the "fewer truncations" recipe (Ding et al. 2024; the
+    packing used when cross-document attention is allowed but document
+    SPLITTING is not, e.g. SFT): walk each ``part_col`` stream in
+    ``order_col`` order keeping a running fill; a document joins the current
+    bin iff it fits, else the bin closes and the document starts the next
+    one. Only documents LONGER than the window truncate (to ``window``,
+    flagged) — `pack_sequences` by contrast splits every boundary document.
+
+    Output: one row per document — (part_col, bin_id, id_col, off, take,
+    truncated); ``off`` is the document's start position inside its bin,
+    ``take`` = min(len, window) the tokens it contributes. Assignment-only
+    by design: the caller assembles token arrays with a
+    (part, bin)-grouped slice+flatten when it materializes shards, and the
+    assignment table is what the correctness oracle compares.
+
+    The recurrence (fill' = fill+take if it fits else take) is inherently
+    sequential per stream — no window function expresses it — so this is
+    one of the few justified ``applyInPandas`` ops: one group per source
+    stream, carrying ONLY (id, len) columns through Arrow. Inside the
+    group it is NOT a per-row Python loop: the bin-break recurrence
+    collapses to a jump function over the take-cumsum — next bin start =
+    searchsorted(C, bin_base + window) — so per-DOC work is vectorized
+    numpy; the only Python loop walks bin STARTS (total_tokens/window
+    iterations, ~50 ns each). Sequential-per-source is also the published
+    implementations' shape; distinct sources pack in parallel.
+    """
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    order = order_col or id_col
+    import pandas as pd  # noqa: F401 (applyInPandas contract)
+
+    id_field = df.schema[id_col]
+    part_field = df.schema[part_col]
+    out_schema = (
+        f"{part_col} {part_field.dataType.simpleString()}, "
+        f"bin_id bigint, "
+        f"{id_col} {id_field.dataType.simpleString()}, "
+        f"off bigint, take int, truncated boolean"
+    )
+
+    def pack(pdf):
+        import numpy as np
+
+        pdf = pdf.sort_values(order, kind="mergesort").reset_index(drop=True)
+        n = len(pdf)
+        lens = pdf[len_col].to_numpy("int64")
+        take = np.minimum(lens, window)
+        c = np.cumsum(take)
+        prev = np.concatenate(([0], c[:-1]))
+        starts = []
+        i, base = 0, 0
+        while i < n:
+            starts.append(i)
+            j = int(np.searchsorted(c, base + window, side="right"))
+            j = max(j, i + 1)  # safety; take <= window guarantees j > i
+            base = c[j - 1]
+            i = j
+        sarr = np.asarray(starts, dtype="int64")
+        bins = np.searchsorted(sarr, np.arange(n), side="right") - 1
+        off = prev - prev[sarr[bins]]
+        out = pdf[[part_col, id_col]].copy()
+        out["bin_id"] = bins
+        out["off"] = off
+        out["take"] = take.astype("int32")
+        out["truncated"] = lens > window
+        return out[
+            [part_col, "bin_id", id_col, "off", "take", "truncated"]
+        ]
+
+    slim = df.select(part_col, id_col, len_col, *(
+        [order] if order not in (part_col, id_col, len_col) else []
+    ))
+    return slim.groupBy(part_col).applyInPandas(pack, out_schema)
