@@ -479,3 +479,56 @@ def test_training_export_unpacked_and_staleness(spark, tmp_path):
     job["writer"]["writeMode"] = "nonConflict"
     with pytest.raises(Exception):
         run_job(spark, job)
+
+
+def test_training_export_bins_packing(spark, tmp_path):
+    """training_export with packing=bins: whole docs pack into fixed bins
+    per source (no doc ever splits across rows), token conservation holds
+    for non-truncated docs, and a re-run writes identical shards."""
+    rows = [
+        ("web", "d1", list(range(30))),
+        ("web", "d2", list(range(100, 140))),   # 30+40 > 64 -> new bin
+        ("web", "d3", list(range(200, 210))),   # joins d2's bin (40+10)
+        ("wiki", "d4", list(range(70))),        # over-length -> truncated
+    ]
+    df = spark.createDataFrame(
+        [(s, d, t, len(t)) for s, d, t in rows],
+        "source string, doc_id string, tokens array<int>, n_tok int",
+    )
+    src = str(tmp_path / "src")
+    df.write.parquet(src)
+    out = str(tmp_path / "exp")
+    job = {
+        "reader": {"type": "parquet", "path": src},
+        "writer": {"type": "training_export", "path": out, "shards": 2,
+                   "window": 64, "packing": "bins"},
+    }
+    res = run_job(spark, job)
+    back = spark.read.parquet(out)
+    got = {
+        (r["source"], r["bin_id"]): (list(r["tokens"]), r["n_docs"])
+        for r in back.collect()
+    }
+    assert res.records_written == len(got) == 3
+    assert got[("web", 0)] == (list(range(30)), 1)
+    assert got[("web", 1)] == (list(range(100, 140)) + list(range(200, 210)), 2)
+    assert got[("wiki", 0)] == (list(range(64)), 1)  # truncated to window
+    # deterministic re-run: identical shard contents (snapshot rows first —
+    # the truncate re-run replaces the files the first frame references)
+    cols = ("source", "bin_id", "shard", "pos")
+    first = sorted(
+        (tuple(r[c] for c in cols), list(r["tokens"])) for r in back.collect()
+    )
+    job["writer"]["writeMode"] = "truncate"
+    run_job(spark, job)
+    second = sorted(
+        (tuple(r[c] for c in cols), list(r["tokens"]))
+        for r in spark.read.parquet(out).collect()
+    )
+    assert first == second
+    with pytest.raises(JobValidationError, match="packing"):
+        run_job(spark, {
+            "reader": {"type": "parquet", "path": src},
+            "writer": {"type": "training_export", "path": str(tmp_path / "x"),
+                       "window": 64, "packing": "nope"},
+        })

@@ -259,6 +259,50 @@ def sql_cdc_merge_final_state() -> str:
     """
 
 
+def q_lake_fsck(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integrity checker over a table the full engine just built (MoR replay
+    + incremental compaction + the metadata/scan checks): a healthy table
+    must verify CLEAN — n_problems pins every invariant (files present, rows
+    match manifests, buckets correctly routed, watermarks monotone, no
+    duplicate live keys) and rows_live ties the check to the flagship
+    oracle's row count so the entry cannot pass vacuously."""
+    from .lake.inspect import verify_table
+    from .lake.maintain import compact
+
+    root = tempfile.mkdtemp(prefix="tgspark_gate_fsck_")
+    table = LakeTable.create(
+        spark, f"{root}/seq", SEQ_SCHEMA, key="doc_id", n_buckets=16
+    )
+    table.append(derive_seed(spark, sf_dir), lsn_col=F.lit(-1), seq_col=F.lit(0))
+    eng = ReplayEngine(
+        spark, table, ReplayConfig(events_per_batch=50_000, merge_mode="mor")
+    )
+    eng.replay(derive_changelog(spark, sf_dir), run_id="gate")
+    compact(table)
+    probs = verify_table(table, deep=True)
+    return spark.createDataFrame(
+        [(probs.count(), table.read().count())],
+        "n_problems bigint, rows_live bigint",
+    )
+
+
+def sql_lake_fsck() -> str:
+    return f"""
+    WITH log AS ({CHANGELOG_SQL}),
+    clean AS (SELECT * FROM log WHERE NOT {DIRTY_SQL}),
+    latest AS (
+      SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                     ORDER BY commit_lsn DESC, seq_no DESC) AS rn FROM clean)
+      WHERE rn = 1),
+    seed AS ({SEED_SQL}),
+    final AS (
+      SELECT doc_id FROM latest WHERE op <> 'D'
+      UNION ALL
+      SELECT s.doc_id FROM seed s ANTI JOIN latest l ON s.doc_id = l.doc_id)
+    SELECT 0::BIGINT AS n_problems, count(*)::BIGINT AS rows_live FROM final
+    """
+
+
 def q_cdc_merge_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship twin under the MERGE-ON-READ write path: the same batched
     replay, but each batch commits as DELTA files (lake/merge.delta_append —
@@ -2550,6 +2594,66 @@ def sql_pack_bins_greedy() -> str:
     """
 
 
+def q_pack_bins_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`assemble_bins`: the pack_bins assignment materialized into actual
+    training windows — per-(source, bin) concatenated token arrays (each doc
+    contributes its first `take` tokens at its offset). Pins token-level
+    assembly: offset ordering, truncation slicing, cross-doc concat."""
+    from .operators.packing import assemble_bins
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    t = docs.where(F.length(F.trim(F.col("text"))) > 0).select(
+        "source",
+        "doc_id",
+        _spark_tokens().alias("tokens"),
+    ).withColumn("n_tok", F.size("tokens"))
+    out = assemble_bins(t, window=_BIN_W)
+    return out.select(
+        "source",
+        "bin_id",
+        _csv(F.col("tokens")).alias("tokens_csv"),
+        "n_tok",
+        "n_docs",
+    )
+
+
+def sql_pack_bins_assemble() -> str:
+    w = _BIN_W
+    return rf"""
+    WITH RECURSIVE toks AS (
+      SELECT source, doc_id, {_portable_tokens()} AS toks,
+             len({_portable_tokens()}) AS n_tok
+      FROM documents WHERE length(trim(text)) > 0
+    ), s AS (
+      SELECT source, doc_id, n_tok, least(n_tok, {w}) AS take,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS r
+      FROM toks
+    ), rec AS (
+      SELECT source, doc_id, r, take, 0::BIGINT AS bin_id, 0::BIGINT AS off,
+             take::BIGINT AS fill
+      FROM s WHERE r = 1
+      UNION ALL
+      SELECT s.source, s.doc_id, s.r, s.take,
+             CASE WHEN rec.fill + s.take <= {w}
+                  THEN rec.bin_id ELSE rec.bin_id + 1 END,
+             CASE WHEN rec.fill + s.take <= {w} THEN rec.fill ELSE 0 END,
+             CASE WHEN rec.fill + s.take <= {w}
+                  THEN rec.fill + s.take ELSE s.take::BIGINT END
+      FROM rec JOIN s ON s.source = rec.source AND s.r = rec.r + 1
+    ), assembled AS (
+      SELECT rec.source, bin_id,
+             flatten(list(list_slice(t.toks, 1, rec.take)
+                          ORDER BY rec.off, rec.doc_id)) AS toks,
+             count(*)::INT AS n_docs
+      FROM rec JOIN toks t USING (source, doc_id)
+      GROUP BY 1, 2
+    )
+    SELECT source, bin_id, array_to_string(toks, ',') AS tokens_csv,
+           len(toks)::INT AS n_tok, n_docs
+    FROM assembled
+    """
+
+
 _SPAN_K = 8  # token k-gram length
 _SPAN_W = 4  # winnow window -> detection guaranteed for runs >= k+w-1 = 11
 _SPAN_RUN = 24  # planted boilerplate run length
@@ -2647,6 +2751,7 @@ QUERIES = {
         q_cdc_requeue_quarantine, sql_cdc_requeue_quarantine,
     ),
     "cdc_merge_mor": (q_cdc_merge_mor, sql_cdc_merge_mor),
+    "lake_fsck": (q_lake_fsck, sql_lake_fsck),
     "lake_rebucket": (q_lake_rebucket, sql_lake_rebucket),
     "lake_wap_audit": (q_lake_wap_audit, sql_lake_wap_audit),
     "lake_expire_gc": (q_lake_expire_gc, sql_lake_expire_gc),
@@ -2692,6 +2797,7 @@ QUERIES = {
     "token_decontam": (q_token_decontam, sql_token_decontam),
     "dedup_token_spans": (q_dedup_token_spans, sql_dedup_token_spans),
     "pack_bins_greedy": (q_pack_bins_greedy, sql_pack_bins_greedy),
+    "pack_bins_assemble": (q_pack_bins_assemble, sql_pack_bins_assemble),
 }
 
 

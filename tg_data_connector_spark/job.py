@@ -256,8 +256,26 @@ def _write(spark: SparkSession, cfg: dict, df: DataFrame) -> int | None:
         window = int(cfg.get("window", 0))
         part_col = cfg.get("partCol", "source")
         order_col = cfg.get("orderCol", "doc_id")
+        packing = cfg.get("packing", "chunks")
+        if packing not in ("chunks", "bins"):
+            raise JobValidationError(
+                f"training_export: unknown packing {packing!r}"
+            )
         out = df
-        if window > 0:
+        if window > 0 and packing == "bins":
+            # greedy no-split whole-document bins (fewer-truncations) —
+            # only over-length documents truncate
+            from .operators.packing import assemble_bins
+
+            out = assemble_bins(
+                df,
+                window=window,
+                tokens_col=cfg.get("tokensCol", "tokens"),
+                order_col=order_col,
+                part_col=part_col,
+            )
+            key_cols = [part_col, "bin_id"]
+        elif window > 0:
             out = pack_sequences(
                 df,
                 tokens_col=cfg.get("tokensCol", "tokens"),

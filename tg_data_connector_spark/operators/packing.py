@@ -252,3 +252,55 @@ def pack_bins(
         [order] if order not in (part_col, id_col, len_col) else []
     ))
     return slim.groupBy(part_col).applyInPandas(pack, out_schema)
+
+
+def assemble_bins(
+    df: DataFrame,
+    window: int,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    len_col: str = "n_tok",
+    part_col: str = "source",
+    order_col: str | None = None,
+) -> DataFrame:
+    """Materialize `pack_bins`' assignment into actual training windows:
+    one row per (part, bin) with the concatenated token array (each doc
+    contributes its first ``take`` tokens at offset ``off``), its length,
+    and the number of documents packed in.
+
+    Plan shape: the assignment runs over (id, len) ONLY — token arrays
+    never cross the Python boundary. Tokens rejoin JVM-side by (part, id)
+    (one hash join), each doc's contribution is an expression-level
+    ``slice``, and ONE (part, bin) hash-aggregate collects
+    (off, slice) structs, sorts by offset, and flattens — `off` is part of
+    the collected struct precisely so the aggregate needs no
+    order-sensitive input (collect_list order is nondeterministic under
+    retries; array_sort restores it deterministically).
+    """
+    asg = pack_bins(
+        df, window, id_col=id_col, len_col=len_col,
+        part_col=part_col, order_col=order_col,
+    )
+    toks = df.select(part_col, id_col, tokens_col)
+    joined = asg.join(toks, [part_col, id_col]).select(
+        part_col,
+        "bin_id",
+        F.struct(
+            F.col("off"),
+            F.slice(F.col(tokens_col), 1, F.col("take")).alias("toks"),
+        ).alias("piece"),
+    )
+    return (
+        joined.groupBy(part_col, "bin_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list("piece")),
+                    lambda p: p["toks"],
+                )
+            ).alias(tokens_col),
+            F.count(F.lit(1)).cast("int").alias("n_docs"),
+        )
+        .withColumn("n_tok", F.size(tokens_col).cast("int"))
+        .select(part_col, "bin_id", tokens_col, "n_tok", "n_docs")
+    )
