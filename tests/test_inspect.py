@@ -97,3 +97,80 @@ def test_files_and_snapshots_metadata_match_data(spark, tmp_table_root):
     assert ps[0] == 60 and ps[1] == f.count()
     # metadata queries never open data files: built from manifests only
     assert files_df(t, t.snapshot(cur - 2)).agg(F.sum("rows")).collect()[0][0] == 40
+
+
+# ------------------------------------------------------------------- fsck
+def _probs(t, **kw):
+    from tg_data_connector_spark.lake.inspect import verify_table
+
+    return sorted(
+        (r["check"], r["detail"]) for r in verify_table(t, **kw).collect()
+    )
+
+
+def test_verify_table_healthy_is_empty(spark, tmp_table_root):
+    t = LakeTable.create(spark, tmp_table_root, SCHEMA, key="doc_id", n_buckets=4)
+    t.append(_seed(spark, 40))
+    t.append(_seed(spark, 10, pfx="x"))
+    assert _probs(t, deep=True) == []
+
+
+def test_verify_table_detects_missing_file(spark, tmp_table_root):
+    import os
+
+    t = LakeTable.create(spark, tmp_table_root, SCHEMA, key="doc_id", n_buckets=4)
+    t.append(_seed(spark, 40))
+    victim = t.snapshot().files[0]["path"]
+    t.fs.remove(os.path.join(t.root, victim))
+    probs = _probs(t)
+    assert any(c == "missing_file" and victim in d for c, d in probs)
+    # the scan checks still run over the surviving files
+    assert all(c == "missing_file" for c, d in probs)
+
+
+def test_verify_table_detects_rowcount_and_misplacement(spark, tmp_table_root):
+    import os
+
+    t = LakeTable.create(spark, tmp_table_root, SCHEMA, key="doc_id", n_buckets=4)
+    t.append(_seed(spark, 40))
+    entry = t.snapshot().files[0]
+    victim = os.path.join(t.root, entry["path"])
+    # out-of-band replacement: 3 rows whose keys hash to OTHER buckets
+    bad = spark.createDataFrame(
+        [(f"zz{i}", [1], 1, "s0") for i in range(3)], SCHEMA.ddl()
+    )
+    bad.coalesce(1).write.mode("overwrite").parquet(victim + ".tmp")
+    import glob
+    import shutil
+
+    part = glob.glob(victim + ".tmp/part-*.parquet")[0]
+    shutil.copyfile(part, victim)
+    # drop the original write's Hadoop checksum sidecar — an out-of-band
+    # replacement would not carry one, and a stale crc fails the read itself
+    crc = os.path.join(
+        os.path.dirname(victim), f".{os.path.basename(victim)}.crc"
+    )
+    if os.path.exists(crc):
+        os.remove(crc)
+    checks = {c for c, _ in _probs(t)}
+    assert "row_count_mismatch" in checks or "bucket_misplacement" in checks
+
+
+def test_verify_table_detects_watermark_regression(spark, tmp_table_root):
+    import json
+    import os
+
+    t = LakeTable.create(spark, tmp_table_root, SCHEMA, key="doc_id", n_buckets=4)
+    t.append(_seed(spark, 10))
+    v1 = t.current_version()
+    t.append(_seed(spark, 10, pfx="x"))
+    # tamper the PARENT version file: claim a higher watermark than the child
+    vpath = t._vpath(v1)
+    doc = json.loads(t.fs.read_text(vpath))
+    doc["summary"].setdefault("watermarks", {})["0"] = 999
+    t.fs.remove(vpath)
+    with t.fs.write_text_atomic(vpath) as f:
+        json.dump(doc, f)
+    t2 = LakeTable(spark, t.root)
+    probs = _probs(t2)
+    assert any(c == "watermark_regression" for c, _ in probs)
