@@ -270,3 +270,83 @@ def test_winnow_fp_count_symmetry(spark):
     }
     pairs = _span_pairs(spark, rows)
     assert len(pairs) == 1 and pairs[0][2] >= len(fps1)
+
+
+# ------------------------------------------------------------ unigram NLL
+def _nll_rows(df):
+    return {
+        r["doc_id"]: (
+            None if r["nll"] is None else round(r["nll"], 9)
+        )
+        for r in df.collect()
+    }
+
+
+@pytest.mark.parametrize("strategy", ["expr", "arrow"])
+def test_unigram_logprob_hand_computed(spark, strategy):
+    import math
+
+    from tg_data_connector_spark.operators.tokens import unigram_logprob
+
+    # vocab: {1: 3, 2: 1}; total=4, V=2, denom = 4 + 0.5*3 = 5.5
+    counts = {1: 3, 2: 1}
+    lp1 = math.log(3.5 / 5.5)
+    lp2 = math.log(1.5 / 5.5)
+    oov = math.log(0.5 / 5.5)
+    df = _docs(spark, [(1, [1, 1, 2]), (2, [9]), (3, []), (4, None)])
+    out = _nll_rows(unigram_logprob(df, counts, strategy=strategy))
+    assert out[1] == round(-(2 * lp1 + lp2) / 3, 9)
+    assert out[2] == round(-oov, 9)  # OOV id scores the smoothing floor
+    assert out[3] is None and out[4] is None  # unscorable stays NULL
+
+
+def test_unigram_logprob_strategies_agree(spark):
+    import random
+
+    from tg_data_connector_spark.operators.tokens import unigram_logprob
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.randrange(0, 2000) for _ in range(rng.randrange(1, 60))])
+        for i in range(200)
+    ]
+    df = _docs(spark, rows).repartition(8)
+    counts = {t: rng.randrange(1, 50) for t in range(0, 2000, 3)}
+    a = _nll_rows(unigram_logprob(df, counts, strategy="expr"))
+    b = _nll_rows(unigram_logprob(df, counts, strategy="arrow"))
+    assert len(counts) > 512  # this vocab would auto-pick arrow
+    for k in a:
+        assert a[k] == pytest.approx(b[k], rel=1e-9, abs=1e-12)
+
+
+def test_unigram_logprob_self_scoring_matches_numpy(spark):
+    import math
+
+    from tg_data_connector_spark.operators.tokens import unigram_logprob
+
+    rows = [(1, [5, 5, 7]), (2, [7, 8]), (3, [5])]
+    df = _docs(spark, rows)
+    out = {  # counts=None -> self histogram; unrounded values
+        r["doc_id"]: r["nll"] for r in unigram_logprob(df).collect()
+    }
+    counts = {5: 3, 7: 2, 8: 1}
+    denom = 6 + 0.5 * 4
+    lp = {t: math.log((c + 0.5) / denom) for t, c in counts.items()}
+    exp = {
+        1: -(2 * lp[5] + lp[7]) / 3,
+        2: -(lp[7] + lp[8]) / 2,
+        3: -lp[5],
+    }
+    for k, v in exp.items():
+        assert out[k] == pytest.approx(v, rel=1e-12)
+
+
+def test_unigram_logprob_is_map_only(spark):
+    """The scoring plan must contain no shuffle: no explode/join/groupBy —
+    Exchange appears only if the operator secretly aggregates."""
+    from tg_data_connector_spark.operators.tokens import unigram_logprob
+
+    df = _docs(spark, [(1, [1, 2]), (2, [3])]).repartition(4)
+    out = unigram_logprob(df, {t: 1 for t in range(1000)})  # arrow path
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan.replace("Exchange RoundRobin", "", 1)

@@ -2433,6 +2433,53 @@ def sql_token_histogram() -> str:
     """
 
 
+def q_token_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality score: per-document mean negative log-likelihood
+    under the corpus unigram distribution, vocab TRUNCATED to count>=2 so
+    hapax tokens exercise the OOV smoothing path. Scoring is map-only (no
+    explode/join/shuffle): the vocab-sized logprob table broadcasts as a
+    dense float64 LUT and the per-doc sum is a vectorized cumsum-diff over
+    the flat Arrow buffer (the >512-entry vocab forces the Arrow strategy —
+    the 100-TB path; expr parity is pinned in tests/test_tokens.py)."""
+    from .operators.tokens import token_histogram, unigram_logprob
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    toks = docs.where(F.length(F.trim(F.col("text"))) > 0).select(
+        "doc_id", _spark_tokens().alias("tokens")
+    )
+    counts = {
+        int(r["token"]): int(r["n_occurrences"])
+        for r in token_histogram(toks, min_count=2).collect()
+    }
+    out = unigram_logprob(toks, counts)
+    return out.select(
+        "doc_id",
+        F.size("tokens").cast("int").alias("n_tok"),
+        F.round("nll", 4).alias("nll"),
+    )
+
+
+def sql_token_unigram_nll() -> str:
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {_portable_tokens()} AS toks
+      FROM documents WHERE length(trim(text)) > 0
+    ), ex AS (
+      SELECT doc_id, unnest(toks) AS token FROM toks
+    ), hist AS (
+      SELECT token, count(*)::BIGINT AS c FROM ex GROUP BY token
+      HAVING count(*) >= 2
+    ), consts AS (
+      SELECT sum(c)::DOUBLE + 0.5 * (count(*) + 1) AS denom FROM hist
+    )
+    SELECT e.doc_id, count(*)::INT AS n_tok,
+           round(-sum(ln((coalesce(h.c, 0)::DOUBLE + 0.5) / c.denom))
+                 / count(*), 4) AS nll
+    FROM ex e LEFT JOIN hist h USING (token) CROSS JOIN consts c
+    GROUP BY e.doc_id
+    """
+
+
 _SHARD_K = 8
 
 
@@ -2795,6 +2842,7 @@ QUERIES = {
     "shard_shuffle": (q_shard_shuffle, sql_shard_shuffle),
     "token_chunk_windows": (q_token_chunk_windows, sql_token_chunk_windows),
     "token_decontam": (q_token_decontam, sql_token_decontam),
+    "token_unigram_nll": (q_token_unigram_nll, sql_token_unigram_nll),
     "dedup_token_spans": (q_dedup_token_spans, sql_dedup_token_spans),
     "pack_bins_greedy": (q_pack_bins_greedy, sql_pack_bins_greedy),
     "pack_bins_assemble": (q_pack_bins_assemble, sql_pack_bins_assemble),

@@ -424,3 +424,134 @@ def dedup_token_spans(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("shared_fps"))
     )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    counts: Mapping[int, int] | None = None,
+    tokens_col: str = "tokens",
+    alpha: float = 0.5,
+    out_col: str = "nll",
+    strategy: str = "auto",
+) -> DataFrame:
+    """Per-document mean negative log-likelihood under a (smoothed) unigram
+    language model — the standard cheap LM-quality score a training-data
+    pipeline uses to rank/filter documents before the expensive model-based
+    passes (reference connector stops at row delivery; this is pipeline
+    value-add in the same tier as ``token_histogram``).
+
+    ``counts`` is the unigram frequency table (token id -> occurrence count),
+    typically ``token_histogram(corpus)`` rows — a VOCAB-sized driver-side
+    mapping (bounded metadata, megabytes), never corpus-sized. ``None``
+    self-scores: the histogram is computed from ``df`` and collected (one
+    vocab-bounded collect). Additive smoothing ``alpha`` gives every token —
+    including out-of-vocabulary ids — mass ``(c_t + alpha) / denom`` with
+    ``denom = total + alpha * (V + 1)``; OOV ids score ``ln(alpha / denom)``.
+
+    Scale design (mirrors ``remap_vocab``): scoring is MAP-ONLY — no explode,
+    no join, no shuffle. Small vocabs inline a literal ``map<int,double>``
+    (whole-stage codegen); real vocabs broadcast a dense float64 LUT and the
+    per-document sum is one vectorized cumsum-diff over the flat Arrow values
+    buffer (no per-row or per-token Python). The naive explode + join + groupBy
+    plan shuffles the exploded corpus — at 100 TB that is the whole corpus
+    through the wire for a map-side-computable number.
+
+    Appends ``out_col`` (double): mean NLL in nats; NULL for empty or NULL
+    token arrays (unscorable, caller decides policy).
+    """
+    import math
+
+    if counts is None:
+        counts = {
+            int(r["token"]): int(r["n_occurrences"])
+            for r in token_histogram(df, tokens_col).collect()
+        }
+    if not counts:
+        raise ValueError("unigram_logprob: empty vocabulary")
+    total = float(sum(counts.values()))
+    denom = total + alpha * (len(counts) + 1)
+    logp = {t: math.log((c + alpha) / denom) for t, c in counts.items()}
+    oov = math.log(alpha / denom)
+    if strategy == "auto":
+        strategy = "expr" if len(logp) <= _EXPR_MAX_VOCAB else "arrow"
+    if strategy == "expr":
+        pairs: list = []
+        for t, lp in sorted(logp.items()):
+            pairs.append(F.lit(int(t)))
+            pairs.append(F.lit(float(lp)))
+        m = F.create_map(*pairs)
+        toks = F.col(tokens_col)
+        nll = F.when(
+            toks.isNotNull() & (F.size(toks) > 0),
+            -F.aggregate(
+                F.transform(toks, lambda t: F.coalesce(m[t], F.lit(oov))),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / F.size(toks),
+        )
+        return df.withColumn(out_col, nll)
+    if strategy != "arrow":
+        raise ValueError(f"unknown unigram_logprob strategy {strategy!r}")
+
+    import numpy as np
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    max_t = max(logp)
+    if max_t < 0:
+        raise ValueError("token ids must be non-negative for the LUT path")
+    lut = np.full(max_t + 2, oov, dtype=np.float64)
+    for t, lp in logp.items():
+        if t >= 0:
+            lut[t] = lp
+    bc = df.sparkSession.sparkContext.broadcast(lut)
+    idx = df.columns.index(tokens_col)
+    # fresh StructType — StructType.add MUTATES the DataFrame's cached schema
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField(out_col, DoubleType())]
+    )
+
+    def batches(it: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        import pyarrow as pa
+
+        table_lut = bc.value
+        hi = len(table_lut) - 1  # sentinel slot: every OOB id scores oov
+        for batch in it:
+            lst = batch.column(idx)
+            if lst.null_count == 0:
+                flat = lst.flatten()
+                ids = flat.to_numpy(zero_copy_only=False).astype(
+                    np.int64, copy=False
+                )
+                safe = np.where((ids >= 0) & (ids < hi), ids, hi)
+                lp = table_lut[safe]
+                off = lst.offsets.to_numpy(zero_copy_only=False).astype(
+                    np.int64, copy=False
+                )
+                off0 = off - off[0]
+                csum = np.concatenate(([0.0], np.cumsum(lp)))
+                sums = csum[off0[1:]] - csum[off0[:-1]]
+                lens = np.diff(off0)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    nll = np.where(lens > 0, -sums / lens, np.nan)
+                col = pa.array(nll, type=pa.float64(), mask=(lens == 0))
+            else:
+                vals = [
+                    None
+                    if row is None or not row
+                    else -sum(
+                        table_lut[t] if 0 <= t < hi else table_lut[hi]
+                        for t in row
+                    )
+                    / len(row)
+                    for row in lst.to_pylist()
+                ]
+                col = pa.array(vals, type=pa.float64())
+            yield pa.RecordBatch.from_arrays(
+                list(batch.columns) + [col],
+                schema=pa.schema(
+                    list(batch.schema) + [pa.field(out_col, pa.float64())]
+                ),
+            )
+
+    return df.mapInArrow(batches, out_schema)
