@@ -156,3 +156,134 @@ def test_delete_where_staged_then_published(spark, tmp_path):
     ]
     t.publish_staged(staged.version)
     assert _ids(t) == [d for d in before if d not in victims]
+
+
+# ------------------------------------------------------------- merge_into
+def _src(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, n_tok int, source string, "
+              "flag string"
+    )
+
+
+@pytest.mark.parametrize("mode", ["cow", "mor"])
+def test_merge_into_clause_routing(spark, tmp_path, mode):
+    from tg_data_connector_spark.lake.dml import merge_into
+
+    t = _setup(spark, str(tmp_path / f"m_{mode}"), docs=20)
+    before = {
+        r["doc_id"]: (r["n_tok"], r["source"]) for r in t.read().collect()
+    }
+    some = sorted(before)[:4]
+    src = _src(spark, [
+        (some[0], [1, 2], 2, "edit", "upd"),      # matched + update fires
+        (some[1], [9], 1, "edit", "skip"),        # matched, no clause -> kept
+        (some[2], [7], 1, "edit", "purge"),       # matched + delete fires
+        ("zz_new", [5, 5], 2, "edit", "upd"),     # not matched -> insert
+        ("zz_skip", [5], 1, "edit", "purge"),     # not matched + ins cond fails
+    ])
+    snap = merge_into(
+        t, src,
+        when_matched_update={"n_tok": "s.n_tok + t.n_tok", "source": "s.source"},
+        matched_condition="s.flag = 'upd'",
+        when_matched_delete=True,
+        delete_condition="s.flag = 'purge'",
+        when_not_matched_insert="all",
+        insert_condition="s.flag <> 'purge'",
+        mode=mode,
+    )
+    assert snap is not None
+    after = {r["doc_id"]: (r["n_tok"], r["source"]) for r in t.read().collect()}
+    assert after[some[0]] == (2 + before[some[0]][0], "edit")  # updated, t.* ref
+    assert after[some[1]] == before[some[1]]                   # untouched
+    assert some[2] not in after                              # deleted
+    assert after["zz_new"] == (2, "edit")                    # inserted
+    assert "zz_skip" not in after                            # insert cond false
+    # untouched rows all survive
+    assert len(after) == len(before) - 1 + 1
+
+
+def test_merge_into_insert_resurrects_tombstone(spark, tmp_path):
+    from tg_data_connector_spark.lake.dml import merge_into
+
+    t = _setup(spark, str(tmp_path / "res"), docs=10)
+    victim = _ids(t)[0]
+    delete_where(t, F.col("doc_id") == victim)
+    assert victim not in _ids(t)
+    # a tombstoned key is NOT matched -> the insert clause fires and the new
+    # row must BEAT the tombstone under LWW (version = tombstone_seq + 1)
+    merge_into(
+        t,
+        _src(spark, [(victim, [42], 1, "back", "new")]),
+        when_not_matched_insert="all",
+    )
+    rows = {r["doc_id"]: r["source"] for r in t.read().collect()}
+    assert rows[victim] == "back"
+
+
+def test_merge_into_cardinality_and_validation(spark, tmp_path):
+    from tg_data_connector_spark.lake.dml import merge_into
+
+    t = _setup(spark, str(tmp_path / "card"), docs=6)
+    dup = _src(spark, [("a", [1], 1, "s", "x"), ("a", [2], 1, "s", "x")])
+    with pytest.raises(ValueError, match="multiple rows"):
+        merge_into(t, dup, when_not_matched_insert="all")
+    ok = _src(spark, [("a", [1], 1, "s", "x")])
+    with pytest.raises(ValueError, match="key"):
+        merge_into(t, ok, when_matched_update={"doc_id": "s.doc_id"})
+    with pytest.raises(ValueError, match="no clauses"):
+        merge_into(t, ok, when_not_matched_insert=None)
+    # duplicate source accepted when the caller vouches (pre-deduped contract)
+    assert merge_into(
+        t, dup.limit(1), when_not_matched_insert="all",
+        check_cardinality=False,
+    ) is not None
+
+
+def test_merge_into_noop_commits_nothing(spark, tmp_path):
+    from tg_data_connector_spark.lake.dml import merge_into
+
+    t = _setup(spark, str(tmp_path / "noop"), docs=6)
+    v0 = t.current_version()
+    match_none = _src(spark, [(_ids(t)[0], [1], 1, "s", "skip")])
+    out = merge_into(
+        t, match_none,
+        when_matched_update={"source": "s.source"},
+        matched_condition="s.flag = 'upd'",
+        when_not_matched_insert=None,
+    )
+    assert out is None and t.current_version() == v0
+    out = merge_into(
+        t, match_none, mode="mor",
+        when_matched_update={"source": "s.source"},
+        matched_condition="s.flag = 'upd'",
+        when_not_matched_insert=None,
+    )
+    assert out is None and t.current_version() == v0
+
+
+def test_merge_into_mor_then_compact_parity(spark, tmp_path):
+    from tg_data_connector_spark.lake.dml import merge_into
+
+    t = _setup(spark, str(tmp_path / "mc"), docs=12)
+    ids = _ids(t)
+    src = _src(spark, [
+        (ids[0], None, 99, "edit", "upd"),
+        (ids[1], [7], 1, "edit", "purge"),
+        ("zz1", [3, 3], 2, "edit", "new"),
+    ])
+    merge_into(
+        t, src,
+        when_matched_update={"n_tok": "s.n_tok"},
+        matched_condition="s.flag = 'upd'",
+        when_matched_delete=True, delete_condition="s.flag = 'purge'",
+        mode="mor",
+    )
+    want = sorted(
+        (r["doc_id"], r["n_tok"]) for r in t.read().collect()
+    )
+    compact(t)
+    got = sorted((r["doc_id"], r["n_tok"]) for r in t.read().collect())
+    assert got == want
+    assert ids[1] not in {d for d, _ in got}
+    assert ("zz1", 2) in got and (ids[0], 99) in got

@@ -303,6 +303,90 @@ def sql_lake_fsck() -> str:
     """
 
 
+def q_lake_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-style conditional MERGE INTO (lake/dml.merge_into): one source
+    batch drives all three clauses against a seeded table — matched+purge
+    deletes, matched+upd updates (assignments referencing BOTH sides:
+    n_tok := s.n_tok + t.n_tok), matched rows whose condition misses stay,
+    unmatched source rows insert iff the insert condition holds. The final
+    table state is the oracle surface, so clause routing, assignment
+    evaluation, and untouched-row preservation are all pinned at once."""
+    from .lake.dml import merge_into
+
+    root = tempfile.mkdtemp(prefix="tgspark_gate_mi_")
+    table = LakeTable.create(
+        spark, f"{root}/seq", SEQ_SCHEMA, key="doc_id", n_buckets=16
+    )
+    seed = derive_seed(spark, sf_dir)
+    table.append(seed, lsn_col=F.lit(-1), seq_col=F.lit(0))
+    nt = F.col("n_tok")
+    src = seed.where(nt % 2 == 0).select(
+        "doc_id",
+        F.transform("tokens", lambda x: x + 1).alias("tokens"),
+        (nt + 100).cast("int").alias("n_tok"),
+        F.lit("merged").alias("source"),
+        F.when(nt % 6 == 0, F.lit("purge")).otherwise(F.lit("upd")).alias("flag"),
+    ).unionByName(
+        seed.where(nt % 7 == 0).select(
+            F.concat("doc_id", F.lit("_n")).alias("doc_id"),
+            "tokens",
+            "n_tok",
+            F.lit("inserted").alias("source"),
+            F.lit("new").alias("flag"),
+        )
+    )
+    merge_into(
+        table, src,
+        when_matched_update={
+            "tokens": "s.tokens",
+            "n_tok": "s.n_tok + t.n_tok",
+            "source": "s.source",
+        },
+        matched_condition="s.flag = 'upd' AND s.n_tok > t.n_tok",
+        when_matched_delete=True,
+        delete_condition="s.flag = 'purge'",
+        when_not_matched_insert="all",
+        insert_condition="s.flag <> 'purge'",
+    )
+    return table.read().select(
+        "doc_id", _csv(F.col("tokens")).alias("tokens_csv"), "n_tok", "source"
+    )
+
+
+def sql_lake_merge_into() -> str:
+    return f"""
+    WITH seed AS ({SEED_SQL}),
+    src AS (
+      SELECT doc_id, list_transform(tokens, x -> x + 1) AS tokens,
+             CAST(n_tok + 100 AS INT) AS n_tok, 'merged' AS source,
+             CASE WHEN n_tok % 6 = 0 THEN 'purge' ELSE 'upd' END AS flag
+      FROM seed WHERE n_tok % 2 = 0
+      UNION ALL
+      SELECT doc_id || '_n', tokens, n_tok, 'inserted', 'new'
+      FROM seed WHERE n_tok % 7 = 0
+    ),
+    final_target AS (
+      SELECT t.doc_id,
+             CASE WHEN s.flag = 'upd' AND s.n_tok > t.n_tok
+                  THEN s.tokens ELSE t.tokens END AS tokens,
+             CASE WHEN s.flag = 'upd' AND s.n_tok > t.n_tok
+                  THEN CAST(s.n_tok + t.n_tok AS INT) ELSE t.n_tok END AS n_tok,
+             CASE WHEN s.flag = 'upd' AND s.n_tok > t.n_tok
+                  THEN s.source ELSE t.source END AS source
+      FROM seed t LEFT JOIN src s ON t.doc_id = s.doc_id
+      WHERE s.doc_id IS NULL OR s.flag <> 'purge'
+    ),
+    inserts AS (
+      SELECT s.doc_id, s.tokens, s.n_tok, s.source
+      FROM src s ANTI JOIN seed t ON s.doc_id = t.doc_id
+      WHERE s.flag <> 'purge'
+    )
+    SELECT doc_id, {_CSV} AS tokens_csv, n_tok, source FROM final_target
+    UNION ALL
+    SELECT doc_id, {_CSV} AS tokens_csv, n_tok, source FROM inserts
+    """
+
+
 def q_cdc_merge_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship twin under the MERGE-ON-READ write path: the same batched
     replay, but each batch commits as DELTA files (lake/merge.delta_append —
@@ -2799,6 +2883,7 @@ QUERIES = {
     ),
     "cdc_merge_mor": (q_cdc_merge_mor, sql_cdc_merge_mor),
     "lake_fsck": (q_lake_fsck, sql_lake_fsck),
+    "lake_merge_into": (q_lake_merge_into, sql_lake_merge_into),
     "lake_rebucket": (q_lake_rebucket, sql_lake_rebucket),
     "lake_wap_audit": (q_lake_wap_audit, sql_lake_wap_audit),
     "lake_expire_gc": (q_lake_expire_gc, sql_lake_expire_gc),

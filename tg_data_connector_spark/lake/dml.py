@@ -47,7 +47,7 @@ from pyspark.sql import functions as F
 from .merge import delta_append, merge_upsert
 from .table import DELETED_COL, LSN_COL, SEQ_COL, LakeTable, Snapshot
 
-__all__ = ["delete_where", "update_where"]
+__all__ = ["delete_where", "merge_into", "update_where"]
 
 
 def _writer(mode: str):
@@ -140,3 +140,192 @@ def update_where(
     if mode == "mor" and src.isEmpty():
         return None  # see delete_where: DML no-ops on an unmatched predicate
     return write(table, src, summary_update=summary, publish=publish)
+
+
+def merge_into(
+    table: LakeTable,
+    source: DataFrame,
+    when_matched_update: dict[str, "Column | str"] | str | None = None,
+    matched_condition: "Column | str | None" = None,
+    when_matched_delete: bool = False,
+    delete_condition: "Column | str | None" = None,
+    when_not_matched_insert: dict[str, "Column | str"] | str | None = "all",
+    insert_condition: "Column | str | None" = None,
+    mode: str = "cow",
+    publish: bool = True,
+    batch_id: str | None = None,
+    check_cardinality: bool = True,
+) -> Snapshot | None:
+    """Delta/Iceberg-style conditional ``MERGE INTO`` of an arbitrary source
+    DataFrame, keyed by the table key. Generalizes the CDC upsert (whose ops
+    arrive pre-labeled) to DECLARED clause semantics:
+
+      matched + ``delete_condition``            -> DELETE (tombstone)
+      matched + ``matched_condition``           -> UPDATE (assignments)
+      matched + neither                         -> target row kept
+      not matched + ``insert_condition``        -> INSERT
+      target rows with no source match          -> untouched
+
+    Clause order is Delta's: DELETE is evaluated before UPDATE. "Matched"
+    means a LIVE target row; a tombstoned key counts as NOT matched (the
+    insert resurrects it — stamped ``(tombstone_lsn, tombstone_seq + 1)`` so
+    it beats the tombstone under LWW; see the module docstring's versioning
+    contract).
+
+    Conditions and assignment expressions may reference both sides through
+    the aliases ``t`` (target) and ``s`` (source) — e.g.
+    ``matched_condition="s.n_tok > t.n_tok"``,
+    ``when_matched_update={"n_tok": "s.n_tok + t.n_tok"}``. The shorthand
+    ``"all"`` maps every non-key table column to the same-named source
+    column (update: only columns the source carries; insert: absent columns
+    become NULL). The table key cannot be assigned.
+
+    Cardinality: like Delta MERGE, the source must hold at most ONE row per
+    key — ``check_cardinality`` enforces it with one bounded probe
+    (``limit(1)`` on the duplicate set); disable for pre-deduplicated
+    sources to save the job.
+
+    Scale shape: the matching join reads ONLY the buckets holding source
+    keys (one bounded collect of the source's distinct bucket ids — the same
+    copy-on-write pruning as ``merge_upsert``, so a batch touching b of 2^k
+    buckets scans b/2^k of the table), and the changeset rides the engine's
+    own commit paths: ``mode="cow"`` rewrites the affected buckets,
+    ``mode="mor"`` appends O(batch) delta files. Optimistic-concurrency
+    retry, WAP (``publish=False``), and ``batch_id`` at-most-once are
+    inherited from those paths, not re-implemented.
+    """
+    from .table import bucket_expr
+
+    def _cond(x, default: bool):
+        if x is None:
+            return F.lit(default)
+        return F.expr(x) if isinstance(x, str) else x
+
+    if when_matched_update is None and not when_matched_delete \
+            and when_not_matched_insert is None:
+        raise ValueError("merge_into: no clauses given")
+    snap = table.snapshot()
+    cols = snap.schema().names()
+    key = table.meta()["key"]
+    nb = table.bucket_count(snap)
+
+    def _assignments(spec, allow_missing: bool) -> dict[str, Column]:
+        if spec is None:
+            return {}
+        if spec == "all":
+            return {
+                c: (
+                    F.col(f"s.{c}")
+                    if c in source.columns
+                    else F.lit(None)
+                )
+                for c in cols
+                if c != key and (c in source.columns or allow_missing)
+            }
+        out = {}
+        for name, expr in spec.items():
+            if name == key:
+                raise ValueError(f"cannot assign the table key {key!r}")
+            if name not in cols:
+                raise ValueError(f"unknown column {name!r}; have {cols}")
+            out[name] = F.expr(expr) if isinstance(expr, str) else expr
+        return out
+
+    upd = _assignments(when_matched_update, allow_missing=False)
+    ins = _assignments(when_not_matched_insert, allow_missing=True)
+
+    # the source plan feeds up to three consumers (cardinality probe, bucket
+    # probe, matching join) — compute it once
+    persisted = not (
+        source.storageLevel.useMemory or source.storageLevel.useDisk
+    )
+    if persisted:
+        source = source.persist()
+    try:
+        if check_cardinality:
+            dup = (
+                source.groupBy(key)
+                .agg(F.count(F.lit(1)).alias("n"))
+                .where(F.col("n") > 1)
+                .limit(1)
+                .collect()
+            )
+            if dup:
+                raise ValueError(
+                    f"merge_into: source has multiple rows for key "
+                    f"{dup[0][0]!r} (Delta MERGE cardinality rule)"
+                )
+        src_buckets = sorted(
+            r[0]
+            for r in source.select(
+                bucket_expr(key, nb).alias("b")
+            ).distinct().collect()
+        )
+        if not src_buckets:
+            return None
+        tgt = table.read(
+            snapshot=snap, buckets=src_buckets, with_lineage=True
+        ).alias("t")
+        s = source.alias("s")
+        j = s.join(tgt, F.col(f"s.{key}") == F.col(f"t.{key}"), "left_outer")
+
+        t_exists = F.col(f"t.{key}").isNotNull()
+        live = t_exists & ~F.coalesce(F.col(f"t.{DELETED_COL}"), F.lit(False))
+        do_del = (
+            live & _cond(delete_condition, True)
+            if when_matched_delete
+            else F.lit(False)
+        )
+        do_upd = (
+            live & ~do_del & _cond(matched_condition, True)
+            if upd
+            else F.lit(False)
+        )
+        do_ins = (
+            ~live & _cond(insert_condition, True)
+            if when_not_matched_insert is not None
+            else F.lit(False)
+        )
+        op = (
+            F.when(do_del, F.lit("D"))
+            .when(do_upd, F.lit("U"))
+            .when(do_ins, F.lit("I"))
+        )
+        out_cols = [F.col(f"s.{key}").alias(key)]
+        for c in cols:
+            if c == key:
+                continue
+            upd_e = upd.get(c, F.col(f"t.{c}"))
+            ins_e = ins.get(c, F.lit(None))
+            out_cols.append(
+                F.when(op == "U", upd_e)
+                .when(op == "I", ins_e)
+                .otherwise(F.col(f"t.{c}"))
+                .alias(c)
+            )
+        changeset = (
+            j.where(op.isNotNull())
+            .select(
+                *out_cols,
+                op.alias("op"),
+                F.coalesce(F.col(f"t.{LSN_COL}"), F.lit(0))
+                .cast("bigint")
+                .alias("commit_lsn"),
+                (F.coalesce(F.col(f"t.{SEQ_COL}"), F.lit(0)) + F.lit(1))
+                .cast("bigint")
+                .alias("seq_no"),
+            )
+        )
+        write = _writer(mode)
+        summary = {"batch_id": batch_id} if batch_id else None
+        if mode == "mor" and changeset.isEmpty():
+            return None  # no clause fired: DML no-ops (see delete_where)
+        # affected_buckets stays None: merge_upsert's own probe shrinks the
+        # rewrite to buckets with ACTUAL changeset rows (a clause-less match
+        # must be a no-op, not an unchanged-bucket rewrite + empty commit)
+        return write(
+            table, changeset, summary_update=summary, publish=publish
+        )
+    finally:
+        if persisted:
+            source.unpersist()
