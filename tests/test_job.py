@@ -532,3 +532,54 @@ def test_training_export_bins_packing(spark, tmp_path):
             "writer": {"type": "training_export", "path": str(tmp_path / "x"),
                        "window": 64, "packing": "nope"},
         })
+
+
+def test_merge_into_job_validation_and_run(spark, tmp_path):
+    """writeMode=mergeInto surface: requires an existing table and a merge
+    clause object; pre_check flags bad clause SQL without running; a valid
+    job routes through lake/dml.merge_into."""
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, "a", "upd"), (2, "b", "purge"), (9, "c", "new")],
+        "doc_id bigint, v string, flag string",
+    ).write.parquet(src)
+    root = str(tmp_path / "t")
+    base = {
+        "reader": {"type": "parquet", "path": src},
+        "writer": {"type": "lake_merge", "path": root, "key": "doc_id",
+                   "writeMode": "mergeInto",
+                   "merge": {"whenMatchedUpdate": {"v": "s.v"}}},
+    }
+    # target absent -> hard error, no silent table creation
+    with pytest.raises(JobValidationError, match="existing lake table"):
+        run_job(spark, base)
+    # missing clause object -> validation error
+    run_job(spark, {
+        "reader": {"type": "parquet", "path": src,
+                   "column": ["doc_id", "v"]},
+        "writer": {"type": "lake_merge", "path": root, "key": "doc_id",
+                   "writeMode": "insert", "buckets": 4},
+    })
+    bad = {**base, "writer": {**base["writer"], "merge": None}}
+    with pytest.raises(JobValidationError, match="merge"):
+        run_job(spark, bad)
+    # dry-run flags unparseable clause SQL
+    probs = pre_check(spark, {
+        **base,
+        "writer": {**base["writer"],
+                   "merge": {"whenMatchedUpdate": {"v": "s.v"},
+                             "matchedCondition": "s.flag === 'upd'"}},
+    })
+    assert any("matchedCondition" in p for p in probs)
+    # valid run: update matched-upd, delete matched-purge, insert unmatched
+    run_job(spark, {
+        **base,
+        "writer": {**base["writer"],
+                   "merge": {"whenMatchedUpdate": {"v": "s.v || '!'"},
+                             "matchedCondition": "s.flag = 'upd'",
+                             "whenMatchedDelete": True,
+                             "deleteCondition": "s.flag = 'purge'",
+                             "whenNotMatchedInsert": "all"}},
+    })
+    got = {r["doc_id"]: r["v"] for r in LakeTable(spark, root).read().collect()}
+    assert got == {1: "a!", 9: "c"}

@@ -314,6 +314,69 @@ def sql_job_lake_merge_writemode() -> str:
     """
 
 
+def q_job_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """writeMode=mergeInto: the conditional MERGE behind the config surface.
+    One source batch drives delete (flag=purge), conditional update
+    (flag=upd), keep (flag=skip), and conditional insert (unmatched rows,
+    insert condition excludes purge) — final table state vs a CASE oracle."""
+    root = tempfile.mkdtemp(prefix="tg_gate_mi_") + "/t"
+    views = {"docs_v": _t(sf_dir, "documents")}
+    run_job(
+        spark,
+        {
+            "reader": {
+                "type": "sql",
+                "views": views,
+                "querySql": "SELECT doc_id, substr(text, 1, 8) AS head, "
+                            "CAST(length(text) AS INT) AS n "
+                            "FROM docs_v WHERE doc_id < 300",
+            },
+            "writer": {"type": "lake_merge", "path": root, "key": "doc_id",
+                       "writeMode": "insert", "buckets": 8},
+        },
+    )
+    run_job(
+        spark,
+        {
+            "reader": {
+                "type": "sql",
+                "views": views,
+                "querySql": "SELECT doc_id, 'M' || substr(text, 1, 4) AS head,"
+                            " CAST(length(text) AS INT) AS n, "
+                            "CASE WHEN doc_id % 10 = 0 THEN 'purge' "
+                            "     WHEN doc_id % 3 = 0 THEN 'upd' "
+                            "     ELSE 'skip' END AS flag "
+                            "FROM docs_v WHERE doc_id < 400",
+            },
+            "writer": {
+                "type": "lake_merge", "path": root, "key": "doc_id",
+                "writeMode": "mergeInto",
+                "merge": {
+                    "whenMatchedUpdate": {"head": "s.head", "n": "s.n"},
+                    "matchedCondition": "s.flag = 'upd'",
+                    "whenMatchedDelete": True,
+                    "deleteCondition": "s.flag = 'purge'",
+                    "whenNotMatchedInsert": "all",
+                    "insertCondition": "s.flag <> 'purge'",
+                },
+            },
+        },
+    )
+    return LakeTable(spark, root).read().select("doc_id", "head", "n")
+
+
+def sql_job_merge_into() -> str:
+    return """
+    SELECT doc_id,
+           CASE WHEN doc_id >= 300 OR doc_id % 3 = 0
+                THEN 'M' || substr(text, 1, 4)
+                ELSE substr(text, 1, 8) END AS head,
+           CAST(length(text) AS INT) AS n
+    FROM documents
+    WHERE doc_id < 400 AND doc_id % 10 <> 0
+    """
+
+
 # ------------------------------------- W3: preSql/postSql with @table render
 def q_job_presql_atable(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = tempfile.mkdtemp(prefix="tg_gate_presql_") + "/out"
@@ -796,6 +859,7 @@ JOB_QUERIES = {
     "csv_multi_projection": (q_csv_multi_projection, sql_csv_multi_projection),
     "csv_typed_read": (q_csv_typed_read, sql_csv_typed_read),
     "job_csv_roundtrip": (q_job_csv_roundtrip, sql_job_csv_roundtrip),
+    "job_merge_into": (q_job_merge_into, sql_job_merge_into),
     "job_lake_merge_writemode": (
         q_job_lake_merge_writemode, sql_job_lake_merge_writemode,
     ),

@@ -21,6 +21,13 @@ writeMode parity (``WriterUtil.java:111-168``):
   insert  -> append          (reference: INSERT INTO)
   replace / update -> MERGE upsert into the lake table (reference: REPLACE
              INTO / ON DUPLICATE KEY UPDATE — strengthened here to LWW)
+  mergeInto -> conditional MERGE INTO (lake/dml.merge_into): the writer's
+             ``merge`` object declares Delta-style clauses —
+             ``whenMatchedUpdate`` ("all" | {col: expr}), ``matchedCondition``,
+             ``whenMatchedDelete`` + ``deleteCondition``,
+             ``whenNotMatchedInsert`` ("all" | {col: expr}),
+             ``insertCondition``, ``mode`` ("cow"|"mor") — expressions
+             reference target/source via ``t.``/``s.`` aliases
   truncate/append/nonConflict for file writers (``TxtFileWriter.java:99-140``).
 
 preSql/postSql (``WriterUtil.java:79-109``) run through spark.sql before/after
@@ -341,6 +348,12 @@ def _write(spark: SparkSession, cfg: dict, df: DataFrame) -> int | None:
             from .lake.fs import HadoopTableFS
 
             fs = HadoopTableFS(spark, root)
+        if mode == "mergeInto" and not LakeTable.exists(root, fs=fs):
+            # Delta MERGE semantics: the target must exist — silently creating
+            # it would turn a clause mis-spelling into a full table build
+            raise JobValidationError(
+                "writeMode=mergeInto requires an existing lake table"
+            )
         if not LakeTable.exists(root, fs=fs):
             meta_cols = (
                 "op", "commit_lsn", "seq_no", "part", "offset",
@@ -381,6 +394,30 @@ def _write(spark: SparkSession, cfg: dict, df: DataFrame) -> int | None:
                 ),
             )
             eng.replay(df, run_id=str(cfg.get("runId", "job")))
+            return None
+        if mode == "mergeInto":
+            # conditional MERGE INTO behind the config surface: clause spec
+            # rides the writer config, expressions reference t./s. aliases
+            # (lake/dml.merge_into — Delta clause order and semantics)
+            from .lake.dml import merge_into
+
+            mi = cfg.get("merge")
+            if not isinstance(mi, dict):
+                raise JobValidationError(
+                    "writeMode=mergeInto requires a 'merge' clause object"
+                )
+            merge_into(
+                table,
+                df,
+                when_matched_update=mi.get("whenMatchedUpdate"),
+                matched_condition=mi.get("matchedCondition"),
+                when_matched_delete=bool(mi.get("whenMatchedDelete", False)),
+                delete_condition=mi.get("deleteCondition"),
+                when_not_matched_insert=mi.get("whenNotMatchedInsert", "all"),
+                insert_condition=mi.get("insertCondition"),
+                mode=mi.get("mode", "cow"),
+                batch_id=cfg.get("batchId"),
+            )
             return None
         if mode in ("replace", "update", "merge"):
             src = df
@@ -514,6 +551,24 @@ def pre_check(spark: SparkSession, config) -> list[str]:
                 problems.append(f"writer: jdbc requires {req!r}")
         if w.get("writeMode") in ("replace", "update") and not w.get("writeKeys"):
             problems.append("writer: jdbc writeMode=replace/update requires writeKeys")
+    if w.get("type") == "lake_merge" and w.get("writeMode") == "mergeInto":
+        mi = w.get("merge")
+        if not isinstance(mi, dict):
+            problems.append("writer: mergeInto requires a 'merge' clause object")
+        else:
+            if not (
+                mi.get("whenMatchedUpdate")
+                or mi.get("whenMatchedDelete")
+                or mi.get("whenNotMatchedInsert", "all")
+            ):
+                problems.append("writer: mergeInto has no clauses")
+            for cond in ("matchedCondition", "deleteCondition", "insertCondition"):
+                if mi.get(cond):
+                    try:
+                        _parse_only(spark, f"SELECT 1 WHERE {mi[cond]}")
+                    except Exception as ex:
+                        head = " ".join(str(ex).splitlines()[:2]).strip()
+                        problems.append(f"writer: merge {cond}: {head}")
         if w.get("url"):
             # the reference preCheck opens a real connection to the target
             # (JobContainer.preCheck); do the same rather than parsing
