@@ -387,6 +387,54 @@ def sql_lake_merge_into() -> str:
     """
 
 
+def q_lake_mview_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained aggregate view (lake/mview): per-source
+    count + token sum refreshed from the CDF in TWO windows — once over the
+    seed, once over all of the replay's commits (signed-delta maintenance:
+    post-images minus bucket-pruned pre-images, merged additively through
+    merge_into; group death deletes the row). The view's final state must
+    equal a full GROUP BY over the flagship oracle's final table state."""
+    from .lake.mview import create_aggregate_view, refresh_aggregate
+
+    root = tempfile.mkdtemp(prefix="tgspark_gate_mv_")
+    table = LakeTable.create(
+        spark, f"{root}/seq", SEQ_SCHEMA, key="doc_id", n_buckets=16
+    )
+    table.append(derive_seed(spark, sf_dir), lsn_col=F.lit(-1), seq_col=F.lit(0))
+    measures = {"n": ("count", "*"), "tok": ("sum", "n_tok")}
+    view = create_aggregate_view(
+        table, f"{root}/view", ["source"], measures, n_buckets=8
+    )
+    refresh_aggregate(table, view, ["source"], measures)  # seed window
+    eng = ReplayEngine(spark, table, ReplayConfig(events_per_batch=50_000))
+    eng.replay(derive_changelog(spark, sf_dir), run_id="gate")
+    refresh_aggregate(table, view, ["source"], measures)  # replay window
+    return view.read().select(
+        "source",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("tok").cast("bigint").alias("tok"),
+    )
+
+
+def sql_lake_mview_refresh() -> str:
+    return f"""
+    WITH log AS ({CHANGELOG_SQL}),
+    clean AS (SELECT * FROM log WHERE NOT {DIRTY_SQL}),
+    latest AS (
+      SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                     ORDER BY commit_lsn DESC, seq_no DESC) AS rn FROM clean)
+      WHERE rn = 1),
+    seed AS ({SEED_SQL}),
+    final AS (
+      SELECT source, n_tok FROM latest WHERE op <> 'D'
+      UNION ALL
+      SELECT s.source, s.n_tok FROM seed s ANTI JOIN latest l
+      ON s.doc_id = l.doc_id)
+    SELECT source, count(*)::BIGINT AS n, sum(n_tok)::BIGINT AS tok
+    FROM final GROUP BY source
+    """
+
+
 def q_cdc_merge_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship twin under the MERGE-ON-READ write path: the same batched
     replay, but each batch commits as DELTA files (lake/merge.delta_append —
@@ -2884,6 +2932,7 @@ QUERIES = {
     "cdc_merge_mor": (q_cdc_merge_mor, sql_cdc_merge_mor),
     "lake_fsck": (q_lake_fsck, sql_lake_fsck),
     "lake_merge_into": (q_lake_merge_into, sql_lake_merge_into),
+    "lake_mview_refresh": (q_lake_mview_refresh, sql_lake_mview_refresh),
     "lake_rebucket": (q_lake_rebucket, sql_lake_rebucket),
     "lake_wap_audit": (q_lake_wap_audit, sql_lake_wap_audit),
     "lake_expire_gc": (q_lake_expire_gc, sql_lake_expire_gc),

@@ -155,6 +155,7 @@ def merge_into(
     publish: bool = True,
     batch_id: str | None = None,
     check_cardinality: bool = True,
+    summary_update: dict | None = None,
 ) -> Snapshot | None:
     """Delta/Iceberg-style conditional ``MERGE INTO`` of an arbitrary source
     DataFrame, keyed by the table key. Generalizes the CDC upsert (whose ops
@@ -317,7 +318,10 @@ def merge_into(
             )
         )
         write = _writer(mode)
-        summary = {"batch_id": batch_id} if batch_id else None
+        summary = dict(summary_update or {})
+        if batch_id:
+            summary["batch_id"] = batch_id
+        summary = summary or None
         if mode == "mor" and changeset.isEmpty():
             return None  # no clause fired: DML no-ops (see delete_where)
         # affected_buckets stays None: merge_upsert's own probe shrinks the
