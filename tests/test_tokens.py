@@ -350,3 +350,88 @@ def test_unigram_logprob_is_map_only(spark):
     out = unigram_logprob(df, {t: 1 for t in range(1000)})  # arrow path
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan.replace("Exchange RoundRobin", "", 1)
+
+
+# ------------------------------------------------------------ bigram NLL
+def test_bigram_histogram_counts_and_boundaries(spark):
+    from tg_data_connector_spark.operators.tokens import bigram_histogram
+
+    df = _docs(spark, [(1, [1, 2, 1, 2]), (2, [2, 1]), (3, [7]), (4, [])])
+    got = {
+        (r["prev"], r["token"]): r["n"]
+        for r in bigram_histogram(df).collect()
+    }
+    # pairs never cross documents; singleton/empty docs contribute nothing
+    assert got == {(1, 2): 2, (2, 1): 2}
+    assert bigram_histogram(df, min_count=3).count() == 0
+
+
+@pytest.mark.parametrize("strategy", ["expr", "arrow"])
+def test_bigram_logprob_hand_computed(spark, strategy):
+    import math
+
+    from tg_data_connector_spark.operators.tokens import bigram_logprob
+
+    uni = {1: 3, 2: 2}                 # total 5, V=2, denom = 5 + 0.5*3 = 6.5
+    bi = {(1, 2): 2, (2, 1): 1}        # ctx: c(1*)=2, c(2*)=1
+    lam = 0.7
+    u1, u2 = 3.5 / 6.5, 2.5 / 6.5
+    oov = 0.5 / 6.5
+    df = _docs(spark, [(1, [1, 2, 1]), (2, [9, 1]), (3, []), (4, None)])
+    out = {
+        r["doc_id"]: r["nll"]
+        for r in bigram_logprob(df, bi, uni, lam=lam, strategy=strategy).collect()
+    }
+    # doc 1: ln u1 + ln(lam*2/2 + .3*u2) + ln(lam*1/1 + .3*u1)
+    exp1 = -(
+        math.log(u1)
+        + math.log(lam * (2 / 2) + (1 - lam) * u2)
+        + math.log(lam * (1 / 1) + (1 - lam) * u1)
+    ) / 3
+    # doc 2: first token OOV -> ln oov; (9,1) unseen bigram -> backoff only
+    exp2 = -(math.log(oov) + math.log((1 - lam) * u1)) / 2
+    assert out[1] == pytest.approx(exp1, rel=1e-12)
+    assert out[2] == pytest.approx(exp2, rel=1e-12)
+    assert out[3] is None and out[4] is None
+
+
+def test_bigram_logprob_strategies_agree(spark):
+    import random
+
+    from tg_data_connector_spark.operators.tokens import (
+        bigram_histogram,
+        bigram_logprob,
+        token_histogram,
+    )
+
+    rng = random.Random(11)
+    rows = [
+        (i, [rng.randrange(0, 300) for _ in range(rng.randrange(1, 40))])
+        for i in range(150)
+    ]
+    df = _docs(spark, rows).repartition(8)
+    uni = {
+        int(r["token"]): int(r["n_occurrences"])
+        for r in token_histogram(df).collect()
+    }
+    bi = {
+        (int(r["prev"]), int(r["token"])): int(r["n"])
+        for r in bigram_histogram(df).collect()
+    }
+    a = bigram_logprob(df, bi, uni, strategy="expr")
+    b = bigram_logprob(df, bi, uni, strategy="arrow")
+    av = {r["doc_id"]: r["nll"] for r in a.collect()}
+    bv = {r["doc_id"]: r["nll"] for r in b.collect()}
+    for k in av:
+        assert av[k] == pytest.approx(bv[k], rel=1e-9, abs=1e-12)
+
+
+def test_bigram_logprob_is_map_only(spark):
+    from tg_data_connector_spark.operators.tokens import bigram_logprob
+
+    df = _docs(spark, [(1, [1, 2]), (2, [3])]).repartition(4)
+    out = bigram_logprob(
+        df, {(i, i + 1): 1 for i in range(600)}, {i: 1 for i in range(600)}
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan.replace("Exchange RoundRobin", "", 1)

@@ -2612,6 +2612,83 @@ def sql_token_unigram_nll() -> str:
     """
 
 
+def q_token_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram-LM score (KenLM/CCNet-style perplexity filter):
+    p = 0.7*ML-bigram + 0.3*smoothed-unigram, first token pure unigram,
+    bigram table pruned to count>=2 so hapax pairs exercise the backoff.
+    Scoring is map-only — the bigram table broadcasts as a SORTED packed-key
+    array and the per-position probe is one vectorized binary search
+    (np.searchsorted) over the flat Arrow buffer; plan-shape pinned in
+    tests/test_tokens.py."""
+    from .operators.tokens import (
+        bigram_histogram,
+        bigram_logprob,
+        token_histogram,
+    )
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    toks = docs.where(F.length(F.trim(F.col("text"))) > 0).select(
+        "doc_id", _spark_tokens().alias("tokens")
+    )
+    uni = {
+        int(r["token"]): int(r["n_occurrences"])
+        for r in token_histogram(toks).collect()
+    }
+    bi = {
+        (int(r["prev"]), int(r["token"])): int(r["n"])
+        for r in bigram_histogram(toks, min_count=2).collect()
+    }
+    out = bigram_logprob(toks, bi, uni, lam=0.7)
+    return out.select(
+        "doc_id",
+        F.size("tokens").cast("int").alias("n_tok"),
+        F.round("nll", 4).alias("nll"),
+    )
+
+
+def sql_token_bigram_nll() -> str:
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {_portable_tokens()} AS toks
+      FROM documents WHERE length(trim(text)) > 0
+    ), ex AS (
+      SELECT doc_id, unnest(toks) AS t FROM toks
+    ), uni AS (
+      SELECT t AS token, count(*)::BIGINT AS c FROM ex GROUP BY 1
+    ), uc AS (
+      SELECT sum(c)::DOUBLE + 0.5 * (count(*) + 1) AS denom FROM uni
+    ), bi AS (
+      SELECT pr[1] AS prev, pr[2] AS tok, count(*)::BIGINT AS n
+      FROM (SELECT unnest(list_zip(toks[1:len(toks)-1], toks[2:len(toks)]))
+                   AS pr
+            FROM toks WHERE len(toks) > 1)
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ), ctx AS (
+      SELECT prev, sum(n)::DOUBLE AS cn FROM bi GROUP BY prev
+    ), pos AS (
+      SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i
+      FROM toks
+    ), scored AS (
+      SELECT p.doc_id,
+             CASE WHEN p.i = 1
+                  THEN ln((coalesce(u.c, 0)::DOUBLE + 0.5) / uc.denom)
+                  ELSE ln(0.7 * coalesce(b.n::DOUBLE / cx.cn, 0.0)
+                          + (1 - 0.7) * (coalesce(u.c, 0)::DOUBLE + 0.5)
+                            / uc.denom)
+             END AS lp
+      FROM pos p
+      CROSS JOIN uc
+      LEFT JOIN uni u ON u.token = p.toks[p.i]
+      LEFT JOIN bi b
+        ON p.i > 1 AND b.prev = p.toks[p.i-1] AND b.tok = p.toks[p.i]
+      LEFT JOIN ctx cx ON p.i > 1 AND cx.prev = p.toks[p.i-1]
+    )
+    SELECT doc_id, count(*)::INT AS n_tok,
+           round(-sum(lp) / count(*), 4) AS nll
+    FROM scored GROUP BY doc_id
+    """
+
+
 _SHARD_K = 8
 
 
@@ -2977,6 +3054,7 @@ QUERIES = {
     "token_chunk_windows": (q_token_chunk_windows, sql_token_chunk_windows),
     "token_decontam": (q_token_decontam, sql_token_decontam),
     "token_unigram_nll": (q_token_unigram_nll, sql_token_unigram_nll),
+    "token_bigram_nll": (q_token_bigram_nll, sql_token_bigram_nll),
     "dedup_token_spans": (q_dedup_token_spans, sql_dedup_token_spans),
     "pack_bins_greedy": (q_pack_bins_greedy, sql_pack_bins_greedy),
     "pack_bins_assemble": (q_pack_bins_assemble, sql_pack_bins_assemble),

@@ -555,3 +555,213 @@ def unigram_logprob(
             )
 
     return df.mapInArrow(batches, out_schema)
+
+
+_PACK = 1 << 32  # packed bigram key: prev * 2^32 + cur (ids < 2^31)
+
+
+def bigram_histogram(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    min_count: int = 1,
+) -> DataFrame:
+    """Corpus bigram frequency: one row per distinct adjacent (prev, token)
+    pair with its occurrence count. Pairs never cross document boundaries.
+
+    Scale shape: the pair stream is built EXPRESSION-side (two slices zipped
+    — no Python, no self-join) and one hash-aggregate collapses it; the
+    shuffle carries one row per DISTINCT bigram per task, bounded by the
+    observed bigram vocabulary, not the corpus.
+    """
+    toks = F.col(tokens_col)
+    pairs = df.where(F.size(toks) > 1).select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(toks, 1, F.size(toks) - 1).alias("prev"),
+                F.slice(toks, 2, F.size(toks) - 1).alias("token"),
+            )
+        ).alias("p")
+    )
+    out = (
+        pairs.groupBy(
+            F.col("p.prev").cast("bigint").alias("prev"),
+            F.col("p.token").cast("bigint").alias("token"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    if min_count > 1:
+        out = out.where(F.col("n") >= min_count)
+    return out.select("prev", "token", "n")
+
+
+def bigram_logprob(
+    df: DataFrame,
+    bigram_counts: Mapping[tuple[int, int], int],
+    unigram_counts: Mapping[int, int],
+    tokens_col: str = "tokens",
+    alpha: float = 0.5,
+    lam: float = 0.7,
+    out_col: str = "nll",
+    strategy: str = "auto",
+) -> DataFrame:
+    """Interpolated bigram-LM quality score (the KenLM/CCNet-style
+    perplexity filter, one order down): per-document mean negative
+    log-likelihood under
+
+        p(t_i | t_{i-1}) = lam * c(t_{i-1}, t_i) / c(t_{i-1}*)
+                           + (1 - lam) * p_uni(t_i)
+
+    with ``p_uni`` the alpha-smoothed unigram distribution (same contract as
+    ``unigram_logprob``; the smoothing floor keeps every position finite) and
+    ``c(prev*)`` the context total derived from ``bigram_counts``. The first
+    token scores ``ln p_uni(t_0)``. Bigrams absent from ``bigram_counts``
+    (pruned or unseen) back off to the unigram term alone.
+
+    Both count tables are vocab-bounded driver-side mappings (prune with
+    ``bigram_histogram(min_count=...)`` for big corpora). Scoring is
+    MAP-ONLY: small tables inline literal maps (codegen); real tables
+    broadcast (a) a dense unigram prob LUT and (b) a SORTED packed-key
+    int64 array + value array, and the per-position bigram probe is one
+    vectorized ``np.searchsorted`` binary search over the flat Arrow
+    buffer — no explode, no join, no shuffle, no per-token Python.
+
+    Appends ``out_col`` (double, NLL in nats); NULL for empty/NULL arrays.
+    """
+    import math
+
+    if not unigram_counts:
+        raise ValueError("bigram_logprob: empty unigram vocabulary")
+    total = float(sum(unigram_counts.values()))
+    denom = total + alpha * (len(unigram_counts) + 1)
+    up = {t: (c + alpha) / denom for t, c in unigram_counts.items()}
+    oov_p = alpha / denom
+    ctx: dict[int, float] = {}
+    for (p_, _t), c in bigram_counts.items():
+        ctx[p_] = ctx.get(p_, 0.0) + c
+    bi = {
+        (p_ * _PACK + t): lam * c / ctx[p_]
+        for (p_, t), c in bigram_counts.items()
+    }
+    if strategy == "auto":
+        strategy = (
+            "expr"
+            if len(up) <= _EXPR_MAX_VOCAB and len(bi) <= _EXPR_MAX_VOCAB
+            else "arrow"
+        )
+    toks_c = F.col(tokens_col)
+    if strategy == "expr":
+        upairs: list = []
+        for t, p_v in sorted(up.items()):
+            upairs.append(F.lit(int(t)).cast("bigint"))
+            upairs.append(F.lit(float(p_v)))
+        um = F.create_map(*upairs)
+        bpairs: list = []
+        for k, v in sorted(bi.items()):
+            bpairs.append(F.lit(int(k)))
+            bpairs.append(F.lit(float(v)))
+        bm = F.create_map(*bpairs) if bpairs else None
+        oov = F.lit(float(oov_p))
+
+        def lp(t, i):
+            t64 = t.cast("bigint")
+            u = F.coalesce(um[t64], oov)
+            prev = F.element_at(toks_c, i).cast("bigint")  # 1-based == i-1
+            b = (
+                F.coalesce(bm[prev * F.lit(_PACK) + t64], F.lit(0.0))
+                if bm is not None
+                else F.lit(0.0)
+            )
+            return F.when(i == 0, F.ln(u)).otherwise(
+                F.ln(b + F.lit(1.0 - lam) * u)
+            )
+
+        nll = F.when(
+            toks_c.isNotNull() & (F.size(toks_c) > 0),
+            -F.aggregate(
+                F.transform(toks_c, lp), F.lit(0.0), lambda a, x: a + x
+            )
+            / F.size(toks_c),
+        )
+        return df.withColumn(out_col, nll)
+    if strategy != "arrow":
+        raise ValueError(f"unknown bigram_logprob strategy {strategy!r}")
+
+    import numpy as np
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    max_t = max(up)
+    ulut = np.full(max_t + 2, oov_p, dtype=np.float64)
+    for t, p_v in up.items():
+        if t >= 0:
+            ulut[t] = p_v
+    bkeys = np.array(sorted(bi), dtype=np.int64)
+    bvals = np.array([bi[k] for k in sorted(bi)], dtype=np.float64)
+    bc_u = df.sparkSession.sparkContext.broadcast(ulut)
+    bc_k = df.sparkSession.sparkContext.broadcast(bkeys)
+    bc_v = df.sparkSession.sparkContext.broadcast(bvals)
+    one_m_lam = 1.0 - lam
+    idx = df.columns.index(tokens_col)
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField(out_col, DoubleType())]
+    )
+
+    def batches(it: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        import pyarrow as pa
+
+        u_lut, keys, vals = bc_u.value, bc_k.value, bc_v.value
+        hi = len(u_lut) - 1
+
+        def score_flat(ids: "np.ndarray", starts: "np.ndarray") -> "np.ndarray":
+            safe = np.where((ids >= 0) & (ids < hi), ids, hi)
+            u = u_lut[safe]
+            p = one_m_lam * u
+            if len(keys) and len(ids) > 1:
+                packed = safe[:-1] * _PACK + safe[1:]
+                pos = np.searchsorted(keys, packed)
+                pos_c = np.minimum(pos, len(keys) - 1)
+                hit = keys[pos_c] == packed
+                add = np.where(hit, vals[pos_c], 0.0)
+                p[1:] += add
+            p[starts] = u[starts]  # first token of each row: pure unigram
+            return np.log(p)
+
+        for batch in it:
+            lst = batch.column(idx)
+            if lst.null_count == 0:
+                flat = lst.flatten()
+                ids = flat.to_numpy(zero_copy_only=False).astype(
+                    np.int64, copy=False
+                )
+                off = lst.offsets.to_numpy(zero_copy_only=False).astype(
+                    np.int64, copy=False
+                )
+                off0 = off - off[0]
+                lens = np.diff(off0)
+                starts = off0[:-1][lens > 0]
+                if len(ids):
+                    lp_arr = score_flat(ids, starts)
+                else:
+                    lp_arr = np.zeros(0, dtype=np.float64)
+                csum = np.concatenate(([0.0], np.cumsum(lp_arr)))
+                sums = csum[off0[1:]] - csum[off0[:-1]]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    nll = np.where(lens > 0, -sums / lens, np.nan)
+                col = pa.array(nll, type=pa.float64(), mask=(lens == 0))
+            else:
+                vals_py = []
+                for row in lst.to_pylist():
+                    if row is None or not row:
+                        vals_py.append(None)
+                        continue
+                    ids = np.asarray(row, dtype=np.int64)
+                    lp_arr = score_flat(ids, np.array([0]))
+                    vals_py.append(float(-lp_arr.sum() / len(ids)))
+                col = pa.array(vals_py, type=pa.float64())
+            yield pa.RecordBatch.from_arrays(
+                list(batch.columns) + [col],
+                schema=pa.schema(
+                    list(batch.schema) + [pa.field(out_col, pa.float64())]
+                ),
+            )
+
+    return df.mapInArrow(batches, out_schema)
