@@ -137,3 +137,56 @@ def test_null_group_distinct_from_empty_string(spark, tmp_path):
     refresh_aggregate(t, v, GROUP, MEASURES)
     rows = {r["source"]: (r["n"], r["tok"]) for r in v.read().collect()}
     assert rows == {None: (1, 1), "": (2, 3)}
+
+
+def test_refresh_preimage_is_bucket_pruned(spark, tmp_path):
+    """Touching keys in a narrow bucket set must keep the subtraction-side
+    scan narrow: the refresh's changed-bucket probe is the pre-image read's
+    prune list, so it must cover exactly the touched keys' buckets."""
+    from tg_data_connector_spark.lake.table import bucket_expr
+
+    t, v = _setup(spark, str(tmp_path))
+    refresh_aggregate(t, v, GROUP, MEASURES)
+    victim = _ids_one(t)
+    update_where(t, F.col("doc_id") == victim, {"n_tok": "n_tok + 5"})
+    stats = {}
+    refresh_aggregate(t, v, GROUP, MEASURES, stats_out=stats)
+    want_bucket = (
+        t.read()
+        .where(F.col("doc_id") == victim)
+        .select(bucket_expr("doc_id", 4).alias("b"))
+        .collect()[0]["b"]
+    )
+    assert stats["changed_buckets"] == [want_bucket]
+    assert _got(v) == _expected(t)
+
+
+def _ids_one(t):
+    return t.read().select("doc_id").orderBy("doc_id").limit(1).collect()[0][0]
+
+
+def test_stream_view_maintenance(spark, tmp_path):
+    """CDF-stream-triggered refresh: availableNow drains pending commits,
+    the view converges to the full recompute, and a second drain (or a
+    restarted stream with a fresh checkpoint) is a no-op — the refresh
+    cursor, not the Spark checkpoint, is the idempotence boundary."""
+    from tg_data_connector_spark.streaming.foreach import (
+        stream_view_maintenance,
+    )
+
+    t, v = _setup(spark, str(tmp_path))
+    update_where(t, F.substring("doc_id", -1, 1) == "2", {"n_tok": "n_tok + 9"})
+    delete_where(t, F.substring("doc_id", -1, 1) == "7")
+    q = stream_view_maintenance(
+        spark, t, v, GROUP, MEASURES, str(tmp_path / "ck1")
+    )
+    q.awaitTermination(120)
+    assert _got(v) == _expected(t)
+    ver = v.current_version()
+    # fresh checkpoint, no new commits: the stream re-delivers nothing new
+    # version-wise and the cursor absorbs any replay
+    q2 = stream_view_maintenance(
+        spark, t, v, GROUP, MEASURES, str(tmp_path / "ck2")
+    )
+    q2.awaitTermination(120)
+    assert v.current_version() == ver and _got(v) == _expected(t)

@@ -435,3 +435,28 @@ def test_bigram_logprob_is_map_only(spark):
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan.replace("Exchange RoundRobin", "", 1)
+
+
+def test_token_topk_per_group_and_ties(spark):
+    from tg_data_connector_spark.operators.tokens import token_topk
+
+    df = spark.createDataFrame(
+        [
+            ("a", [1, 1, 2, 3]),
+            ("a", [2, 9]),
+            ("b", [5]),
+        ],
+        "source string, tokens array<int>",
+    )
+    got = sorted(
+        (r["source"], r["rank"], r["token"], r["n"])
+        for r in token_topk(df, 2, by="source").collect()
+    )
+    # group a: 1 and 2 tie at n=2 -> token id breaks the tie
+    assert got == [("a", 1, 1, 2), ("a", 2, 2, 2), ("b", 1, 5, 1)]
+    overall = sorted(
+        (r["rank"], r["token"]) for r in token_topk(df, 1).collect()
+    )
+    assert overall == [(1, 1)]
+    with pytest.raises(ValueError):
+        token_topk(df, 0)

@@ -2689,6 +2689,40 @@ def sql_token_bigram_nll() -> str:
     """
 
 
+def q_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact top-5 token heavy hitters (vocab-audit report):
+    explode + one map-side-combined (source, token) hash-aggregate (shuffle
+    bounded by groups x vocab), rank window over the aggregated table only,
+    ties broken by token id for cross-engine determinism."""
+    from .operators.tokens import token_topk
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    toks = docs.where(F.length(F.trim(F.col("text"))) > 0).select(
+        "source", _spark_tokens().alias("tokens")
+    )
+    return token_topk(toks, 5, by="source")
+
+
+def sql_token_topk() -> str:
+    return f"""
+    WITH toks AS (
+      SELECT source, {_portable_tokens()} AS toks
+      FROM documents WHERE length(trim(text)) > 0
+    ), ex AS (
+      SELECT source, unnest(toks) AS token FROM toks
+    ), agg AS (
+      SELECT source, token::BIGINT AS token, count(*)::BIGINT AS n
+      FROM ex GROUP BY 1, 2
+    ), r AS (
+      SELECT source, token, n,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n DESC, token)::INT AS rank
+      FROM agg
+    )
+    SELECT source, token, n, rank FROM r WHERE rank <= 5
+    """
+
+
 _SHARD_K = 8
 
 
@@ -3055,6 +3089,7 @@ QUERIES = {
     "token_decontam": (q_token_decontam, sql_token_decontam),
     "token_unigram_nll": (q_token_unigram_nll, sql_token_unigram_nll),
     "token_bigram_nll": (q_token_bigram_nll, sql_token_bigram_nll),
+    "token_topk": (q_token_topk, sql_token_topk),
     "dedup_token_spans": (q_dedup_token_spans, sql_dedup_token_spans),
     "pack_bins_greedy": (q_pack_bins_greedy, sql_pack_bins_greedy),
     "pack_bins_assemble": (q_pack_bins_assemble, sql_pack_bins_assemble),

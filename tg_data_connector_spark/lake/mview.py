@@ -136,6 +136,7 @@ def refresh_aggregate(
     measures: dict[str, tuple[str, str]],
     source_name: str = "src",
     to_version: int | None = None,
+    stats_out: dict | None = None,
 ) -> Snapshot | None:
     """Advance the view to ``src``'s state at ``to_version`` (default:
     current). Returns the view's new snapshot, or None when the source has
@@ -177,6 +178,11 @@ def refresh_aggregate(
                 bucket_expr(key, nb_old).alias("b")
             ).distinct().collect()
         )
+        if stats_out is not None:  # observability: lets tests pin the
+            # pre-image scan's bucket pruning (O(changed buckets), not O(table))
+            stats_out.update(
+                {"from": from_v, "to": to_v, "changed_buckets": list(bks)}
+            )
         if not bks:
             return None
         # semi-join probe: AQE/auto-broadcast picks the strategy from the

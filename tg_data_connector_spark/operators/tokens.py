@@ -765,3 +765,37 @@ def bigram_logprob(
             )
 
     return df.mapInArrow(batches, out_schema)
+
+
+def token_topk(
+    df: DataFrame,
+    k: int,
+    tokens_col: str = "tokens",
+    by: str | None = None,
+) -> DataFrame:
+    """Exact top-k most frequent token ids, corpus-wide or per ``by`` group
+    (the heavy-hitter report behind vocab audits and mixture debugging).
+
+    Plan: one explode + (group, token) hash-aggregate — map-side combined,
+    so the shuffle carries one row per distinct (group, token), bounded by
+    groups x vocab, never corpus size — then a rank window over the
+    aggregated (small) table only. Ties break on token id so the report is
+    deterministic across runs and engines.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    from pyspark.sql.window import Window
+
+    gcols = [by] if by else []
+    elems = df.select(
+        *gcols, F.explode(F.col(tokens_col)).alias("token")
+    )
+    agg = elems.groupBy(*gcols, F.col("token").cast("bigint").alias("token")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy(*gcols).orderBy(F.col("n").desc(), F.col("token"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select(*gcols, "token", "n", "rank")
+    )

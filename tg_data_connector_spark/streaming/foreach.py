@@ -17,6 +17,7 @@ Rate throttling (the reference's ``Channel.statPush`` byte/record limits,
 from __future__ import annotations
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 from ..cdc.replay import ReplayEngine
 from ..lake.table import LakeTable
@@ -64,6 +65,58 @@ def stream_replay(
         engine.apply_batch(
             batch_df, batch_id=f"stream:{batch_id}", observe_metrics=False
         )
+
+    writer = (
+        stream.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_view_maintenance(
+    spark: SparkSession,
+    src,
+    view,
+    group_by: list[str],
+    measures: dict,
+    checkpoint_dir: str,
+    source_name: str = "src",
+    available_now: bool = True,
+):
+    """Continuous materialized-view maintenance: tail ``src``'s change feed
+    (the lake_cdf streaming source) and advance the aggregate view once per
+    micro-batch via ``lake.mview.refresh_aggregate``. Returns the
+    StreamingQuery.
+
+    The stream is the TRIGGER, not the data path: each callback refreshes up
+    to the batch's highest ``_commit_version``, and the refresh re-derives
+    its exact window from the view's own stored cursor — so a re-delivered
+    micro-batch (restart, or even a wiped Spark checkpoint) is absorbed by
+    the cursor + batch-id and can never double-apply a delta. The batch
+    DataFrame itself is only probed for its version high-mark (one bounded
+    agg), keeping stream-side and batch-side maintenance on the SAME audited
+    code path instead of two implementations that could drift.
+    """
+    from ..lake.mview import refresh_aggregate
+    from .cdf_source import read_change_stream
+
+    # open the feed at the VIEW's cursor (not "now"): commits that landed
+    # before the stream started still trigger their refresh
+    cursor = int(
+        view.snapshot().summary.get(f"mview_from:{source_name}", 0)
+    )
+    stream = read_change_stream(spark, src.root, starting_version=cursor)
+
+    def apply(batch_df, batch_id: int):
+        hi = batch_df.agg(F.max("_commit_version")).collect()[0][0]
+        if hi is not None:
+            refresh_aggregate(
+                src, view, group_by, measures,
+                source_name=source_name, to_version=int(hi),
+            )
 
     writer = (
         stream.writeStream.foreachBatch(apply)
