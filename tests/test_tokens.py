@@ -33,7 +33,7 @@ def _docs(spark, rows, elem="int"):
 MAPPING = {1: 101, 2: 202, 3: 303, 7: 707}
 
 
-@pytest.mark.parametrize("strategy", ["expr", "arrow"])
+@pytest.mark.parametrize("strategy", ["expr", "expr_map", "arrow"])
 def test_remap_basic_and_oov(spark, strategy):
     df = _docs(spark, [(1, [1, 2, 9, 3]), (2, [7, 7, 0])])
     out = {
@@ -46,7 +46,7 @@ def test_remap_basic_and_oov(spark, strategy):
     assert out[2] == [707, 707, -1]
 
 
-@pytest.mark.parametrize("strategy", ["expr", "arrow"])
+@pytest.mark.parametrize("strategy", ["expr", "expr_map", "arrow"])
 def test_remap_nulls_and_empty(spark, strategy):
     df = _docs(spark, [(1, []), (2, None), (3, [2])])
     out = {
@@ -74,16 +74,23 @@ def test_remap_strategies_agree_on_wide_vocab(spark):
     assert ra == rb
 
 
-def test_remap_auto_picks_by_size(spark):
+def test_remap_auto_picks_by_dense_feasibility(spark):
+    """Auto rule from the round-4 A/B: dense literal-array LUT (codegen,
+    no Python workers) whenever the id space fits 64k slots; the Arrow
+    kernel for id spaces the plan literal can't hold (too wide or sparse
+    high ids)."""
     df = _docs(spark, [(1, [1])])
+    plan = lambda d: d._jdf.queryExecution().executedPlan().toString()
     small = remap_vocab(df, {1: 2}, strategy="auto")
-    big = remap_vocab(
-        df, {v: v for v in range(600)}, strategy="auto"
+    mid = remap_vocab(df, {v: v for v in range(600)}, strategy="auto")
+    assert "ArrowEvalPython" not in plan(small)
+    assert "MapInArrow" not in plan(small) and "MapInArrow" not in plan(mid)
+    wide = remap_vocab(
+        df, {v: v for v in range(70_000)}, strategy="auto"
     )
-    small_plan = small._jdf.queryExecution().executedPlan().toString()
-    big_plan = big._jdf.queryExecution().executedPlan().toString()
-    assert "ArrowEvalPython" not in small_plan and "MapInArrow" not in small_plan
-    assert "MapInArrow" in big_plan
+    sparse_high = remap_vocab(df, {10_000_000: 3}, strategy="auto")
+    assert "MapInArrow" in plan(wide)
+    assert "MapInArrow" in plan(sparse_high)
 
 
 def test_remap_long_elem_type_preserved(spark):
@@ -282,7 +289,7 @@ def _nll_rows(df):
     }
 
 
-@pytest.mark.parametrize("strategy", ["expr", "arrow"])
+@pytest.mark.parametrize("strategy", ["expr", "expr_map", "arrow"])
 def test_unigram_logprob_hand_computed(spark, strategy):
     import math
 
@@ -314,7 +321,7 @@ def test_unigram_logprob_strategies_agree(spark):
     counts = {t: rng.randrange(1, 50) for t in range(0, 2000, 3)}
     a = _nll_rows(unigram_logprob(df, counts, strategy="expr"))
     b = _nll_rows(unigram_logprob(df, counts, strategy="arrow"))
-    assert len(counts) > 512  # this vocab would auto-pick arrow
+    assert len(counts) > 512  # non-trivial vocab: parity is meaningful
     for k in a:
         assert a[k] == pytest.approx(b[k], rel=1e-9, abs=1e-12)
 
@@ -366,7 +373,7 @@ def test_bigram_histogram_counts_and_boundaries(spark):
     assert bigram_histogram(df, min_count=3).count() == 0
 
 
-@pytest.mark.parametrize("strategy", ["expr", "arrow"])
+@pytest.mark.parametrize("strategy", ["expr", "expr_map", "arrow"])
 def test_bigram_logprob_hand_computed(spark, strategy):
     import math
 

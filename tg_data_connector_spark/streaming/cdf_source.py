@@ -284,7 +284,10 @@ class LakeCDFStreamReader(DataSourceStreamReader):
             )
 
         if val["parent"] and out.num_rows:
-            seen: set = set()
+            # keys stay Arrow end-to-end: concat the parent composite-key
+            # arrays and let is_in hash them (it dedups internally) — no
+            # per-key Python set materialization on the batch path.
+            seen_arrs: list = []
             for pspec in val["parent"]:
                 praw = _read_parquet(
                     pspec["path"], [pspec["key"], "_lsn", "_seq"]
@@ -295,12 +298,17 @@ class LakeCDFStreamReader(DataSourceStreamReader):
                     praw = praw.select(
                         [pspec["key"], "_lsn", "_seq"]
                     ).rename_columns([val["key"], "_lsn", "_seq"])
-                seen.update(composite(praw, val["key"]).to_pylist())
-            if seen:
+                arr = composite(praw, val["key"])
+                if isinstance(arr, pa.ChunkedArray):
+                    arr = arr.combine_chunks()
+                seen_arrs.append(arr)
+            value_set = (
+                pa.concat_arrays(seen_arrs) if seen_arrs else None
+            )
+            if value_set is not None and len(value_set):
                 mask = pc.invert(
                     pc.is_in(
-                        composite(out, val["key"]),
-                        value_set=pa.array(sorted(seen), pa.string()),
+                        composite(out, val["key"]), value_set=value_set
                     )
                 )
                 out = out.filter(mask)
