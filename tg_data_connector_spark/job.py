@@ -551,6 +551,15 @@ def pre_check(spark: SparkSession, config) -> list[str]:
                 problems.append(f"writer: jdbc requires {req!r}")
         if w.get("writeMode") in ("replace", "update") and not w.get("writeKeys"):
             problems.append("writer: jdbc writeMode=replace/update requires writeKeys")
+        if w.get("url"):
+            # the reference preCheck opens a real connection to the target
+            # (JobContainer.preCheck); do the same rather than parsing
+            # target-dialect SQL with Spark's parser
+            try:
+                _jdbc_connect(spark, w).close()
+            except Exception as ex:
+                head = " ".join(str(ex).splitlines()[:2]).strip()
+                problems.append(f"writer: jdbc connect: {head}")
     if w.get("type") == "lake_merge" and w.get("writeMode") == "mergeInto":
         mi = w.get("merge")
         if not isinstance(mi, dict):
@@ -569,15 +578,6 @@ def pre_check(spark: SparkSession, config) -> list[str]:
                     except Exception as ex:
                         head = " ".join(str(ex).splitlines()[:2]).strip()
                         problems.append(f"writer: merge {cond}: {head}")
-        if w.get("url"):
-            # the reference preCheck opens a real connection to the target
-            # (JobContainer.preCheck); do the same rather than parsing
-            # target-dialect SQL with Spark's parser
-            try:
-                _jdbc_connect(spark, w).close()
-            except Exception as ex:
-                head = " ".join(str(ex).splitlines()[:2]).strip()
-                problems.append(f"writer: jdbc connect: {head}")
     for stmt in cfg.get("preSql", []) + cfg.get("postSql", []):
         try:
             _parse_only(spark, _render_sql(stmt, w))
