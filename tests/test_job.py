@@ -583,3 +583,55 @@ def test_merge_into_job_validation_and_run(spark, tmp_path):
     })
     got = {r["doc_id"]: r["v"] for r in LakeTable(spark, root).read().collect()}
     assert got == {1: "a!", 9: "c"}
+
+
+def test_jsonl_reader_tokens_and_quarantine(spark, tmp_path):
+    """JSONL ingest of the input-hint row shape (doc_id, tokens array<int>,
+    n_tok, source): clean lines land typed; malformed JSON and
+    type-violating lines ride the _dirty quarantine channel, never the sink."""
+    import json
+
+    src = tmp_path / "in"
+    src.mkdir()
+    lines = [
+        json.dumps({"doc_id": "d1", "tokens": [1, 2, 3], "n_tok": 3,
+                    "source": "s"}),
+        json.dumps({"doc_id": "d2", "tokens": [], "n_tok": 0, "source": "s"}),
+        '{"doc_id": "d3", "tokens": [1,',             # malformed JSON
+        json.dumps({"doc_id": "d4", "tokens": "oops", "n_tok": 1,
+                    "source": "s"}),                   # type violation
+    ]
+    (src / "a.json").write_text("\n".join(lines) + "\n")
+    out = str(tmp_path / "out")
+    res = run_job(spark, {
+        "reader": {
+            "type": "jsonl",
+            "path": str(src),
+            "column": [
+                {"name": "doc_id", "type": "string"},
+                {"name": "tokens", "type": "array<int>"},
+                {"name": "n_tok", "type": "int"},
+                {"name": "source", "type": "string"},
+            ],
+        },
+        "writer": {"type": "parquet", "path": out, "writeMode": "truncate"},
+        "errorLimit": {"record": 2},
+    })
+    assert (res.records_read, res.records_written, res.dirty_records) == (2, 2, 2)
+    got = {r["doc_id"]: r["tokens"] for r in spark.read.parquet(out).collect()}
+    assert got == {"d1": [1, 2, 3], "d2": []}
+    # schema lands typed, not inferred
+    assert dict(spark.read.parquet(out).dtypes)["tokens"] == "array<int>"
+
+
+def test_jsonl_reader_requires_column(spark, tmp_path):
+    with pytest.raises(JobValidationError, match="column"):
+        run_job(spark, {
+            "reader": {"type": "jsonl", "path": str(tmp_path)},
+            "writer": {"type": "console"},
+        })
+    problems = pre_check(spark, {
+        "reader": {"type": "jsonl", "path": str(tmp_path)},
+        "writer": {"type": "console"},
+    })
+    assert any("column" in p for p in problems)

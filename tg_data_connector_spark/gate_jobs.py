@@ -843,7 +843,66 @@ def sql_job_training_export() -> str:
     return sql_seq_packing()
 
 
+# ------------------------------- S7b: JSON-lines reader (typed + quarantine)
+def q_job_jsonl_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL document ingest through the config surface: stage documents
+    rows as JSON lines plus two corrupt lines (one malformed JSON, one
+    type-violating record), run the `jsonl` reader -> parquet writer job,
+    and return the landed rows. The corrupt lines must be quarantined as
+    dirty (PERMISSIVE corrupt-record channel -> `_dirty`), never written,
+    never fatal. Oracle recomputes the clean set from the documents table."""
+    import json as _json
+    import os
+
+    stage = tempfile.mkdtemp(prefix="tg_gate_jsonl_") + "/in"
+    out = tempfile.mkdtemp(prefix="tg_gate_jsonl_") + "/out"
+    docs = (
+        spark.read.parquet(_t(sf_dir, "documents"))
+        .where("doc_id < 400")
+        .selectExpr(
+            "doc_id", "lang", "substr(text, 1, 12) AS head", "n_chars"
+        )
+    )
+    docs.coalesce(1).write.mode("overwrite").json(stage)
+    bad = [
+        '{"doc_id": 7, "lang": "en", "head": "trunca',     # malformed JSON
+        _json.dumps({"doc_id": "not_a_number", "lang": "xx",
+                     "head": "bad", "n_chars": 1}),         # type violation
+    ]
+    with open(os.path.join(stage, "zz_corrupt.json"), "w") as f:
+        f.write("\n".join(bad) + "\n")
+    res = run_job(
+        spark,
+        {
+            "reader": {
+                "type": "jsonl",
+                "path": stage,
+                "column": [
+                    {"name": "doc_id", "type": "bigint"},
+                    {"name": "lang", "type": "string"},
+                    {"name": "head", "type": "string"},
+                    {"name": "n_chars", "type": "bigint"},
+                ],
+            },
+            "writer": {"type": "parquet", "path": out,
+                       "writeMode": "truncate"},
+            "errorLimit": {"record": 2},
+        },
+    )
+    assert res.dirty_records == 2, res
+    assert res.records_written == res.records_read  # clean rows only
+    return spark.read.parquet(out)
+
+
+def sql_job_jsonl_read() -> str:
+    return """
+    SELECT doc_id, lang, substr(text, 1, 12) AS head, n_chars
+    FROM documents WHERE doc_id < 400
+    """
+
+
 JOB_QUERIES = {
+    "job_jsonl_read": (q_job_jsonl_read, sql_job_jsonl_read),
     "job_cdc_pipeline": (q_job_cdc_pipeline, sql_job_cdc_pipeline),
     "job_training_export": (q_job_training_export, sql_job_training_export),
     "jdbc_live_roundtrip": (q_jdbc_live_roundtrip, sql_jdbc_live_roundtrip),

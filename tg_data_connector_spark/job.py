@@ -9,7 +9,7 @@ the same declarative surface over the Spark engine:
 
   {
     "reader":       {"type": "parquet|csv|sharded_parquet|jdbc|sql|csv_multi|
-                              cdc_topic|lake", ...},
+                              jsonl|cdc_topic|lake", ...},
     "transformers": [{"name": "dx_substr", "column": ..., "paras": [...]}, ...],
     "writer":       {"type": "lake_merge|lake_replay|parquet|csv|console|
                               training_export|jdbc", "writeMode": ...},
@@ -106,6 +106,34 @@ def _read_flagged(spark: SparkSession, cfg: dict) -> DataFrame:
             null_format=cfg.get("nullFormat"),
             skip_lines=int(cfg.get("skipLines", 0)),
             compression=cfg.get("compress"),
+        )
+    if typ == "jsonl":
+        # JSON-lines ingest — the dominant raw interchange format for
+        # web-scale text/token corpora. An EXPLICIT column schema is
+        # required (reference reader-config semantics: every DataX reader
+        # declares `column`; schema inference would also force a second
+        # full scan of 100-TB inputs). PERMISSIVE parse: unparseable or
+        # schema-violating lines surface through the corrupt-record column
+        # and ride the standard `_dirty` quarantine channel instead of
+        # failing the job (TaskPluginCollector dirty semantics). Types are
+        # any Spark DDL string, so `tokens array<int>` ingests directly.
+        from pyspark.sql.types import StringType, StructType
+
+        if not cfg.get("column"):
+            raise JobValidationError("jsonl reader requires 'column'")
+        schema = StructType.fromDDL(  # full DDL types: array<int> etc.
+            ", ".join(f"`{e['name']}` {e['type']}" for e in cfg["column"])
+        )
+        names = [f.name for f in schema.fields]
+        schema = schema.add("_corrupt", StringType())
+        df = (
+            spark.read.schema(schema)
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_corrupt")
+            .json(cfg["path"])
+        )
+        return df.select(
+            *names, F.col("_corrupt").isNotNull().alias("_dirty")
         )
     if typ == "sql":
         # querySql mode (ReaderSplitUtil.java:97-107): user-supplied SQL, one
