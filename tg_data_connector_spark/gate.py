@@ -3018,6 +3018,51 @@ def sql_dedup_token_spans() -> str:
     """
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time enrichment: each click event picks up the user's most
+    recent purchase at or before it (union-and-carry plan: ONE key exchange,
+    O(|L|+|R|) intermediate — never the non-equi-join cross product).
+    Right side deduped to one row per (user, ts) so the match is
+    well-defined under same-instant purchases at any sf."""
+    from .operators.asof import asof_join
+
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    r = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_id").alias("p_event"),
+            F.max_by("value", "event_id").alias("p_value"),
+        )
+    )
+    l = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = asof_join(l, r, on="user_id", ts="ts", suffix="_p")
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.col("ts_p").alias("p_ts"),
+        F.col("p_event_p").alias("p_event"),
+        F.col("p_value_p").alias("p_value"),
+    )
+
+
+def sql_asof_join() -> str:
+    return """
+    WITH r AS (SELECT user_id, ts, max(event_id) AS p_event,
+                      arg_max(value, event_id) AS p_value
+               FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+         l AS (SELECT event_id, user_id, ts, value
+               FROM events WHERE event_type = 'click')
+    SELECT l.event_id, l.user_id, l.ts, l.value,
+           r.ts AS p_ts, r.p_event AS p_event, r.p_value AS p_value
+    FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+    """
+
+
 QUERIES = {
     "cdc_changelog_derive": (q_cdc_changelog, sql_cdc_changelog),
     "cdc_quarantine_counts": (q_cdc_quarantine, sql_cdc_quarantine),
@@ -3093,6 +3138,7 @@ QUERIES = {
     "dedup_token_spans": (q_dedup_token_spans, sql_dedup_token_spans),
     "pack_bins_greedy": (q_pack_bins_greedy, sql_pack_bins_greedy),
     "pack_bins_assemble": (q_pack_bins_assemble, sql_pack_bins_assemble),
+    "asof_join": (q_asof_join, sql_asof_join),
 }
 
 
