@@ -130,6 +130,36 @@ class ReplayConfig:
     error_limit: ErrorLimit = field(default_factory=lambda: ErrorLimit(percentage=0.05))
     quarantine_dir: str | None = None
     parse_payload: bool = False  # input carries binary payload -> vectorized parse
+    # Declarative data-quality EXPECTATIONS (the Delta Live Tables
+    # CONSTRAINT ... EXPECT surface): named boolean SQL predicates evaluated
+    # per EVENT, before LWW dedup, so dropping a violator commutes with
+    # replay (the event never existed — no batch-boundary dependence).
+    # Violation = predicate FALSE OR NULL (DLT rule; guard nullable columns
+    # explicitly — e.g. delete events carry NULL n_tok, so a token bound
+    # must read "op = 'D' OR n_tok <= k"). Contract-dirty rows and schema
+    # events are exempt (they have their own paths). Cost: ONE narrow
+    # column-pruned aggregate job per batch, only when expectations are set.
+    expectations: "list[Expectation]" = field(default_factory=list)
+
+
+@dataclass
+class Expectation:
+    """One named rule. action: "warn" (count only), "drop" (violators
+    quarantine under <quarantine_dir>/_expectations and never reach the
+    merge), "fail" (any violator aborts the batch pre-stage, watermark
+    unadvanced — the re-run retries the same batch, AuditRejected-style)."""
+
+    name: str
+    predicate: str  # SQL boolean expression over event columns; True = pass
+    action: str = "warn"
+
+    def __post_init__(self):
+        if self.action not in ("warn", "drop", "fail"):
+            raise ValueError(f"unknown expectation action: {self.action!r}")
+
+
+class ExpectationFailed(RuntimeError):
+    """A fail-action expectation had violations; the batch was not applied."""
 
 
 class AuditRejected(RuntimeError):
@@ -148,6 +178,8 @@ class BatchReport:
     skipped: bool = False
     schema_changes: int = 0
     phases: dict = field(default_factory=dict)
+    # per-expectation violation counts for this batch (name -> rows)
+    expectations: dict = field(default_factory=dict)
 
 
 class ReplayEngine:
@@ -307,6 +339,56 @@ class ReplayEngine:
         )
         return report
 
+    def _apply_expectations(
+        self, batch: DataFrame, dirty_pred, batch_id: str
+    ) -> tuple[DataFrame, dict]:
+        """Evaluate ReplayConfig.expectations on one batch. Returns the
+        (possibly drop-filtered) batch plus per-rule violation counts.
+
+        Scope: data events only — schema events and contract-dirty rows are
+        exempt (each has its own path). Violation = predicate FALSE or NULL.
+        Counting is ONE narrow aggregate job; Catalyst prunes the scan to the
+        columns the predicates reference. fail-action rules abort BEFORE any
+        staging/quarantine side effect, so the retry replays a pristine batch.
+        """
+        import functools
+
+        exps = self.cfg.expectations
+        exempt = F.col("op").eqNullSafe(F.lit("S")) | dirty_pred
+        viols = [
+            ~exempt & ~F.coalesce(F.expr(e.predicate), F.lit(False))
+            for e in exps
+        ]
+        row = batch.agg(
+            *[F.sum(v.cast("long")).alias(f"e{i}") for i, v in enumerate(viols)]
+        ).collect()[0]
+        counts = {e.name: int(row[f"e{i}"] or 0) for i, e in enumerate(exps)}
+        for e in exps:
+            if e.action == "fail" and counts[e.name] > 0:
+                raise ExpectationFailed(
+                    f"expectation {e.name!r}: {counts[e.name]} violating "
+                    f"events in batch {batch_id}; batch not applied"
+                )
+        droppable = [
+            (e, v) for e, v in zip(exps, viols) if e.action == "drop"
+        ]
+        if droppable and any(counts[e.name] for e, _ in droppable):
+            drop_pred = functools.reduce(lambda a, b: a | b, (v for _, v in droppable))
+            if self.cfg.quarantine_dir:
+                # underscore-prefixed subdir: invisible to a parquet read of
+                # quarantine_dir itself (hidden-path convention), explicit
+                # reads of .../_expectations see the rule-tagged rows
+                rules = F.array_compact(
+                    F.array(*[F.when(v, F.lit(e.name)) for e, v in droppable])
+                )
+                batch.where(drop_pred).withColumn("_rules", rules).withColumn(
+                    "_batch_id", F.lit(batch_id)
+                ).write.mode("append").parquet(
+                    self.cfg.quarantine_dir + "/_expectations"
+                )
+            batch = batch.where(~drop_pred)
+        return batch, counts
+
     def _apply_batch_inner(
         self,
         batch: DataFrame,
@@ -322,6 +404,12 @@ class ReplayEngine:
         from .quality import contract_predicate
 
         pred = contract_predicate(batch)
+        exp_counts: dict[str, int] = {}
+        if self.cfg.expectations:
+            # before the dirty-quarantine write: a fail-action abort must not
+            # have appended this batch's dirty rows yet (the retry would
+            # duplicate them in the quarantine dir)
+            batch, exp_counts = self._apply_expectations(batch, pred, batch_id)
         clean = batch.where(~pred)
         if self.cfg.quarantine_dir:
             batch.where(pred).withColumn(
@@ -399,6 +487,7 @@ class ReplayEngine:
                 deduped_total,
                 time.time() - t0,
                 schema_changes=len(bounds),
+                expectations=exp_counts,
             ),
             dirty_by_part,
         )

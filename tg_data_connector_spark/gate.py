@@ -3018,6 +3018,52 @@ def sql_dedup_token_spans() -> str:
     """
 
 
+def q_cdc_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship replay under declarative data-quality EXPECTATIONS (the DLT
+    CONSTRAINT..EXPECT surface): a drop-action rule removes clean events with
+    n_tok > 15 BEFORE LWW dedup (event-level drop commutes with replay, so
+    the DuckDB oracle is just the flagship with the rule folded into its
+    clean filter); a warn-action rule counts without filtering. Delete
+    events carry NULL n_tok, hence the op = 'D' guard in the rule."""
+    from .cdc.replay import Expectation
+
+    root = tempfile.mkdtemp(prefix="tgspark_gate_")
+    table = LakeTable.create(
+        spark, f"{root}/seq", SEQ_SCHEMA, key="doc_id", n_buckets=16
+    )
+    table.append(derive_seed(spark, sf_dir), lsn_col=F.lit(-1), seq_col=F.lit(0))
+    cfg = ReplayConfig(
+        events_per_batch=50_000,
+        expectations=[
+            Expectation("tok_bound", "op = 'D' OR n_tok <= 15", "drop"),
+            Expectation("known_source", "source IS NOT NULL", "warn"),
+        ],
+    )
+    eng = ReplayEngine(spark, table, cfg)
+    eng.replay(derive_changelog(spark, sf_dir), run_id="gate_exp")
+    final = table.read()
+    return final.select(
+        "doc_id", _csv(F.col("tokens")).alias("tokens_csv"), "n_tok", "source"
+    )
+
+
+def sql_cdc_expectations() -> str:
+    return f"""
+    WITH log AS ({CHANGELOG_SQL}),
+    clean AS (SELECT * FROM log
+              WHERE NOT {DIRTY_SQL} AND (op = 'D' OR n_tok <= 15)),
+    latest AS (
+      SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                     ORDER BY commit_lsn DESC, seq_no DESC) AS rn FROM clean)
+      WHERE rn = 1),
+    seed AS ({SEED_SQL})
+    SELECT doc_id, {_CSV} AS tokens_csv, n_tok, source FROM latest WHERE op <> 'D'
+    UNION ALL
+    SELECT s.doc_id, array_to_string(s.tokens, ',') AS tokens_csv, s.n_tok, s.source
+    FROM seed s ANTI JOIN latest l ON s.doc_id = l.doc_id
+    """
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time enrichment: each click event picks up the user's most
     recent purchase at or before it (union-and-carry plan: ONE key exchange,
@@ -3139,6 +3185,7 @@ QUERIES = {
     "pack_bins_greedy": (q_pack_bins_greedy, sql_pack_bins_greedy),
     "pack_bins_assemble": (q_pack_bins_assemble, sql_pack_bins_assemble),
     "asof_join": (q_asof_join, sql_asof_join),
+    "cdc_expectations": (q_cdc_expectations, sql_cdc_expectations),
 }
 
 
