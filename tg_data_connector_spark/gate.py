@@ -3018,6 +3018,72 @@ def sql_dedup_token_spans() -> str:
     """
 
 
+def q_lake_skipping_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generalized column-stats data skipping (Iceberg's lower/upper-bounds
+    pruning beyond the key): a table created with stats_cols records per-file
+    min/max for declared NON-key columns via one distributed footer job per
+    commit; read(filters=...) drops files whose range provably excludes a
+    conjunct BEFORE the scan plans, then applies the same predicates
+    row-level. Loaded in 4 n_tok-banded appends so file ranges are tight;
+    the in-line assert pins that pruning actually skipped files (the read
+    below would still be CORRECT without pruning — the assert is what makes
+    this a skipping test, not a filter test)."""
+    docs = spark.read.parquet(_t(sf_dir, "documents")).select(
+        F.col("doc_id").alias("_d"), "source"
+    )
+    d = F.col("_d")
+    n = (F.lit(1) + d % 40).cast("int")
+    base = docs.select(
+        F.concat(F.lit("d"), F.lpad(d.cast("string"), 8, "0")).alias("doc_id"),
+        F.transform(
+            F.sequence(F.lit(0), (d % 40).cast("int")),
+            lambda i: ((d * 13 + i * 7) % TOK_MOD).cast("int"),
+        ).alias("tokens"),
+        n.alias("n_tok"),
+        F.col("source").alias("source"),
+        (d % 40).alias("_band"),
+    )
+    root = tempfile.mkdtemp(prefix="tgspark_gate_")
+    table = LakeTable.create(
+        spark,
+        f"{root}/seq",
+        SEQ_SCHEMA,
+        key="doc_id",
+        n_buckets=8,
+        stats_cols=["n_tok", "source"],
+    )
+    for lo, hi in ((0, 10), (10, 20), (20, 30), (30, 40)):
+        band = base.where((F.col("_band") >= lo) & (F.col("_band") < hi)).drop(
+            "_band"
+        )
+        table.append(band, lsn_col=F.lit(lo), seq_col=F.lit(0))
+    total = len(table.snapshot().files)
+    out = table.read(filters=[("n_tok", ">=", 20), ("source", "=", "src7")])
+    out = out.select(
+        "doc_id", _csv(F.col("tokens")).alias("tokens_csv"), "n_tok", "source"
+    )
+    # force planning-time pruning accounting, then pin that files were skipped
+    out.count()
+    assert table._last_scan_file_count < total, (
+        table._last_scan_file_count,
+        total,
+    )
+    return out
+
+
+def sql_lake_skipping_read() -> str:
+    return f"""
+    SELECT 'd' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS doc_id,
+           array_to_string(list_transform(range(0, CAST(1 + doc_id % 40 AS BIGINT)),
+                                          i -> (doc_id*13 + i*7) % {TOK_MOD}), ',')
+             AS tokens_csv,
+           CAST(1 + doc_id % 40 AS INT) AS n_tok,
+           source
+    FROM documents
+    WHERE 1 + doc_id % 40 >= 20 AND source = 'src7'
+    """
+
+
 def q_cdc_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship replay under declarative data-quality EXPECTATIONS (the DLT
     CONSTRAINT..EXPECT surface): a drop-action rule removes clean events with
@@ -3186,6 +3252,7 @@ QUERIES = {
     "pack_bins_assemble": (q_pack_bins_assemble, sql_pack_bins_assemble),
     "asof_join": (q_asof_join, sql_asof_join),
     "cdc_expectations": (q_cdc_expectations, sql_cdc_expectations),
+    "lake_skipping_read": (q_lake_skipping_read, sql_lake_skipping_read),
 }
 
 

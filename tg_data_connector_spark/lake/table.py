@@ -82,6 +82,111 @@ def _footer_info(arg: tuple[str, str]) -> tuple[int, object, object]:
     return rows, kmin, kmax
 
 
+def _footer_col_stats(arg: tuple[str, tuple]) -> dict:
+    """Executor-side parquet footer read: {col: [min, max]} folded across row
+    groups for each requested column. A column missing from the file, lacking
+    statistics in ANY row group, or of a non-JSON-stable type (anything but
+    str/int/float) is omitted — pruning then conservatively keeps the file."""
+    import pyarrow.parquet as pq
+
+    path, cols = arg
+    md = pq.ParquetFile(path).metadata
+    out: dict = {}
+    if not md.num_row_groups:
+        return out
+    rg0 = md.row_group(0)
+    idx = {}
+    for i in range(rg0.num_columns):
+        name = rg0.column(i).path_in_schema
+        if name in cols:
+            idx[name] = i
+    for name, i in idx.items():
+        mn = mx = None
+        for g in range(md.num_row_groups):
+            st = md.row_group(g).column(i).statistics
+            if st is None or not st.has_min_max:
+                mn = mx = None
+                break
+            lo, hi = st.min, st.max
+            if isinstance(lo, bytes):
+                try:
+                    lo, hi = lo.decode("utf-8"), hi.decode("utf-8")
+                except UnicodeDecodeError:
+                    mn = mx = None
+                    break
+            if not isinstance(lo, (str, int, float)) or isinstance(lo, bool):
+                mn = mx = None
+                break
+            mn = lo if mn is None or lo < mn else mn
+            mx = hi if mx is None or hi > mx else mx
+        if mn is not None and mx is not None:
+            out[name] = [mn, mx]
+    return out
+
+
+_PRUNE_OPS = ("=", "!=", "<", "<=", ">", ">=", "in")
+
+
+def _range_excludes(mn, mx, op: str, val) -> bool:
+    """True only when [mn, mx] PROVABLY excludes every row satisfying
+    ``col <op> val`` — the file can then be skipped. Any doubt -> False."""
+    try:
+        if op == "=":
+            return val < mn or val > mx
+        if op == "in":
+            return all(v < mn or v > mx for v in val)
+        if op == "!=":
+            return mn == mx == val
+        if op == "<":
+            return mn >= val
+        if op == "<=":
+            return mn > val
+        if op == ">":
+            return mx <= val
+        if op == ">=":
+            return mx < val
+    except TypeError:  # filter value doesn't order against stored stats
+        return False
+    return False
+
+
+def _file_excluded(entry: dict, filters: list) -> bool:
+    """Conjunctive column-stats pruning over an entry's recorded per-file
+    ranges (``cstats`` from stats_cols; the key's kmin/kmax also usable).
+    Missing stats for a referenced column keep the file."""
+    cs = entry.get("cstats") or {}
+    for col, op, val in filters:
+        rng = cs.get(col)
+        if rng is not None and _range_excludes(rng[0], rng[1], op, val):
+            return True
+    return False
+
+
+def _filters_to_column(filters: list):
+    """The same conjuncts as row-level Spark predicates."""
+    from pyspark.sql import functions as _F
+
+    out = None
+    for col, op, val in filters:
+        c = _F.col(col)
+        if op == "=":
+            cond = c == _F.lit(val)
+        elif op == "!=":
+            cond = c != _F.lit(val)
+        elif op == "<":
+            cond = c < _F.lit(val)
+        elif op == "<=":
+            cond = c <= _F.lit(val)
+        elif op == ">":
+            cond = c > _F.lit(val)
+        elif op == ">=":
+            cond = c >= _F.lit(val)
+        else:  # "in" — validated upstream
+            cond = c.isin(list(val))
+        out = cond if out is None else out & cond
+    return out
+
+
 def _file_may_contain(entry: dict, keys: list) -> bool:
     """Manifest-level data skipping: False only when the file's recorded key
     range provably excludes every probe key. Files without stats (older
@@ -315,6 +420,7 @@ class LakeTable:
         codec: str | None = "zstd",
         bloom_key: bool = False,
         bloom_ndv: int | None = None,
+        stats_cols: "list[str] | None" = None,
     ) -> "LakeTable":
         """``codec``: parquet compression for this table's data files
         (recorded in _meta.json so every writer of the table agrees;
@@ -336,7 +442,16 @@ class LakeTable:
         default, SET FROM DATA: tools/ab_bloom.py / BENCH.md round 4.
         ``bloom_ndv``: expected distinct keys PER FILE (sizes the bitset;
         parquet's default 1M costs ~1.2 MB per file — set it to about
-        rows/n_buckets)."""
+        rows/n_buckets).
+
+        ``stats_cols``: NON-key columns to record per-file min/max for in
+        the manifest (Iceberg column-stats skipping beyond the key):
+        ``read(filters=...)`` drops files whose recorded range provably
+        excludes a conjunct before the scan plans. Worth it for columns the
+        write pattern CLUSTERS (a time-ish attribute under append batches, a
+        source column under per-source loads); a column uncorrelated with
+        file placement yields full-range stats that never prune. Collected
+        by one distributed parquet-footer job per commit."""
         t = LakeTable(spark, root, fs=fs)
         t.fs.makedirs(os.path.join(root, "_versions"))
         t.fs.makedirs(os.path.join(root, "_manifests"))
@@ -360,6 +475,7 @@ class LakeTable:
                     **({"codec": codec} if codec else {}),
                     **({"bloom_key": True} if bloom_key else {}),
                     **({"bloom_ndv": int(bloom_ndv)} if bloom_ndv else {}),
+                    **({"stats_cols": list(stats_cols)} if stats_cols else {}),
                 },
                 f,
             )
@@ -633,6 +749,7 @@ class LakeTable:
         buckets: list[int] | None = None,
         with_lineage: bool = False,
         keys: list | None = None,
+        filters: list | None = None,
     ) -> DataFrame:
         """Read the table at a snapshot, optionally pruned to a bucket subset.
 
@@ -647,6 +764,21 @@ class LakeTable:
         contribute nothing to that key's resolution. NOTE: this prunes files
         only — the caller still applies the row-level key predicate.
 
+        ``filters``: conjunctive ``(col, op, value)`` predicates (op in
+        ``=  !=  <  <=  >  >=  in``) — pyarrow's simple-filter shape. Two
+        effects, one declaration: files whose recorded ``stats_cols`` range
+        provably excludes a conjunct are dropped BEFORE the scan plans
+        (manifest pruning), and the same predicates are applied row-level
+        (pushed into the parquet scan by Catalyst, so surviving files decode
+        only matching row groups). NON-KEY file pruning is disabled when the
+        candidate set holds merge-on-read delta files: a key's winning
+        version can sit in a delta file whose attribute range fails the
+        filter while an older losing version passes it in the base — pruning
+        the delta file first would resurrect the loser. (Key-range pruning
+        via ``keys`` has no such hazard: any file that can contain a probed
+        key is kept, so LWW sees every version.) Compact first to restore
+        skipping.
+
         Files written under older schemas are read with their write-time schema
         and cast/null-filled up to the current schema (transactional widen /
         add-column, see ``evolve.py``).
@@ -659,6 +791,12 @@ class LakeTable:
             files = [f for f in files if f["bucket"] in bset]
         if keys:
             files = [f for f in files if _file_may_contain(f, keys)]
+        if filters:
+            bad = [f for f in filters if f[1] not in _PRUNE_OPS]
+            if bad:
+                raise ValueError(f"unsupported filter op(s): {bad}")
+            if not any(f.get("kind") == "delta" for f in files):
+                files = [f for f in files if not _file_excluded(f, filters)]
         self._last_scan_file_count = len(files)  # test/ops introspection
         out = self._read_file_entries(
             files, snap.schemas, cur, target_sid=snap.schema_id
@@ -684,6 +822,10 @@ class LakeTable:
             # _deleted is written non-null by every writer; a bare NOT predicate
             # (rather than coalesce) stays pushdown-eligible at the parquet scan
             out = out.where(~F.col(DELETED_COL)).drop(*LINEAGE_COLS)
+        if filters:
+            # row-level truth AFTER LWW resolution (file pruning above is
+            # only ever a superset); plain comparisons push to the scan
+            out = out.where(_filters_to_column(filters))
         return out
 
     def lookup(
@@ -1028,6 +1170,23 @@ class LakeTable:
                 e["rows"] = n
                 if kmin is not None and kmax is not None:
                     e["kmin"], e["kmax"] = kmin, kmax
+        stats_cols = [
+            c for c in self.meta().get("stats_cols", ()) if c in df.columns
+        ]
+        if stats_cols and entries:
+            # generalized column stats (read(filters=...) pruning): one
+            # distributed footer job per commit — executors fold row-group
+            # min/max per declared column; never an O(files) driver loop
+            cols = tuple(stats_cols)
+            args = [(os.path.join(self.root, e["path"]), cols) for e in entries]
+            stats = (
+                self.spark.sparkContext.parallelize(args, max(1, len(args) // 64))
+                .map(_footer_col_stats)
+                .collect()
+            )
+            for e, cs in zip(entries, stats):
+                if cs:
+                    e["cstats"] = cs
         if crash_after_stage:  # test hook: simulate dying between the two phases
             raise RuntimeError("simulated crash after stage, before publish")
         return entries
