@@ -118,3 +118,88 @@ def test_mor_delta_disables_file_pruning(spark, table):
     assert table._last_scan_file_count < len(table.snapshot().files) or (
         table._last_scan_file_count < total
     )  # pruning active again post-compaction
+
+
+def _interleaved(spark, n):
+    # n_tok VALUES are interleaved across arrival order: every append-time
+    # file spans the full n_tok range, so append stats never prune
+    i = F.col("id")
+    n_tok = (i % 97 + 1).cast("int")
+    return spark.range(n).select(
+        F.concat(F.lit("k"), i.cast("string")).alias("doc_id"),
+        F.transform(
+            F.sequence(F.lit(1), n_tok), lambda x: x.cast("int")
+        ).alias("tokens"),
+        n_tok.alias("n_tok"),
+        F.lit("web").alias("source"),
+    )
+
+
+def test_clustered_compaction_enables_pruning(spark):
+    from tg_data_connector_spark.lake.maintain import compact
+
+    root = tempfile.mkdtemp(prefix="tgspark_clus_")
+    t = LakeTable.create(
+        spark,
+        f"{root}/t",
+        SCHEMA,
+        key="doc_id",
+        n_buckets=4,
+        stats_cols=["n_tok"],
+        cluster_cols=["n_tok"],
+    )
+    t.append(_interleaved(spark, 4000), lsn_col=F.lit(1))
+    # arrival order is value-interleaved: no pruning before compaction
+    t.read(filters=[("n_tok", "<", 10)]).count()
+    before_scan = t._last_scan_file_count
+    before_total = len(t.snapshot().files)
+    assert before_scan == before_total
+
+    compact(t, files_per_bucket=4)  # cluster_by defaults to meta cluster_cols
+    after_total = len(t.snapshot().files)
+    assert after_total > 4  # several range-split files per bucket
+
+    got = t.read(filters=[("n_tok", "<", 10)])
+    rows = got.collect()
+    assert t._last_scan_file_count < after_total  # pruning now effective
+    # parity with a plain row-level filter
+    exp = t.read().where("n_tok < 10")
+    assert got.exceptAll(exp).count() == 0 and exp.exceptAll(got).count() == 0
+    assert len(rows) == exp.count()
+
+
+def test_clustered_compaction_preserves_lww_and_tombstones(spark):
+    from tg_data_connector_spark.lake.maintain import compact
+    from tg_data_connector_spark.lake.merge import delta_append
+
+    root = tempfile.mkdtemp(prefix="tgspark_clus2_")
+    t = LakeTable.create(
+        spark,
+        f"{root}/t",
+        SCHEMA,
+        key="doc_id",
+        n_buckets=2,
+        stats_cols=["n_tok"],
+    )
+    t.append(_interleaved(spark, 500), lsn_col=F.lit(1))
+    changes = spark.createDataFrame(
+        [
+            ("k7", [1, 2], 2, "web", "U", 5, 0),
+            ("k8", None, None, None, "D", 5, 1),
+        ],
+        "doc_id string, tokens array<int>, n_tok int, source string, "
+        "op string, commit_lsn bigint, seq_no bigint",
+    )
+    delta_append(t, changes)
+    baseline = t.read().orderBy("doc_id").collect()
+    compact(t, cluster_by=["n_tok"], files_per_bucket=3)
+    after = t.read().orderBy("doc_id").collect()
+    assert baseline == after  # rewrite is logically a no-op
+    assert t.read().where("doc_id = 'k8'").count() == 0
+
+
+def test_cluster_by_unknown_column_rejected(spark, table):
+    from tg_data_connector_spark.lake.maintain import compact
+
+    with pytest.raises(ValueError):
+        compact(table, cluster_by=["nope"])

@@ -3084,6 +3084,70 @@ def sql_lake_skipping_read() -> str:
     """
 
 
+def q_lake_clustered_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustered compaction (Iceberg rewrite_data_files with a sort order /
+    Delta OPTIMIZE ZORDER-lite, lake/maintain.compact cluster_by): documents
+    land in ONE value-interleaved append, so every file spans the full n_tok
+    range and stats_cols pruning is provably inert (asserted). One clustered
+    rewrite later — each bucket range-split into narrow n_tok slices — the
+    same read(filters=...) skips files at the manifest (asserted) and row
+    groups inside survivors via the pushed predicate over the within-file
+    sort. Same rows either way; what this entry pins is that MAINTENANCE
+    creates the data layout the filter needs, on arrival orders that never
+    cluster the column by themselves."""
+    docs = spark.read.parquet(_t(sf_dir, "documents")).select(
+        F.col("doc_id").alias("_d"), "source"
+    )
+    d = F.col("_d")
+    n = (F.lit(1) + d % 40).cast("int")
+    base = docs.select(
+        F.concat(F.lit("d"), F.lpad(d.cast("string"), 8, "0")).alias("doc_id"),
+        F.transform(
+            F.sequence(F.lit(0), (d % 40).cast("int")),
+            lambda i: ((d * 13 + i * 7) % TOK_MOD).cast("int"),
+        ).alias("tokens"),
+        n.alias("n_tok"),
+        F.col("source").alias("source"),
+    )
+    root = tempfile.mkdtemp(prefix="tgspark_gate_")
+    table = LakeTable.create(
+        spark,
+        f"{root}/seq",
+        SEQ_SCHEMA,
+        key="doc_id",
+        n_buckets=4,
+        stats_cols=["n_tok"],
+        cluster_cols=["n_tok"],
+    )
+    table.append(base, lsn_col=F.lit(1), seq_col=F.lit(0))
+    table.read(filters=[("n_tok", "<=", 5)]).count()
+    total = len(table.snapshot().files)
+    assert table._last_scan_file_count == total  # interleaved: nothing prunes
+
+    from .lake.maintain import compact
+
+    compact(table, files_per_bucket=4)  # cluster_by = declared cluster_cols
+    out = table.read(filters=[("n_tok", "<=", 5)]).select(
+        "doc_id", _csv(F.col("tokens")).alias("tokens_csv"), "n_tok", "source"
+    )
+    out.count()
+    assert table._last_scan_file_count < len(table.snapshot().files)
+    return out
+
+
+def sql_lake_clustered_compact() -> str:
+    return f"""
+    SELECT 'd' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS doc_id,
+           array_to_string(list_transform(range(0, CAST(1 + doc_id % 40 AS BIGINT)),
+                                          i -> (doc_id*13 + i*7) % {TOK_MOD}), ',')
+             AS tokens_csv,
+           CAST(1 + doc_id % 40 AS INT) AS n_tok,
+           source
+    FROM documents
+    WHERE 1 + doc_id % 40 <= 5
+    """
+
+
 def q_cdc_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship replay under declarative data-quality EXPECTATIONS (the DLT
     CONSTRAINT..EXPECT surface): a drop-action rule removes clean events with
@@ -3253,6 +3317,10 @@ QUERIES = {
     "asof_join": (q_asof_join, sql_asof_join),
     "cdc_expectations": (q_cdc_expectations, sql_cdc_expectations),
     "lake_skipping_read": (q_lake_skipping_read, sql_lake_skipping_read),
+    "lake_clustered_compact": (
+        q_lake_clustered_compact,
+        sql_lake_clustered_compact,
+    ),
 }
 
 

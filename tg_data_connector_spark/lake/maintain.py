@@ -32,6 +32,8 @@ def compact(
     table: LakeTable,
     purge_tombstones: bool = False,
     buckets: list[int] | None = None,
+    cluster_by: list[str] | None = None,
+    files_per_bucket: int = 4,
 ) -> Snapshot:
     """Rewrite buckets' files into one file each (small-file compaction),
     folding any merge-on-read delta files into the base (the resolved read
@@ -43,6 +45,20 @@ def compact(
     maintenance compacts the buckets whose delta depth crossed a threshold
     (``delta_depths`` below picks them), each run O(selected buckets). None
     compacts the whole table.
+
+    ``cluster_by`` (default: the table's declared ``cluster_cols``):
+    CLUSTERED rewrite — Iceberg's rewrite_data_files with a sort order /
+    Delta's OPTIMIZE ZORDER-lite. Each bucket is split into up to
+    ``files_per_bucket`` files by RANGE of the cluster columns
+    (``repartitionByRange`` on (bucket, *cluster), then a within-partition
+    sort), so every emitted file carries a tight min/max on those columns.
+    This is what makes ``stats_cols`` manifest pruning work on data whose
+    ARRIVAL order doesn't cluster the column: appends land value-interleaved
+    (full-range stats, nothing prunes), one clustered compaction later
+    ``read(filters=...)`` skips whole files, and the within-file sort makes
+    the pushed predicate skip row groups inside the survivors. Plain
+    compaction (``cluster_by=None`` and no declared cluster_cols) keeps the
+    old one-file-per-bucket behavior.
 
     Basis-protected: the rewrite embeds the rows of the snapshot it READ, so
     the commit passes ``expected_parent`` — a concurrent writer landing
@@ -56,7 +72,29 @@ def compact(
     if purge_tombstones:
         df = df.where(~F.col(DELETED_COL))
     df = df.withColumn(BUCKET_COL, bucket_expr(meta["key"], nb))
-    files = table.write_data_files(df, snap.schema_id, n_buckets=nb)
+    cluster = cluster_by if cluster_by is not None else meta.get("cluster_cols")
+    if cluster:
+        missing = [c for c in cluster if c not in df.columns]
+        if missing:
+            raise ValueError(f"cluster_by columns not in table: {missing}")
+        # range-split WITHIN buckets: partitions hold contiguous (bucket,
+        # cluster...) ranges, so partitionBy("b") emits ~files_per_bucket
+        # files per bucket, each spanning a narrow cluster-column slice.
+        # The shuffle is the same O(rows) exchange the plain rewrite pays —
+        # range instead of hash partitioning, plus one sampling pass.
+        n_parts = nb * max(1, files_per_bucket)
+        df = df.repartitionByRange(
+            n_parts, F.col(BUCKET_COL), *[F.col(c) for c in cluster]
+        )
+        files = table.write_data_files(
+            df,
+            snap.schema_id,
+            n_buckets=nb,
+            bucket_aligned=True,  # layout established above — no re-shuffle
+            sort_cols=list(cluster),
+        )
+    else:
+        files = table.write_data_files(df, snap.schema_id, n_buckets=nb)
     chosen = None if buckets is None else set(buckets)
     replace = sorted(
         {

@@ -421,6 +421,7 @@ class LakeTable:
         bloom_key: bool = False,
         bloom_ndv: int | None = None,
         stats_cols: "list[str] | None" = None,
+        cluster_cols: "list[str] | None" = None,
     ) -> "LakeTable":
         """``codec``: parquet compression for this table's data files
         (recorded in _meta.json so every writer of the table agrees;
@@ -451,7 +452,15 @@ class LakeTable:
         write pattern CLUSTERS (a time-ish attribute under append batches, a
         source column under per-source loads); a column uncorrelated with
         file placement yields full-range stats that never prune. Collected
-        by one distributed parquet-footer job per commit."""
+        by one distributed parquet-footer job per commit.
+
+        ``cluster_cols``: the table's DECLARED cluster order (Iceberg
+        SortOrder analog) — ``maintain.compact`` defaults to range-splitting
+        each bucket's rewrite on these columns, which is how a column whose
+        arrival order is uncorrelated with its value still earns pruning-
+        effective ``stats_cols`` ranges. Declaring both is the normal
+        pairing: stats_cols says WHAT the manifest tracks, cluster_cols says
+        what maintenance makes tight."""
         t = LakeTable(spark, root, fs=fs)
         t.fs.makedirs(os.path.join(root, "_versions"))
         t.fs.makedirs(os.path.join(root, "_manifests"))
@@ -476,6 +485,11 @@ class LakeTable:
                     **({"bloom_key": True} if bloom_key else {}),
                     **({"bloom_ndv": int(bloom_ndv)} if bloom_ndv else {}),
                     **({"stats_cols": list(stats_cols)} if stats_cols else {}),
+                    **(
+                        {"cluster_cols": list(cluster_cols)}
+                        if cluster_cols
+                        else {}
+                    ),
                 },
                 f,
             )
@@ -1024,15 +1038,23 @@ class LakeTable:
         kind: str | None = None,
         n_buckets: int | None = None,
         key_stats: bool | None = None,
+        sort_cols: list[str] | None = None,
     ) -> list[dict]:
         """Stage parquet files for rows already carrying BUCKET_COL. Returns file
         entries; nothing is visible until a snapshot referencing them commits.
 
-        ``bucket_aligned=True``: the caller guarantees ``df`` is already
-        hash-partitioned by the table key into exactly ``n_buckets`` partitions
-        (bucket_expr == HashPartitioning, see its docstring), so partition i
-        holds bucket i only and ``partitionBy`` writes one file per task with
-        NO shuffle. False -> an explicit repartition establishes that layout.
+        ``bucket_aligned=True``: the caller already established the file
+        layout it wants — either hash-partitioned by the table key into
+        exactly ``n_buckets`` partitions (bucket_expr == HashPartitioning,
+        so partition i holds bucket i only and ``partitionBy`` writes one
+        file per task), or range-partitioned on (bucket, cluster...) by a
+        clustered compaction (several narrow-range files per bucket). Either
+        way no further shuffle happens here. False -> an explicit hash
+        repartition establishes the one-file-per-bucket layout.
+
+        ``sort_cols``: within-task sort columns (after the bucket column);
+        used by clustered compaction so each emitted file's row groups carry
+        tight min/max on the cluster columns.
         """
         from pyspark.sql import Observation
 
@@ -1084,14 +1106,18 @@ class LakeTable:
                     aggs.append(F.max(cond).alias(f"mx{b}"))
             df = df.observe(obs, *aggs)
         out_df = df.withColumnRenamed(BUCKET_COL, "b")
+        # within-task sort order: the partitionBy write must order each task
+        # by its partition column anyway, so extending that sort costs only
+        # extra comparator terms — and makes every row group's min/max on the
+        # sorted columns tight, so pushed predicates decode only straddling
+        # row groups (Iceberg's write.sort-order data-skipping effect).
+        # ``sort_cols`` (clustered compaction) come first, then the key when
+        # the table is key-sorted (lookup()'s pushed IN-filter benefits).
+        order = list(sort_cols or [])
         if self.meta().get("sort_on_write"):
-            # key-clustered files: the partitionBy write must order each task
-            # by its partition column anyway, so extending that sort with the
-            # key costs one comparator term — and makes every row group's
-            # key min/max tight, so lookup()'s pushed IN-filter decodes only
-            # the straddling row groups instead of the whole bucket file
-            # (Iceberg's write.sort-order data-skipping effect).
-            out_df = out_df.sortWithinPartitions("b", key)
+            order.append(key)
+        if order:
+            out_df = out_df.sortWithinPartitions("b", *order)
         writer = out_df.write.partitionBy("b").mode("overwrite")
         codec = self.meta().get("codec")
         if codec:
