@@ -450,6 +450,51 @@ def test_lake_reader_time_travel_and_branch(spark, tmp_path):
                 "column": ["doc_id", "n_tok"]}) == ["b", "c"]
 
 
+def test_lake_reader_filters_prune_manifest(spark, tmp_path):
+    """The `lake` reader's ``filters`` option reaches the MANIFEST: files
+    whose recorded stats_cols range provably excludes a conjunct never enter
+    the scan plan (unlike ``where``, which filters rows after planning)."""
+    from tg_data_connector_spark.lake import TableSchema
+
+    root = str(tmp_path / "t")
+    table = LakeTable.create(
+        spark, root,
+        TableSchema([("doc_id", "string"), ("n_tok", "int"),
+                     ("source", "string")]),
+        key="doc_id", n_buckets=2, stats_cols=["source"],
+    )
+    # two source-homogeneous appends -> disjoint per-file source ranges
+    table.append(spark.createDataFrame(
+        [("a", 1, "web"), ("b", 2, "web")],
+        "doc_id string, n_tok int, source string"))
+    table.append(spark.createDataFrame(
+        [("c", 3, "book"), ("d", 4, "book")],
+        "doc_id string, n_tok int, source string"))
+    total_files = len(table.snapshot().files)
+
+    out = str(tmp_path / "o")
+    job = {
+        "reader": {"type": "lake", "path": root,
+                   "filters": [["source", "=", "book"]]},
+        "writer": {"type": "parquet", "path": out, "writeMode": "truncate"},
+    }
+    run_job(spark, job)
+    got = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert got == ["c", "d"]
+    # the handle run_job used is gone, but pruning is observable by replaying
+    # the same read path on a fresh handle
+    t2 = LakeTable(spark, root)
+    t2.read(filters=[("source", "=", "book")]).collect()
+    assert t2._last_scan_file_count < total_files
+    # pre_check surfaces a bad op as a reader problem, not a stack trace
+    probs = pre_check(spark, {
+        "reader": {"type": "lake", "path": root,
+                   "filters": [["source", "~", "book"]]},
+        "writer": {"type": "parquet", "path": out, "writeMode": "truncate"},
+    })
+    assert any("unsupported filter op" in p for p in probs)
+
+
 def test_training_export_unpacked_and_staleness(spark, tmp_path):
     """training_export without packing (window=0): raw rows shard
     deterministically; written count reports the exported rows; nonConflict

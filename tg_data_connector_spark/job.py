@@ -189,7 +189,14 @@ def _read_flagged(spark: SparkSession, cfg: dict) -> DataFrame:
             snap = table.snapshot(
                 version=cfg.get("snapshot"), tag=cfg.get("tag")
             )
-        df = table.read(snapshot=snap)
+        # ``filters``: [[col, op, value], ...] conjuncts (op in = != < <= >
+        # >= in) — unlike the free-form ``where`` string these reach the
+        # MANIFEST: files whose recorded stats_cols range provably excludes
+        # a conjunct are dropped before the scan plans (see
+        # LakeTable.read). ``where`` still composes on top for anything the
+        # simple-filter shape can't express.
+        filters = [tuple(f) for f in cfg.get("filters", [])] or None
+        df = table.read(snapshot=snap, filters=filters)
         if cfg.get("column"):
             df = df.select(*cfg["column"])
         if cfg.get("where"):
