@@ -3148,6 +3148,71 @@ def sql_lake_clustered_compact() -> str:
     """
 
 
+def q_lake_zorder_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order compaction (Delta OPTIMIZE ZORDER BY, lake/zorder +
+    compact(cluster_method="zorder")): documents get two DELIBERATELY
+    decorrelated dimensions — n_tok cycles fast (d mod 25), src slow
+    (d div 25 mod 16) — so a lexicographic (n_tok, src) layout provably
+    cannot prune on src alone. After one z-ordered rewrite (Morton
+    bit-interleave of both columns' equi-depth ranks, then
+    repartitionByRange on the z-value) the TRAILING-column filter
+    src = 's03' skips files at the manifest (asserted: scanned < total).
+    Rows are layout-invariant; the oracle is the plain filter."""
+    docs = spark.read.parquet(_t(sf_dir, "documents")).select(
+        F.col("doc_id").alias("_d")
+    )
+    d = F.col("_d")
+    base = docs.select(
+        F.concat(F.lit("d"), F.lpad(d.cast("string"), 8, "0")).alias("doc_id"),
+        F.transform(
+            F.sequence(F.lit(0), (d % 25).cast("int")),
+            lambda i: ((d * 13 + i * 7) % TOK_MOD).cast("int"),
+        ).alias("tokens"),
+        (F.lit(1) + d % 25).cast("int").alias("n_tok"),
+        F.concat(
+            F.lit("s"),
+            F.lpad(((d / 25).cast("long") % 16).cast("string"), 2, "0"),
+        ).alias("source"),
+    )
+    root = tempfile.mkdtemp(prefix="tgspark_gate_")
+    table = LakeTable.create(
+        spark,
+        f"{root}/seq",
+        SEQ_SCHEMA,
+        key="doc_id",
+        n_buckets=2,
+        stats_cols=["n_tok", "source"],
+        cluster_cols=["n_tok", "source"],
+        cluster_method="zorder",
+    )
+    table.append(base, lsn_col=F.lit(1), seq_col=F.lit(0))
+
+    from .lake.maintain import compact
+
+    compact(table, files_per_bucket=16)  # z-order on declared cluster_cols
+    out = table.read(filters=[("source", "=", "s03")]).select(
+        "doc_id", _csv(F.col("tokens")).alias("tokens_csv"), "n_tok", "source"
+    )
+    out.count()
+    assert table._last_scan_file_count < len(table.snapshot().files), (
+        "z-layout must let a trailing-column filter skip files"
+    )
+    return out
+
+
+def sql_lake_zorder_compact() -> str:
+    return f"""
+    SELECT 'd' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS doc_id,
+           array_to_string(list_transform(range(0, CAST(1 + doc_id % 25 AS BIGINT)),
+                                          i -> (doc_id*13 + i*7) % {TOK_MOD}), ',')
+             AS tokens_csv,
+           CAST(1 + doc_id % 25 AS INT) AS n_tok,
+           's' || lpad(CAST((doc_id // 25) % 16 AS VARCHAR), 2, '0') AS source
+    FROM documents
+    WHERE (doc_id // 25) % 16 = 3
+    """
+
+
 def q_cdc_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship replay under declarative data-quality EXPECTATIONS (the DLT
     CONSTRAINT..EXPECT surface): a drop-action rule removes clean events with
@@ -3321,6 +3386,7 @@ QUERIES = {
         q_lake_clustered_compact,
         sql_lake_clustered_compact,
     ),
+    "lake_zorder_compact": (q_lake_zorder_compact, sql_lake_zorder_compact),
 }
 
 

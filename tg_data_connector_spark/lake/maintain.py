@@ -34,6 +34,8 @@ def compact(
     buckets: list[int] | None = None,
     cluster_by: list[str] | None = None,
     files_per_bucket: int = 4,
+    cluster_method: str | None = None,
+    zorder_bits: int = 8,
 ) -> Snapshot:
     """Rewrite buckets' files into one file each (small-file compaction),
     folding any merge-on-read delta files into the base (the resolved read
@@ -60,6 +62,17 @@ def compact(
     compaction (``cluster_by=None`` and no declared cluster_cols) keeps the
     old one-file-per-bucket behavior.
 
+    ``cluster_method`` (default: the table's declared ``cluster_method``,
+    else ``"range"``): ``"range"`` is the lexicographic split above —
+    optimal when filters always constrain the LEADING cluster column.
+    ``"zorder"`` (Delta OPTIMIZE ZORDER BY) range-splits on a Morton
+    z-value interleaving every cluster column's rank bits (``lake/zorder``),
+    so a filter on ANY one of k z columns still skips ~(1 - F^(-1/k)) of
+    each bucket's F files — the right layout when queries filter the
+    clustered columns independently. Within-file rows still sort
+    lexicographically on the cluster columns (row-group pruning inside
+    survivors). ``zorder_bits`` bounds the per-column rank resolution.
+
     Basis-protected: the rewrite embeds the rows of the snapshot it READ, so
     the commit passes ``expected_parent`` — a concurrent writer landing
     between the read and the publish raises ``CommitConflict`` instead of
@@ -83,9 +96,24 @@ def compact(
         # The shuffle is the same O(rows) exchange the plain rewrite pays —
         # range instead of hash partitioning, plus one sampling pass.
         n_parts = nb * max(1, files_per_bucket)
-        df = df.repartitionByRange(
-            n_parts, F.col(BUCKET_COL), *[F.col(c) for c in cluster]
+        method = (
+            cluster_method
+            if cluster_method is not None
+            else meta.get("cluster_method", "range")
         )
+        if method not in ("range", "zorder"):
+            raise ValueError(f"unknown cluster_method: {method!r}")
+        if method == "zorder" and len(cluster) >= 2:
+            from .zorder import with_zvalue
+
+            # the projection dropping _z preserves the range partitioning
+            df = with_zvalue(df, list(cluster), bits=zorder_bits).repartitionByRange(
+                n_parts, F.col(BUCKET_COL), F.col("_z")
+            ).drop("_z")
+        else:
+            df = df.repartitionByRange(
+                n_parts, F.col(BUCKET_COL), *[F.col(c) for c in cluster]
+            )
         files = table.write_data_files(
             df,
             snap.schema_id,

@@ -422,6 +422,7 @@ class LakeTable:
         bloom_ndv: int | None = None,
         stats_cols: "list[str] | None" = None,
         cluster_cols: "list[str] | None" = None,
+        cluster_method: "str | None" = None,
     ) -> "LakeTable":
         """``codec``: parquet compression for this table's data files
         (recorded in _meta.json so every writer of the table agrees;
@@ -460,7 +461,15 @@ class LakeTable:
         arrival order is uncorrelated with its value still earns pruning-
         effective ``stats_cols`` ranges. Declaring both is the normal
         pairing: stats_cols says WHAT the manifest tracks, cluster_cols says
-        what maintenance makes tight."""
+        what maintenance makes tight.
+
+        ``cluster_method``: ``"range"`` (default, lexicographic — best when
+        filters constrain the leading cluster column) or ``"zorder"``
+        (Morton bit-interleave across ALL cluster columns, Delta OPTIMIZE
+        ZORDER BY — best when queries filter the clustered columns
+        independently; see ``lake/zorder.py``)."""
+        if cluster_method not in (None, "range", "zorder"):
+            raise ValueError(f"unknown cluster_method: {cluster_method!r}")
         t = LakeTable(spark, root, fs=fs)
         t.fs.makedirs(os.path.join(root, "_versions"))
         t.fs.makedirs(os.path.join(root, "_manifests"))
@@ -488,6 +497,11 @@ class LakeTable:
                     **(
                         {"cluster_cols": list(cluster_cols)}
                         if cluster_cols
+                        else {}
+                    ),
+                    **(
+                        {"cluster_method": cluster_method}
+                        if cluster_method
                         else {}
                     ),
                 },
