@@ -22,10 +22,18 @@ Safety rules:
 from __future__ import annotations
 
 import os
+from dataclasses import dataclass, field
 
 from pyspark.sql import functions as F
 
-from .table import BUCKET_COL, DELETED_COL, LakeTable, Snapshot, bucket_expr
+from .table import (
+    BUCKET_COL,
+    DELETED_COL,
+    CommitConflict,
+    LakeTable,
+    Snapshot,
+    bucket_expr,
+)
 
 
 def compact(
@@ -36,6 +44,7 @@ def compact(
     files_per_bucket: int = 4,
     cluster_method: str | None = None,
     zorder_bits: int = 8,
+    target_rows_per_file: int | None = None,
 ) -> Snapshot:
     """Rewrite buckets' files into one file each (small-file compaction),
     folding any merge-on-read delta files into the base (the resolved read
@@ -73,6 +82,15 @@ def compact(
     lexicographically on the cluster columns (row-group pruning inside
     survivors). ``zorder_bits`` bounds the per-column rank resolution.
 
+    ``target_rows_per_file`` (clustered rewrites only): size the output by
+    ROWS instead of a uniform ``files_per_bucket`` — the rows-denominated
+    analog of Delta OPTIMIZE's file-size target, using the manifest's
+    per-file row counts (no data I/O). The range partitioner's equi-depth
+    sampling then allocates MORE files to bigger buckets automatically, so
+    a skewed table gets uniform file sizes rather than uniform file counts.
+    Falls back to ``files_per_bucket`` if any selected manifest entry
+    predates row counts.
+
     Basis-protected: the rewrite embeds the rows of the snapshot it READ, so
     the commit passes ``expected_parent`` — a concurrent writer landing
     between the read and the publish raises ``CommitConflict`` instead of
@@ -96,6 +114,19 @@ def compact(
         # The shuffle is the same O(rows) exchange the plain rewrite pays —
         # range instead of hash partitioning, plus one sampling pass.
         n_parts = nb * max(1, files_per_bucket)
+        if target_rows_per_file:
+            chosen_set = None if buckets is None else set(buckets)
+            counts = [
+                f.get("rows")
+                for f in snap.files
+                if chosen_set is None or f["bucket"] in chosen_set
+            ]
+            if counts and all(c is not None for c in counts):
+                total = sum(counts)
+                # equi-depth ranges spread rows evenly across partitions,
+                # so a global rows budget sizes every output file — bigger
+                # buckets simply span more ranges
+                n_parts = max(nb, -(-total // target_rows_per_file))
         method = (
             cluster_method
             if cluster_method is not None
@@ -272,6 +303,158 @@ def gc_orphans(table: LakeTable, min_age_seconds: float = 3600.0) -> list[str]:
             fs.remove(fpath)
             removed.append(rel)
     return removed
+
+
+@dataclass
+class MaintenanceAction:
+    """One recommended maintenance step. ``kind`` is ``"compact"`` /
+    ``"expire_snapshots"`` / ``"gc_orphans"``; ``params`` are the kwargs
+    ``run_maintenance`` passes to the corresponding function; ``reason`` is
+    the human-readable trigger (which threshold fired, on what evidence)."""
+
+    kind: str
+    buckets: list[int] | None = None
+    reason: str = ""
+    params: dict = field(default_factory=dict)
+
+
+def plan_maintenance(
+    table: LakeTable,
+    max_base_files_per_bucket: int = 8,
+    max_delta_depth: int = 4,
+    keep_last_snapshots: int = 10,
+    snapshot_slack: int = 5,
+) -> list[MaintenanceAction]:
+    """Recommend maintenance from SNAPSHOT METADATA ONLY — the advisory layer
+    of Delta's auto-OPTIMIZE / Iceberg's maintenance recommendations. Reads
+    the current manifest and version history; never lists or opens data
+    files, so planning cost is O(manifest) on the driver no matter how big
+    the table is — safe to run after every ingest batch at 100 TB.
+
+    Triggers:
+      * a bucket's merge-on-read delta depth exceeds ``max_delta_depth``
+        (every read of that bucket pays an LWW resolve over that many extra
+        files) -> incremental ``compact`` of the offending buckets;
+      * a bucket's BASE file count exceeds ``max_base_files_per_bucket``
+        (each append commit lands one file per touched bucket, so steady
+        ingest accumulates small files; with declared ``cluster_cols`` the
+        new files are also un-clustered, eroding stats pruning) -> compact,
+        which re-establishes the declared range/zorder layout as a side
+        effect;
+      * version history longer than ``keep_last_snapshots + snapshot_slack``
+        -> ``expire_snapshots(keep_last=keep_last_snapshots)``, then
+        ``gc_orphans`` to reclaim the newly unreferenced files (the pair is
+        ordered: expiry is what CREATES the orphans). Crash leftovers from
+        failed commits also need GC but are invisible to metadata — schedule
+        a periodic ``gc_orphans`` independently of this planner.
+
+    Returns actions in safe execution order (compactions first — they shrink
+    what later snapshots reference — then expiry, then GC). Empty list =
+    healthy table."""
+    snap = table.snapshot()
+    meta = table.meta()
+    actions: list[MaintenanceAction] = []
+
+    base_counts: dict[int, int] = {}
+    for f in snap.files:
+        if f.get("kind") != "delta":
+            b = int(f["bucket"])
+            base_counts[b] = base_counts.get(b, 0) + 1
+    deltas = delta_depths(snap)
+
+    deep = sorted(b for b, d in deltas.items() if d > max_delta_depth)
+    wide = sorted(
+        b for b, n in base_counts.items() if n > max_base_files_per_bucket
+    )
+    need = sorted(set(deep) | set(wide))
+    if need:
+        nb = table.bucket_count(snap)
+        reasons = []
+        if deep:
+            reasons.append(
+                f"delta depth > {max_delta_depth} in buckets {deep}"
+            )
+        if wide:
+            reasons.append(
+                f"base files > {max_base_files_per_bucket} in buckets {wide}"
+            )
+        if meta.get("cluster_cols"):
+            reasons.append(
+                f"rewrite re-clusters on {meta['cluster_cols']} "
+                f"({meta.get('cluster_method', 'range')})"
+            )
+        actions.append(
+            MaintenanceAction(
+                kind="compact",
+                # full-table compact when every bucket tripped: one pass,
+                # and the planner's output stays O(1) instead of O(buckets)
+                buckets=None if len(need) == nb else need,
+                reason="; ".join(reasons),
+            )
+        )
+
+    history = table.history()
+    if len(history) > keep_last_snapshots + snapshot_slack:
+        actions.append(
+            MaintenanceAction(
+                kind="expire_snapshots",
+                reason=(
+                    f"{len(history)} snapshots > keep_last "
+                    f"{keep_last_snapshots} + slack {snapshot_slack}"
+                ),
+                params={"keep_last": keep_last_snapshots},
+            )
+        )
+        actions.append(
+            MaintenanceAction(
+                kind="gc_orphans",
+                reason="reclaim files unreferenced after snapshot expiry",
+            )
+        )
+    return actions
+
+
+def run_maintenance(
+    table: LakeTable,
+    actions: list[MaintenanceAction] | None = None,
+    max_retries: int = 3,
+    **plan_kwargs,
+) -> dict[str, object]:
+    """Execute a maintenance plan (default: ``plan_maintenance(table,
+    **plan_kwargs)``). Compactions are retried on ``CommitConflict`` —
+    ``compact`` re-reads the snapshot at entry, so a retry IS the documented
+    recovery (a concurrent ingest won the pointer swap; the rewrite is
+    idempotent and has no urgency ordering). Returns a summary dict:
+    ``{"compacted": [versions], "expired": [versions], "gc_removed": [paths],
+    "actions": n}``."""
+    if actions is None:
+        actions = plan_maintenance(table, **plan_kwargs)
+    out: dict[str, object] = {
+        "compacted": [],
+        "expired": [],
+        "gc_removed": [],
+        "actions": len(actions),
+    }
+    for a in actions:
+        if a.kind == "compact":
+            last: CommitConflict | None = None
+            for _ in range(max_retries):
+                try:
+                    snap = compact(table, buckets=a.buckets, **a.params)
+                    out["compacted"].append(snap.version)
+                    last = None
+                    break
+                except CommitConflict as exc:
+                    last = exc
+            if last is not None:
+                raise last
+        elif a.kind == "expire_snapshots":
+            out["expired"].extend(expire_snapshots(table, **a.params))
+        elif a.kind == "gc_orphans":
+            out["gc_removed"].extend(gc_orphans(table, **a.params))
+        else:
+            raise ValueError(f"unknown maintenance action: {a.kind!r}")
+    return out
 
 
 def expire_snapshots(table: LakeTable, keep_last: int = 10) -> list[int]:
