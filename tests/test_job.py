@@ -680,3 +680,59 @@ def test_jsonl_reader_requires_column(spark, tmp_path):
         "writer": {"type": "console"},
     })
     assert any("column" in p for p in problems)
+
+
+def test_maintenance_job_plans_and_executes(spark, tmp_path):
+    """A top-level 'maintenance' job drives the planner through the job
+    surface: planOnly reports the plan without mutating, the real run
+    compacts/expires and converges, and pre_check rejects bad configs."""
+    from tg_data_connector_spark.lake import TableSchema
+
+    root = str(tmp_path / "tbl")
+    t = LakeTable.create(
+        spark, root,
+        TableSchema([("doc_id", "string"), ("tokens", "array<int>"),
+                     ("n_tok", "int"), ("source", "string")]),
+        "doc_id", 2,
+    )
+    for i in range(5):
+        t.append(
+            spark.createDataFrame(
+                [(f"d{i}", [i], 1, "s")],
+                "doc_id string, tokens array<int>, n_tok int, source string",
+            )
+        )
+    thresholds = {"max_base_files_per_bucket": 2,
+                  "keep_last_snapshots": 2, "snapshot_slack": 1}
+    plan_cfg = {"maintenance": {"path": root, "thresholds": thresholds,
+                                "planOnly": True}}
+    res = run_job(spark, plan_cfg)
+    kinds = [a["kind"] for a in res.stats["plan"]]
+    assert kinds == ["compact", "expire_snapshots", "gc_orphans"]
+    v = t.current_version()
+    assert t.current_version() == v  # planOnly mutated nothing
+    assert len(t.history()) > 3
+
+    state = sorted(t.read().collect())
+    res = run_job(spark, {"maintenance": {"path": root,
+                                          "thresholds": thresholds}})
+    assert res.stats["compacted"] and res.stats["expired"]
+    assert sorted(t.read().collect()) == state
+    assert len(t.history()) <= 3
+    # converged: a second run plans nothing
+    res = run_job(spark, plan_cfg)
+    assert res.stats["plan"] == []
+
+    # validation surface
+    assert pre_check(spark, {"maintenance": {"path": str(tmp_path / "nope")}})
+    assert pre_check(
+        spark,
+        {"maintenance": {"path": root, "thresholds": {"bogus": 1}}},
+    ) == [f"maintenance: unknown threshold 'bogus'"]
+    assert pre_check(
+        spark,
+        {"maintenance": {"path": root}, "writer": {"type": "console"}},
+    )
+    with pytest.raises(JobValidationError):
+        run_job(spark, {"maintenance": {"path": root,
+                                        "thresholds": {"bogus": 1}}})

@@ -33,6 +33,24 @@ writeMode parity (``WriterUtil.java:111-168``):
 preSql/postSql (``WriterUtil.java:79-109``) run through spark.sql before/after
 the move; dryRun (``JobContainer.preCheck`` ``JobContainer.java:188-217``)
 validates reader/writer/SQL without moving data.
+
+Maintenance jobs: instead of reader/writer, a config may carry ONE top-level
+``maintenance`` object — the declarative face of ``lake/maintain``'s
+planner, so table upkeep schedules through the same job runner / CLI /
+spark-submit path as data movement (the lakehouse OPTIMIZE-job analog; the
+reference has no equivalent because it owns no storage):
+
+  {"maintenance": {"path": "<table root or URI>",
+                   "thresholds": {"max_base_files_per_bucket": 8,
+                                  "max_delta_depth": 4,
+                                  "keep_last_snapshots": 10,
+                                  "snapshot_slack": 5},
+                   "planOnly": false}}
+
+``planOnly`` reports the recommended actions without executing (the plan
+rides ``JobResult.stats["plan"]``); otherwise ``run_maintenance`` executes
+and the stats carry compacted versions / expired versions / GC'd paths.
+URI-rooted tables route through the Hadoop FS seam like the lake writers.
 """
 
 from __future__ import annotations
@@ -64,6 +82,49 @@ class JobResult:
 
 class JobValidationError(ValueError):
     pass
+
+
+_MAINT_THRESHOLDS = (
+    "max_base_files_per_bucket",
+    "max_delta_depth",
+    "keep_last_snapshots",
+    "snapshot_slack",
+)
+
+
+def _open_lake(spark: SparkSession, root: str) -> LakeTable:
+    """Open an existing lake table; URI roots (hdfs://, s3a://, file://)
+    route metadata through the Hadoop FS seam (same scheme dispatch as the
+    lake writers)."""
+    from .lake.fs import uri_scheme
+
+    fs = None
+    if uri_scheme(root) is not None:
+        from .lake.fs import HadoopTableFS
+
+        fs = HadoopTableFS(spark, root)
+    return LakeTable(spark, root, fs=fs)
+
+
+def _run_maintenance_job(spark: SparkSession, m: dict) -> JobResult:
+    from .lake.maintain import plan_maintenance, run_maintenance
+
+    t0 = time.time()
+    table = _open_lake(spark, m["path"])
+    kwargs = {k: int(v) for k, v in (m.get("thresholds") or {}).items()}
+    plan = plan_maintenance(table, **kwargs)
+    stats: dict = {
+        "plan": [
+            {"kind": a.kind, "buckets": a.buckets, "reason": a.reason}
+            for a in plan
+        ]
+    }
+    if not m.get("planOnly"):
+        res = run_maintenance(table, actions=plan)
+        stats["compacted"] = res["compacted"]
+        stats["expired"] = res["expired"]
+        stats["gc_removed"] = len(res["gc_removed"])
+    return JobResult(0, 0, 0, round(time.time() - t0, 3), stats)
 
 
 def load_config(path_or_dict) -> dict:
@@ -566,6 +627,28 @@ def pre_check(spark: SparkSession, config) -> list[str]:
     Returns a list of problems (empty = ok)."""
     cfg = load_config(config)
     problems = []
+    m = cfg.get("maintenance")
+    if m is not None:
+        if cfg.get("reader") or cfg.get("writer"):
+            problems.append(
+                "maintenance: cannot combine with reader/writer in one job"
+            )
+        if not m.get("path"):
+            problems.append("maintenance: requires 'path'")
+        else:
+            try:
+                if not LakeTable.exists(
+                    m["path"], fs=_open_lake(spark, m["path"]).fs
+                ):
+                    problems.append(
+                        f"maintenance: no lake table at {m['path']!r}"
+                    )
+            except Exception as ex:
+                problems.append(f"maintenance: {ex}")
+        for k in m.get("thresholds") or {}:
+            if k not in _MAINT_THRESHOLDS:
+                problems.append(f"maintenance: unknown threshold {k!r}")
+        return problems
     r = cfg.get("reader", {})
     try:
         clean, _ = _read(spark, r)
@@ -660,6 +743,11 @@ def run_job(spark: SparkSession, config, dry_run: bool = False) -> JobResult:
         if problems:
             raise JobValidationError("; ".join(problems))
         return JobResult(0, 0, 0, 0.0, {"dry_run": True})
+    if cfg.get("maintenance") is not None:
+        problems = pre_check(spark, cfg)
+        if problems:
+            raise JobValidationError("; ".join(problems))
+        return _run_maintenance_job(spark, cfg["maintenance"])
     t0 = time.time()
     for stmt in cfg.get("preSql", []):
         spark.sql(_render_sql(stmt, cfg.get("writer", {})))
