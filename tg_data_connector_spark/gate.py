@@ -1596,6 +1596,61 @@ def sql_dedup_exact() -> str:
     """
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus dedup (operators/dedup_text.dedup_incremental):
+    docs with doc_id % 3 = 0 are pre-ingested into a fingerprint-index
+    LakeTable (first batch, also via the operator), then the doc_id % 2 = 0
+    batch classifies against it — kept / dup_in_batch / dup_in_corpus with
+    the corpus canonical carried through. The oracle recomputes both phases
+    from scratch in SQL; the engine must reach the same classification via
+    the index it maintained."""
+    from .operators.dedup_text import create_dedup_index, dedup_incremental
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    root = tempfile.mkdtemp(prefix="tgspark_gate_")
+    index = create_dedup_index(spark, f"{root}/fpidx", n_buckets=8)
+    dedup_incremental(
+        index, docs.where("doc_id % 3 = 0"), batch_lsn=1
+    ).count()  # absorb the corpus batch
+    # batch = every even doc + re-id'd COPIES of the %10 docs, so all three
+    # statuses exercise: %6 rows hit the corpus, the copies hit the batch
+    batch = docs.where("doc_id % 2 = 0").unionByName(
+        docs.where("doc_id % 10 = 0").select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            *[c for c in docs.columns if c != "doc_id"],
+        )
+    )
+    out = dedup_incremental(index, batch, batch_lsn=2, update_index=False)
+    return out.select("doc_id", "fp", "status", "canonical_id")
+
+
+def sql_dedup_incremental() -> str:
+    fp = (
+        "CAST(concat('0x', substr(md5(regexp_replace(lower(trim(text)), "
+        "'\\s+', ' ', 'g')), 1, 15)) AS BIGINT)"
+    )
+    return f"""
+    WITH corpus AS (
+      SELECT min(doc_id) AS canon, {fp} AS fp
+      FROM documents WHERE doc_id % 3 = 0 GROUP BY fp),
+    brows AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text
+      FROM documents WHERE doc_id % 10 = 0),
+    batch AS (
+      SELECT doc_id, {fp} AS fp,
+             min(doc_id) OVER (PARTITION BY {fp}) AS first_id
+      FROM brows)
+    SELECT b.doc_id AS doc_id, b.fp AS fp,
+           CASE WHEN c.canon IS NOT NULL THEN 'dup_in_corpus'
+                WHEN b.doc_id <> b.first_id THEN 'dup_in_batch'
+                ELSE 'kept' END AS status,
+           CAST(coalesce(c.canon, b.first_id) AS VARCHAR) AS canonical_id
+    FROM batch b LEFT JOIN corpus c ON b.fp = c.fp
+    """
+
+
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(_t(sf_dir, "documents"))
     return docs.select(
@@ -3387,6 +3442,7 @@ QUERIES = {
         sql_lake_clustered_compact,
     ),
     "lake_zorder_compact": (q_lake_zorder_compact, sql_lake_zorder_compact),
+    "dedup_incremental": (q_dedup_incremental, sql_dedup_incremental),
 }
 
 
