@@ -190,3 +190,51 @@ def test_stateful_sessionize_stream_matches_batch_sf001(spark, tmp_path):
     assert got <= all_sessions          # nothing invented
     assert non_last <= got              # everything closeable closed
     assert len(got) >= len(non_last) > 0
+
+
+def test_stream_dedup_ingest_index_and_keepset_stable(spark, tmp_path):
+    """Micro-batched dedup ingest: classifications land per batch partition,
+    the index is exactly-once under re-delivery (wiped checkpoint), and the
+    keep-set (doc_id == canonical_id) is identical across deliveries."""
+    from tg_data_connector_spark.operators.dedup_text import create_dedup_index
+    from tg_data_connector_spark.streaming.foreach import stream_dedup_ingest
+
+    src = str(tmp_path / "docs")
+    out = str(tmp_path / "out")
+    idx = create_dedup_index(spark, str(tmp_path / "idx"), n_buckets=4)
+    spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "alpha")], "doc_id bigint, text string"
+    ).coalesce(1).write.parquet(src)
+    spark.createDataFrame(
+        [(10, "beta"), (11, "gamma")], "doc_id bigint, text string"
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    q = stream_dedup_ingest(
+        spark, idx, src, str(tmp_path / "ck1"), out, max_files_per_trigger=1
+    )
+    q.awaitTermination(120)
+    res = spark.read.parquet(out)
+    assert res.count() == 5
+    by_id = {r["doc_id"]: r for r in res.collect()}
+    assert by_id[3]["canonical_id"] == "1"  # alpha's first occurrence
+    assert by_id[10]["canonical_id"] in ("2", "10")  # file order per batch
+    assert idx.read().count() == 3  # alpha, beta, gamma
+    keep1 = sorted(
+        r["doc_id"] for r in res.collect()
+        if str(r["doc_id"]) == r["canonical_id"]
+    )
+    idx_state = sorted(idx.read().collect())
+    v = idx.current_version()
+
+    # redelivery: wipe the Spark checkpoint, rerun the whole source
+    q2 = stream_dedup_ingest(
+        spark, idx, src, str(tmp_path / "ck2"), out, max_files_per_trigger=1
+    )
+    q2.awaitTermination(120)
+    res2 = spark.read.parquet(out)
+    assert sorted(idx.read().collect()) == idx_state  # index exactly-once
+    keep2 = sorted(
+        r["doc_id"] for r in res2.collect()
+        if str(r["doc_id"]) == r["canonical_id"]
+    )
+    assert keep1 == keep2  # keep-set stable; only status labels degrade

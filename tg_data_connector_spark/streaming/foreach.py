@@ -76,6 +76,65 @@ def stream_replay(
     return writer.start()
 
 
+def stream_dedup_ingest(
+    spark: SparkSession,
+    index,
+    source_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    schema: str = "doc_id bigint, text string",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+    broadcast_probe: bool = True,
+):
+    """Continuous-ingest dedup: tail a document directory as a stream; each
+    micro-batch classifies against the corpus fingerprint index
+    (``operators/dedup_text.dedup_incremental``), absorbs its fresh
+    fingerprints, and writes the classification to ``out_dir`` partitioned
+    by micro-batch (dynamic partition overwrite, so a re-delivered batch
+    REPLACES its own output instead of appending duplicates).
+
+    Idempotence contract under foreachBatch's at-least-once delivery: the
+    INDEX is exactly-once (a re-delivered batch's fingerprints are already
+    present; the merge is a first-seen LWW tie and changes nothing), and
+    ``canonical_id`` is stable — so the keep-set
+    ``doc_id == canonical_id`` is identical across deliveries. Only the
+    ``status`` label of a re-delivered batch's first-occurrences degrades
+    from ``kept`` to ``dup_in_corpus`` (they now match their own earlier
+    insert), which consumers of the keep-set never observe.
+    """
+    from ..operators.dedup_text import dedup_incremental
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
+
+    def apply(batch_df, batch_id: int):
+        out = dedup_incremental(
+            index, batch_df, id_col=id_col, text_col=text_col,
+            batch_lsn=batch_id + 1, broadcast_probe=broadcast_probe,
+        )
+        (
+            out.withColumn("_batch", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch")
+            .parquet(out_dir)
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_view_maintenance(
     spark: SparkSession,
     src,
