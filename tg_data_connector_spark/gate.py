@@ -1828,6 +1828,78 @@ def sql_minhash_lsh() -> str:
     """
 
 
+def q_dedup_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup candidates (operators/dedup_text.
+    neardup_incremental): docs with doc_id % 3 = 0 absorb into the LSH band
+    index (capped buckets, smallest ids win), then the doc_id % 2 = 0 batch
+    probes it — candidate pairs vs corpus + within batch, identical band
+    keys to the batch `dedup_minhash_lsh` path (shared banded_keys). The
+    oracle recomputes both phases' banding in SQL with the same cap rule."""
+    from .operators.dedup_text import (
+        create_neardup_index,
+        neardup_incremental,
+    )
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    root = tempfile.mkdtemp(prefix="tgspark_gate_")
+    index = create_neardup_index(spark, f"{root}/bandidx", n_buckets=8)
+    neardup_incremental(
+        index, docs.where("doc_id % 3 = 0"),
+        k=_SHINGLE_K, n_hashes=_MH_HASHES, bands=_MH_BANDS, seed=_MH_SEED,
+        bucket_cap=16, batch_lsn=1,
+    ).count()
+    return neardup_incremental(
+        index, docs.where("doc_id % 2 = 0"),
+        k=_SHINGLE_K, n_hashes=_MH_HASHES, bands=_MH_BANDS, seed=_MH_SEED,
+        bucket_cap=16, batch_lsn=2, update_index=False,
+    )
+
+
+def sql_dedup_neardup_incremental() -> str:
+    params = perm_params(_MH_HASHES, _MH_SEED)
+    sig_elems = ", ".join(
+        f"list_min(list_transform(hs, h -> (h*{a} + {b}) % {MINHASH_P}))"
+        for a, b in params
+    )
+    r = _MH_HASHES // _MH_BANDS
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {i} AS band, md5(concat_ws('_', {elems})) AS key FROM sig".format(
+            i=i,
+            elems=", ".join(f"sig[{i * r + j + 1}]" for j in range(r)),
+        )
+        for i in range(_MH_BANDS)
+    )
+    return f"""
+    WITH sh AS (SELECT doc_id, list_transform({_SHINGLES}, s -> {_H32}) AS hs
+                FROM documents),
+    sig AS (SELECT doc_id, [{sig_elems}] AS sig FROM sh WHERE len(hs) > 0),
+    banded AS ({band_selects}),
+    -- capped corpus buckets: per band key keep the 16 smallest id STRINGS
+    corpus AS (
+      SELECT CAST(doc_id AS VARCHAR) AS id, band, key,
+             row_number() OVER (PARTITION BY band, key
+                                ORDER BY CAST(doc_id AS VARCHAR)) AS rn
+      FROM banded WHERE doc_id % 3 = 0),
+    corpus_kept AS (SELECT id, band, key FROM corpus WHERE rn <= 16),
+    batch AS (
+      SELECT CAST(doc_id AS VARCHAR) AS id, band, key,
+             row_number() OVER (PARTITION BY band, key
+                                ORDER BY CAST(doc_id AS VARCHAR)) AS rn
+      FROM banded WHERE doc_id % 2 = 0),
+    batch_kept AS (SELECT id, band, key FROM batch WHERE rn <= 16),
+    within AS (
+      SELECT x.id AS a, y.id AS b FROM batch_kept x
+      JOIN batch_kept y ON x.band = y.band AND x.key = y.key AND x.id < y.id),
+    vs_corpus AS (
+      SELECT least(n.id, c.id) AS a, greatest(n.id, c.id) AS b
+      FROM batch_kept n JOIN corpus_kept c
+      ON n.band = c.band AND n.key = c.key AND n.id <> c.id)
+    SELECT DISTINCT a, b FROM within
+    UNION
+    SELECT DISTINCT a, b FROM vs_corpus
+    """
+
+
 def q_text_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The published Gopher document-quality rule set (Rae et al. 2021 —
     word-count/mean-word-length bounds, symbol ratio, bullet/ellipsis line
@@ -3443,6 +3515,10 @@ QUERIES = {
     ),
     "lake_zorder_compact": (q_lake_zorder_compact, sql_lake_zorder_compact),
     "dedup_incremental": (q_dedup_incremental, sql_dedup_incremental),
+    "dedup_neardup_incremental": (
+        q_dedup_neardup_incremental,
+        sql_dedup_neardup_incremental,
+    ),
 }
 
 

@@ -102,7 +102,7 @@ def ngram_jaccard_pairs(
     )
 
 
-def minhash_lsh_pairs(
+def banded_keys(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -111,10 +111,10 @@ def minhash_lsh_pairs(
     bands: int = 4,
     seed: int = 7,
 ) -> DataFrame:
-    """Candidate near-dup pairs from banded MinHash signatures (a < b, distinct).
-
-    rows = bands per doc; a band's key is the tuple-hash of its signature slice.
-    Self-join happens on (band_idx, band_key): O(collisions), not O(n^2)."""
+    """(id_col, band, key) — one row per (doc, band); a band's key is the
+    md5 of its signature slice. The shared front half of batch LSH
+    (``minhash_lsh_pairs``) and the incremental band index
+    (``neardup_incremental``), so both collide on identical keys."""
     assert n_hashes % bands == 0
     r = n_hashes // bands
     sig = shingle_hashes(_spread(df, id_col), id_col, text_col, k).where(
@@ -123,7 +123,7 @@ def minhash_lsh_pairs(
         F.col(id_col),
         minhash_signature(F.col("sh"), n_hashes, seed).alias("sig"),
     )
-    banded = sig.select(
+    return sig.select(
         id_col,
         F.explode(
             F.array(
@@ -139,6 +139,22 @@ def minhash_lsh_pairs(
             )
         ).alias("bk"),
     ).select(id_col, "bk.band", "bk.key")
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    n_hashes: int = 16,
+    bands: int = 4,
+    seed: int = 7,
+) -> DataFrame:
+    """Candidate near-dup pairs from banded MinHash signatures (a < b, distinct).
+
+    rows = bands per doc; a band's key is the tuple-hash of its signature slice.
+    Self-join happens on (band_idx, band_key): O(collisions), not O(n^2)."""
+    banded = banded_keys(df, id_col, text_col, k, n_hashes, bands, seed)
     a = banded.select(F.col(id_col).alias("a"), "band", "key")
     b = banded.select(F.col(id_col).alias("b"), "band", "key")
     return (
@@ -459,3 +475,119 @@ def dedup_incremental(
             F.col("_corpus_canon"), F.col("_first").cast("string")
         ).alias("canonical_id"),
     )
+
+
+# ------------------------------------------- incremental near-dup (LSH)
+# The fuzzy complement of dedup_incremental: a lake-backed BAND INDEX maps
+# each LSH band key to the (capped, smallest-first) doc ids seen in that
+# bucket, so a new batch finds its near-dup CANDIDATES against the whole
+# corpus with one thin index probe — never re-signaturing the corpus.
+
+NEARDUP_INDEX_FIELDS = [("band_key", "string"), ("doc_ids", "array<string>")]
+
+
+def create_neardup_index(spark, root: str, n_buckets: int = 64, fs=None):
+    """Create the corpus LSH band index: one row per band bucket
+    (``band_key`` = "<band>:<md5-of-signature-slice>"), value = the bucket's
+    member doc ids, deterministically capped (smallest ids win)."""
+    from ..lake.table import LakeTable, TableSchema
+
+    return LakeTable.create(
+        spark, root, TableSchema(NEARDUP_INDEX_FIELDS), key="band_key",
+        n_buckets=n_buckets, fs=fs,
+    )
+
+
+def neardup_incremental(
+    index,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    n_hashes: int = 16,
+    bands: int = 4,
+    seed: int = 7,
+    bucket_cap: int = 64,
+    batch_lsn: int = 1,
+    update_index: bool = True,
+    broadcast_probe: bool = True,
+) -> DataFrame:
+    """Near-dup CANDIDATE pairs for one ingest batch against the corpus band
+    index (plus within-batch collisions). Returns distinct ``(a, b)`` with
+    ``a < b`` (string doc ids); at least one side is from this batch.
+    Verification (exact Jaccard / embedding similarity) is downstream, as
+    with ``minhash_lsh_pairs`` — LSH's contract is the candidate set.
+
+    Plan shape at 100 TB: the batch's bands are O(batch x bands) rows; the
+    corpus probe streams the index map-side against the broadcast band-key
+    set (``broadcast_probe=False`` for backfills); the index update merges
+    ONLY the touched band buckets (union + re-cap computed from the SAME
+    probe rows, so absorb adds no second index pass).
+
+    ``bucket_cap`` bounds hot buckets (boilerplate bands collect unbounded
+    members otherwise — the standard LSH-bucket cap): each bucket keeps the
+    ``bucket_cap`` SMALLEST doc ids, a deterministic rule the SQL oracle
+    reproduces exactly. A capped bucket still yields candidates against its
+    retained members; pairs among evicted ids are the recall cost, bounded
+    and auditable (saturated buckets are queryable from the index itself).
+    """
+    from ..lake.merge import merge_upsert
+
+    bk = banded_keys(docs, id_col, text_col, k, n_hashes, bands, seed).select(
+        F.col(id_col).cast("string").alias("_id"),
+        F.concat_ws(":", F.col("band").cast("string"), F.col("key")).alias(
+            "band_key"
+        ),
+    )
+    batch_buckets = bk.groupBy("band_key").agg(
+        F.slice(F.array_sort(F.collect_set("_id")), 1, bucket_cap).alias(
+            "new_ids"
+        )
+    )
+    existing = index.read().select(
+        "band_key", F.col("doc_ids").alias("_corpus_ids")
+    )
+    if broadcast_probe:
+        hits = existing.join(
+            F.broadcast(batch_buckets.select("band_key")), "band_key", "inner"
+        )
+        probe = batch_buckets.join(F.broadcast(hits), "band_key", "left")
+    else:
+        probe = batch_buckets.join(existing, "band_key", "left")
+    probe = probe.localCheckpoint(eager=True)
+    if update_index:
+        merged = probe.select(
+            "band_key",
+            F.slice(
+                F.array_sort(
+                    F.array_distinct(
+                        F.concat(
+                            F.coalesce(
+                                F.col("_corpus_ids"),
+                                F.array().cast("array<string>"),
+                            ),
+                            F.col("new_ids"),
+                        )
+                    )
+                ),
+                1,
+                bucket_cap,
+            ).alias("doc_ids"),
+            F.lit("U").alias("op"),
+            F.lit(batch_lsn).cast("bigint").alias("commit_lsn"),
+            F.lit(0).cast("bigint").alias("seq_no"),
+        )
+        merge_upsert(index, merged)
+    within = probe.select(
+        F.explode("new_ids").alias("a"), F.col("new_ids")
+    ).select("a", F.explode("new_ids").alias("b")).where(F.col("a") < F.col("b"))
+    vs_corpus = (
+        probe.where(F.col("_corpus_ids").isNotNull())
+        .select(F.explode("new_ids").alias("n"), F.col("_corpus_ids"))
+        .select("n", F.explode("_corpus_ids").alias("c"))
+        .where(F.col("n") != F.col("c"))
+        .select(
+            F.least("n", "c").alias("a"), F.greatest("n", "c").alias("b")
+        )
+    )
+    return within.unionByName(vs_corpus).distinct()
