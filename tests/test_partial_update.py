@@ -1,0 +1,233 @@
+"""Partial-update resolution (ReplayConfig.resolution="partial"): NULL column
+in a U after-image = "unchanged".
+
+Pins, against hand-computed expectations and a pandas one-shot oracle:
+  * per-column latest-setter collapse within a batch (cdc.dedup.partial_collapse),
+    including D resets, I full-image resets (an INSERT's NULL is a real NULL),
+    and duplicate-delivery collapse;
+  * cross-batch coalesce through the COW MERGE (lake/merge partial_update=True):
+    column survival from seed/earlier batches, reset (_rv) kill semantics;
+  * BATCH-SPLIT INVARIANCE: replaying the same log at any events_per_batch
+    yields the same final table as the one-shot collapse;
+  * crash/resume idempotence under partial semantics;
+  * the relaxed dirty contract (quality.dirty_predicate(partial=True));
+  * rejected configurations (partial + MoR, partial + binary payload).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tg_data_connector_spark.cdc.dedup import partial_collapse
+from tg_data_connector_spark.cdc.quality import dirty_predicate
+from tg_data_connector_spark.cdc.replay import ReplayConfig, ReplayEngine
+from tg_data_connector_spark.lake import LakeTable, TableSchema
+
+SCHEMA = TableSchema(
+    [
+        ("doc_id", "string"),
+        ("tokens", "array<int>"),
+        ("n_tok", "int"),
+        ("source", "string"),
+    ]
+)
+
+EV = (
+    "doc_id string, op string, commit_lsn long, seq_no long, "
+    "tokens array<int>, n_tok int, source string, part int, offset long"
+)
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(rows, EV)
+
+
+def _collapse_rows(spark, rows):
+    df = spark.createDataFrame(
+        [r[:7] for r in rows],
+        "doc_id string, op string, commit_lsn long, seq_no long, "
+        "tokens array<int>, n_tok int, source string",
+    )
+    out = partial_collapse(df, "doc_id")
+    return {r["doc_id"]: r.asDict() for r in out.collect()}
+
+
+def test_collapse_coalesces_updates_in_version_order(spark):
+    got = _collapse_rows(
+        spark,
+        [
+            ("a", "U", 1, 0, None, None, "s1"),
+            ("a", "U", 3, 0, [1, 2], 2, None),
+        ],
+    )["a"]
+    assert got["tokens"] == [1, 2] and got["n_tok"] == 2
+    assert got["source"] == "s1"  # older setter survives for untouched column
+    assert got["op"] == "U" and got["commit_lsn"] == 3
+    assert got["_rv_lsn"] is None  # no reset in a pure-update batch
+
+
+def test_collapse_delete_resets_older_setters(spark):
+    got = _collapse_rows(
+        spark,
+        [
+            ("b", "U", 1, 0, [9], 1, None),
+            ("b", "D", 5, 0, None, None, None),
+            ("b", "U", 7, 0, None, None, "late"),
+        ],
+    )["b"]
+    assert got["tokens"] is None and got["n_tok"] is None  # died with the D@5
+    assert got["source"] == "late" and got["op"] == "U"
+    assert (got["_rv_lsn"], got["_rv_seq"]) == (5, 0)
+
+
+def test_collapse_delete_last_wins(spark):
+    got = _collapse_rows(
+        spark,
+        [
+            ("c", "U", 2, 0, [5], 1, "x"),
+            ("c", "D", 4, 0, None, None, None),
+        ],
+    )["c"]
+    assert got["op"] == "D" and got["commit_lsn"] == 4
+    assert got["tokens"] is None and got["source"] is None
+
+
+def test_collapse_insert_null_is_a_real_null(spark):
+    """A full-image INSERT resets every column — its NULL source overrides an
+    older partial update's value."""
+    got = _collapse_rows(
+        spark,
+        [
+            ("d", "U", 2, 0, None, None, "old"),
+            ("d", "I", 5, 0, [7, 7], 2, None),
+        ],
+    )["d"]
+    assert got["tokens"] == [7, 7] and got["source"] is None
+    assert (got["_rv_lsn"], got["_rv_seq"]) == (5, 0)
+
+
+def test_collapse_duplicate_delivery(spark):
+    got = _collapse_rows(
+        spark,
+        [
+            ("e", "U", 1, 1, [3], 1, "e1"),
+            ("e", "U", 1, 1, [3], 1, "e1"),
+        ],
+    )
+    assert len(got) == 1 and got["e"]["tokens"] == [3]
+
+
+SEED = [("a", [1], 1, "seed"), ("b", [2], 1, "seed"), ("c", [3], 1, "seed")]
+LOG = [
+    ("a", "U", 10, 0, None, None, "upd", 0, 0),
+    ("b", "D", 11, 0, None, None, None, 0, 1),
+    ("d", "U", 12, 0, [4, 4], 2, None, 0, 2),
+    ("b", "U", 25, 0, [9, 9], 2, None, 0, 3),
+    ("d", "U", 26, 0, None, None, "late", 0, 4),
+]
+EXPECTED = {
+    # a: source updated, seed tokens survive the partial U
+    "a": ([1], 1, "upd"),
+    # b: D@11 kills the seed row entirely; U@25 re-creates it with tokens only
+    "b": ([9, 9], 2, None),
+    # c: untouched seed
+    "c": ([3], 1, "seed"),
+    # d: created partial, then source added by a later partial U
+    "d": ([4, 4], 2, "late"),
+}
+
+
+def _seeded(spark, root, nb=4):
+    t = LakeTable.create(spark, root, SCHEMA, key="doc_id", n_buckets=nb)
+    t.append(
+        spark.createDataFrame(
+            SEED, "doc_id string, tokens array<int>, n_tok int, source string"
+        ),
+        lsn_col=F.lit(-1),
+        seq_col=F.lit(0),
+    )
+    return t
+
+
+def _state(t):
+    return {
+        r["doc_id"]: (r["tokens"], r["n_tok"], r["source"])
+        for r in t.read().collect()
+    }
+
+
+@pytest.mark.parametrize("per_batch", [2, 100])
+def test_replay_partial_batch_split_invariance(spark, tmp_path, per_batch):
+    t = _seeded(spark, str(tmp_path / f"t{per_batch}"))
+    eng = ReplayEngine(
+        spark,
+        t,
+        ReplayConfig(events_per_batch=per_batch, resolution="partial"),
+    )
+    eng.replay(_ev(spark, LOG), run_id="pu")
+    assert _state(t) == EXPECTED
+
+
+def test_replay_partial_rerun_is_idempotent(spark, tmp_path):
+    t = _seeded(spark, str(tmp_path / "t"))
+    cfg = ReplayConfig(events_per_batch=3, resolution="partial")
+    ReplayEngine(spark, t, cfg).replay(_ev(spark, LOG), run_id="pu")
+    v1 = t.current_version()
+    # full re-run from offset zero: watermarks + batch-id make it a no-op
+    ReplayEngine(spark, t, cfg).replay(_ev(spark, LOG), run_id="pu")
+    assert _state(t) == EXPECTED
+    assert t.current_version() == v1
+
+
+def test_replay_partial_crash_resume(spark, tmp_path):
+    t = _seeded(spark, str(tmp_path / "t"))
+    cfg = ReplayConfig(events_per_batch=2, resolution="partial")
+    with pytest.raises(RuntimeError, match="crash"):
+        ReplayEngine(spark, t, cfg).replay(
+            _ev(spark, LOG), run_id="pu", crash_before_publish_at=2
+        )
+    ReplayEngine(spark, t, cfg).replay(_ev(spark, LOG), run_id="pu")
+    assert _state(t) == EXPECTED
+
+
+def test_partial_dirty_contract(spark):
+    rows = [
+        # broken pair: n_tok without tokens -> dirty
+        ("a", "U", 1, 0, None, 3, None),
+        # pair omitted together -> clean
+        ("b", "U", 2, 0, None, None, "s"),
+        # pair present and consistent -> clean
+        ("c", "U", 3, 0, [1, 2], 2, None),
+        # pair present, inconsistent -> dirty
+        ("d", "U", 4, 0, [1], 9, None),
+        # INSERT must stay a full image: missing tokens -> dirty
+        ("e", "I", 5, 0, None, None, "s"),
+        # tokens without n_tok -> dirty
+        ("f", "U", 6, 0, [1], None, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id string, op string, commit_lsn long, seq_no long, "
+        "tokens array<int>, n_tok int, source string",
+    )
+    dirty = {
+        r["doc_id"] for r in df.where(dirty_predicate(partial=True)).collect()
+    }
+    assert dirty == {"a", "d", "e", "f"}
+    clean = {
+        r["doc_id"] for r in df.where(~dirty_predicate(partial=True)).collect()
+    }
+    assert clean == {"b", "c"}  # NULL-safety: every row lands on one side
+
+
+def test_partial_rejects_mor_and_payload(spark, tmp_path):
+    t = _seeded(spark, str(tmp_path / "t"))
+    with pytest.raises(ValueError, match="merge_mode"):
+        ReplayEngine(
+            spark, t, ReplayConfig(resolution="partial", merge_mode="mor")
+        )
+    with pytest.raises(ValueError, match="parse_payload"):
+        ReplayEngine(
+            spark, t, ReplayConfig(resolution="partial", parse_payload=True)
+        )
+    with pytest.raises(ValueError, match="resolution"):
+        ReplayEngine(spark, t, ReplayConfig(resolution="bogus"))

@@ -226,3 +226,107 @@ def lww_dedup_salted(
         ).alias("_w")
     )
     return final.select(key, *[F.col(f"_w.{c}").alias(c) for c in rest])
+
+
+def partial_collapse(
+    df: DataFrame,
+    key: str = "doc_id",
+    payload_cols: list[str] | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Collapse a change batch to ONE row per key under PARTIAL-UPDATE
+    semantics (the Paimon partial-update / Mongo-$set / Cassandra-cell model):
+    an UPDATE event sets only the columns it carries — a NULL column in a
+    ``U`` after-image means "unchanged", not "set to NULL".
+
+    Per-column resolution inside the batch (version order = (commit_lsn,
+    seq_no) lexicographic):
+
+      * a column's value is the one carried by the LATEST event that *sets*
+        it — an event sets column c when c is non-null, or when the event is
+        an INSERT (a full image: its NULLs are real NULLs, resetting c);
+      * a DELETE resets every column: setters at or before the latest delete
+        are dead (the per-column winner is kept only when its version exceeds
+        the latest delete's version);
+      * the collapsed row's ``op`` is ``D`` iff the key's winning event is a
+        delete; its (commit_lsn, seq_no) is the winning event's version.
+
+    The output carries two extra columns ``_rv_lsn/_rv_seq`` — the latest
+    RESET version (max over D and I events, null when the batch holds only
+    partial updates for the key). The MERGE uses it against the TARGET row's
+    version: a reset newer than the target kills the target's column values;
+    otherwise the merge coalesces per column (src value if set, else target's)
+    — see ``lake/merge._merge_once(partial_update=True)``.
+
+    Contract (same as the LWW kernels, plus): events arrive in LSN-ordered
+    batch windows (the replay driver's offset windows guarantee it), so
+    cross-batch composition of per-batch collapses equals the one-shot
+    collapse over the concatenated log — pinned by
+    ``tests/test_partial_update.py`` batch-split invariance.
+
+    Plan shape: one hash(key) exchange (reused by the downstream MERGE join
+    when ``num_partitions`` = the table's bucket count) + ONE sort per
+    partition feeding all the window aggregates — no struct-max hash
+    aggregation (var-width buffers would fall back to SortAggregate twice),
+    no Python. ``F.last(..., ignorenulls)`` over the full frame picks each
+    column's latest setter in the same sorted pass.
+    """
+    from pyspark.sql import Window
+
+    if payload_cols is None:
+        payload_cols = [
+            c
+            for c in df.columns
+            if c not in (key, "op", *VERSION_COLS)
+        ]
+    op = F.col("op")
+    if num_partitions:
+        df = df.repartition(num_partitions, F.col(key))
+    w = (
+        Window.partitionBy(key)
+        .orderBy(*VERSION_COLS)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    ver = F.struct(
+        F.col("commit_lsn").alias("l"), F.col("seq_no").alias("s")
+    )
+    dv = F.max(F.when(op == "D", ver)).over(w)
+    rv = F.max(F.when(op.isin("D", "I"), ver)).over(w)
+    vwin = F.max(ver).over(w)
+    floor = F.struct(
+        F.lit(-(2**63)).cast("bigint").alias("l"),
+        F.lit(0).cast("bigint").alias("s"),
+    )
+    sels = [
+        F.col(key),
+        vwin.alias("_vwin"),
+        dv.alias("_dv"),
+        rv.alias("_rv"),
+        ver.alias("_ver"),
+    ]
+    for c in payload_cols:
+        # "sets c": carries a value, or is a full-image INSERT (whose NULL is
+        # a real NULL — wrapping in a struct lets last(ignorenulls) return it)
+        sets_c = (op != "D") & (F.col(c).isNotNull() | (op == "I"))
+        mc = F.last(
+            F.when(sets_c, F.struct(ver.alias("v"), F.col(c).alias("x"))),
+            ignorenulls=True,
+        ).over(w)
+        sels.append(
+            F.when(
+                mc.isNotNull() & (mc["v"] > F.coalesce(dv, floor)), mc["x"]
+            ).alias(c)
+        )
+    agg = df.select(*sels)
+    one = agg.where(F.col("_ver") == F.col("_vwin")).dropDuplicates([key])
+    return one.select(
+        F.col(key),
+        *payload_cols,
+        F.when(F.col("_vwin") == F.col("_dv"), F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.col("_vwin.l").alias("commit_lsn"),
+        F.col("_vwin.s").alias("seq_no"),
+        F.col("_rv.l").alias("_rv_lsn"),
+        F.col("_rv.s").alias("_rv_seq"),
+    )

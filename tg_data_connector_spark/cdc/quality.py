@@ -48,16 +48,34 @@ class ErrorLimit:
             )
 
 
-def dirty_predicate() -> Column:
+def dirty_predicate(partial: bool = False) -> Column:
     """An event is dirty when it violates the changelog contract:
     I/U must carry a doc_id and a token array whose size equals n_tok;
-    D must carry a doc_id. (FIXTURES.md F2 malformed cases.)"""
+    D must carry a doc_id. (FIXTURES.md F2 malformed cases.)
+
+    ``partial=True`` relaxes the contract for PARTIAL-UPDATE streams
+    (ReplayConfig.resolution="partial"): an UPDATE may omit columns — NULL
+    means "unchanged" — but derived pairs must be omitted TOGETHER: a U
+    carrying tokens without n_tok (or vice versa) is dirty, and when both are
+    present the size must still match. INSERTs remain full images under the
+    strict I/U rule."""
     iu = F.col("op").isin("I", "U")
-    bad_iu = iu & (
-        F.col("doc_id").isNull()
-        | F.col("tokens").isNull()
+    strict = (
+        F.col("tokens").isNull()
         | (F.size(F.col("tokens")) != F.col("n_tok"))
     )
+    if partial:
+        # U: tokens/n_tok must be both absent or both present-and-consistent
+        upd_pair_ok = (
+            (F.col("tokens").isNull() & F.col("n_tok").isNull())
+            | (F.size(F.col("tokens")) == F.col("n_tok"))
+        )
+        body_bad = F.when(F.col("op") == "I", strict).otherwise(
+            ~F.coalesce(upd_pair_ok, F.lit(False))
+        )
+    else:
+        body_bad = strict
+    bad_iu = iu & (F.col("doc_id").isNull() | body_bad)
     bad_d = (F.col("op") == "D") & F.col("doc_id").isNull()
     # NULL-safe: a NULL op (e.g. an unparseable topic envelope) must be
     # DIRTY — a bare ~isin() evaluates to NULL there, which both the
@@ -92,12 +110,12 @@ def dirty_predicate_raw(payload_col: str = "payload") -> Column:
     return bad_iu | bad_d | bad_op
 
 
-def contract_predicate(df: DataFrame) -> Column:
+def contract_predicate(df: DataFrame, partial: bool = False) -> Column:
     """Pick the dirty predicate matching the frame's shape: raw (binary
     payload) or decoded (tokens array)."""
     if "tokens" not in df.columns and "payload" in df.columns:
         return dirty_predicate_raw()
-    return dirty_predicate()
+    return dirty_predicate(partial=partial)
 
 
 def split_quarantine(

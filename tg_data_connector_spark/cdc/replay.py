@@ -66,6 +66,21 @@ class ReplayConfig:
     #       non-algebraic kernels where map-side partials can't absorb a hot
     #       key (see dedup.py module docstring)
     dedup_strategy: str = "winner"
+    # Row-resolution semantics:
+    #   "lww" (default) — whole-row last-writer-wins: the winning event's
+    #       image replaces the row (the flagship north-rule contract).
+    #   "partial" — PARTIAL-UPDATE streams (Mongo $set patches, Cassandra
+    #       cell updates, Paimon's partial-update merge engine): a NULL
+    #       column in a U after-image means "unchanged". Batch collapse runs
+    #       ``cdc.dedup.partial_collapse`` (per-column latest-setter within
+    #       the batch, D/I resets honored) and the COW MERGE coalesces per
+    #       column against the target (lake/merge partial_update=True). The
+    #       dirty contract relaxes accordingly (quality.dirty_predicate
+    #       partial=True: U may omit the tokens/n_tok pair, only TOGETHER).
+    #       Requires merge_mode="cow" (MoR's whole-row delta resolution
+    #       cannot express per-column survival) and decoded events
+    #       (parse_payload=False); dedup_strategy is ignored.
+    resolution: str = "lww"
     # Byte-based batch sizing — the reference's most-documented throttle is
     # bytes/s per channel (``Channel.java:176-239``, ``core.json``
     # ``speed.byte``). Batch replay has no wall-clock rate to shape, so the
@@ -187,6 +202,20 @@ class ReplayEngine:
         self.spark = spark
         self.table = table
         self.cfg = config
+        if config.resolution not in ("lww", "partial"):
+            raise ValueError(f"unknown resolution: {config.resolution!r}")
+        self._partial = config.resolution == "partial"
+        if self._partial and config.merge_mode != "cow":
+            raise ValueError(
+                "resolution='partial' requires merge_mode='cow': MoR deltas "
+                "resolve whole rows and cannot express per-column survival"
+            )
+        if self._partial and config.parse_payload:
+            raise ValueError(
+                "resolution='partial' requires decoded events "
+                "(parse_payload=False): per-column set/unset is judged on "
+                "the decoded after-image"
+            )
         from .metrics import LineageLog
 
         self.lineage = LineageLog(table.root)
@@ -403,7 +432,7 @@ class ReplayEngine:
     ) -> tuple[BatchReport, dict]:
         from .quality import contract_predicate
 
-        pred = contract_predicate(batch)
+        pred = contract_predicate(batch, partial=self._partial)
         exp_counts: dict[str, int] = {}
         if self.cfg.expectations:
             # before the dirty-quarantine write: a fail-action abort must not
@@ -426,7 +455,7 @@ class ReplayEngine:
             )
             schema_events.sort(key=lambda r: (r["commit_lsn"], r["seq_no"]))
             batch = batch.where(F.col("op") != "S")
-            pred = contract_predicate(batch)
+            pred = contract_predicate(batch, partial=self._partial)
 
         deduped_total = 0
         dirty_n = 0
@@ -454,7 +483,7 @@ class ReplayEngine:
                 )
             applied, dstats = self._merge_sub_batch(
                 sub,
-                dirty_pred=contract_predicate(sub),
+                dirty_pred=contract_predicate(sub, partial=self._partial),
                 parts=parts,
                 events_n=events_n,
                 prior_dirty=dirty_n,
@@ -596,7 +625,30 @@ class ReplayEngine:
         src_agg = project(clean_agg)
         strategy = "salted" if self.cfg.salted_dedup else self.cfg.dedup_strategy
         nb = self.table.bucket_count()
-        if strategy == "salted":
+        if self._partial:
+            # partial-update streams: NO winner prune — losing events still
+            # carry column values the collapse must see. One hash(key)
+            # exchange into the table's bucket layout (reused by the MERGE
+            # join and the bucket-aligned write), one sorted window pass.
+            from .dedup import partial_collapse
+
+            if raw_mode or "extra" in src.columns:
+                raise ValueError(
+                    "resolution='partial' supports directly-decoded event "
+                    "columns only (no binary payload / semi-structured "
+                    "'extra' map)"
+                )
+            deduped = partial_collapse(
+                src,
+                "doc_id",
+                payload_cols=[
+                    c
+                    for c in src.columns
+                    if c not in ("doc_id", "op", "commit_lsn", "seq_no")
+                ],
+                num_partitions=nb,
+            )
+        elif strategy == "salted":
             deduped = lww_dedup_salted(src, "doc_id", self.cfg.salt_buckets)
         elif strategy == "maxby":
             deduped = lww_dedup(src, "doc_id")
@@ -694,7 +746,13 @@ class ReplayEngine:
                 )
             else:
                 out_cols.append(F.lit(None).cast(typ).alias(c))
-        deduped = deduped.select(*out_cols, "op", "commit_lsn", "seq_no")
+        deduped = deduped.select(
+            *out_cols,
+            "op",
+            "commit_lsn",
+            "seq_no",
+            *(["_rv_lsn", "_rv_seq"] if self._partial else []),
+        )
         metrics = {"events": events_n}
         summary = {"batch_id": batch_id, "metrics": metrics} if final else {
             "batch_id": batch_id
@@ -765,6 +823,7 @@ class ReplayEngine:
                 timings=getattr(self, "_phase_timings", None),
                 pre_publish_check=pre_publish,
                 publish=not wap,
+                partial_update=self._partial,
             )
         # write-audit-publish gate. A merge that found the batch already
         # applied returns the CURRENT snapshot (version == pointer) — nothing

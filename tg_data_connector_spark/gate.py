@@ -259,6 +259,131 @@ def sql_cdc_merge_final_state() -> str:
     """
 
 
+def derive_partial_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic PARTIAL-UPDATE changelog (NULL column in a U = unchanged):
+    U events with event_id%3==0 omit the tokens/n_tok pair, %3==1 omit source,
+    %3==2 carry a full image; I events are always full images; U events with
+    event_id%97==96 break the pair contract (n_tok without tokens) and must
+    quarantine under the partial dirty predicate."""
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    e = F.col("event_id")
+    is_d = (e % 10) < 1
+    is_i = ~is_d & ((e % 10) < 4)
+    is_u = ~is_d & ~is_i
+    dirty_u = is_u & (e % 97 == 96)
+    mask_pair = is_u & ~dirty_u & (e % 3 == 0)
+    mask_src = is_u & ~dirty_u & (e % 3 == 1)
+    n = (F.lit(1) + e % 17).cast("int")
+    tokens = F.transform(
+        F.sequence(F.lit(0), (e % 17).cast("int")),
+        lambda i: ((e * 31 + i * 7) % TOK_MOD).cast("int"),
+    )
+    return ev.select(
+        e.alias("event_id"),
+        F.when(is_d, "D").when(is_i, "I").otherwise(F.lit("U")).alias("op"),
+        e.cast("bigint").alias("commit_lsn"),
+        (e % 7).cast("bigint").alias("seq_no"),
+        F.concat(
+            F.lit("d"), F.lpad((F.col("user_id") % K_DOCS).cast("string"), 8, "0")
+        ).alias("doc_id"),
+        F.when(is_d | mask_pair | dirty_u, F.lit(None)).otherwise(tokens).alias("tokens"),
+        F.when(is_d | mask_pair, F.lit(None)).otherwise(n).alias("n_tok"),
+        F.when(is_d | mask_src, F.lit(None)).otherwise(F.col("event_type")).alias("source"),
+        (e % N_PARTS).cast("int").alias("part"),
+        F.floor(e / N_PARTS).cast("bigint").alias("offset"),
+    )
+
+
+PARTIAL_CHANGELOG_SQL = f"""
+  SELECT event_id,
+    CASE WHEN event_id % 10 < 1 THEN 'D'
+         WHEN event_id % 10 < 4 THEN 'I' ELSE 'U' END AS op,
+    CAST(event_id AS BIGINT) AS commit_lsn,
+    CAST(event_id % 7 AS BIGINT) AS seq_no,
+    'd' || lpad(CAST(user_id % {K_DOCS} AS VARCHAR), 8, '0') AS doc_id,
+    CASE WHEN event_id % 10 < 1
+           OR (event_id % 10 >= 4 AND event_id % 97 <> 96 AND event_id % 3 = 0)
+           OR (event_id % 10 >= 4 AND event_id % 97 = 96) THEN NULL
+         ELSE list_transform(range(0, CAST(1 + event_id % 17 AS BIGINT)),
+                             i -> (event_id*31 + i*7) % {TOK_MOD}) END AS tokens,
+    CASE WHEN event_id % 10 < 1
+           OR (event_id % 10 >= 4 AND event_id % 97 <> 96 AND event_id % 3 = 0)
+         THEN NULL ELSE CAST(1 + event_id % 17 AS INT) END AS n_tok,
+    CASE WHEN event_id % 10 < 1
+           OR (event_id % 10 >= 4 AND event_id % 97 <> 96 AND event_id % 3 = 1)
+         THEN NULL ELSE event_type END AS source
+  FROM events
+"""
+
+
+def q_cdc_partial_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTIAL-UPDATE replay (ReplayConfig.resolution="partial"): the real
+    engine applies a changelog whose U events carry sparse after-images —
+    per-column latest-setter resolution, D/I resets, cross-batch coalesce
+    against seeded rows — and the final table is compared against a one-shot
+    per-column SQL oracle. Mirrors the merge-engine surface Paimon calls
+    partial-update (the reference's writeMode=update relies on the target
+    DB's column-wise ON DUPLICATE KEY UPDATE, WriterUtil.java:148-168)."""
+    root = tempfile.mkdtemp(prefix="tgspark_gate_pu_")
+    table = LakeTable.create(
+        spark, f"{root}/seq", SEQ_SCHEMA, key="doc_id", n_buckets=16
+    )
+    table.append(derive_seed(spark, sf_dir), lsn_col=F.lit(-1), seq_col=F.lit(0))
+    eng = ReplayEngine(
+        spark,
+        table,
+        ReplayConfig(events_per_batch=50_000, resolution="partial"),
+    )
+    eng.replay(derive_partial_changelog(spark, sf_dir), run_id="gate_pu")
+    final = table.read()
+    return final.select(
+        "doc_id", _csv(F.col("tokens")).alias("tokens_csv"), "n_tok", "source"
+    )
+
+
+def sql_cdc_partial_update() -> str:
+    vmin = -(2**62)
+    return f"""
+    WITH log AS ({PARTIAL_CHANGELOG_SQL}),
+    clean AS (
+      SELECT *, commit_lsn*8 + seq_no AS v FROM log
+      WHERE NOT (op = 'U' AND event_id % 97 = 96)),
+    perkey AS (
+      SELECT doc_id,
+        max(v) AS vwin,
+        max(CASE WHEN op='D' THEN v END) AS dv,
+        max(CASE WHEN op IN ('D','I') THEN v END) AS rv,
+        max(CASE WHEN op<>'D' AND (tokens IS NOT NULL OR op='I')
+                 THEN {{'v': v, 'x': tokens}} END) AS mtok,
+        max(CASE WHEN op<>'D' AND (n_tok IS NOT NULL OR op='I')
+                 THEN {{'v': v, 'x': n_tok}} END) AS mnt,
+        max(CASE WHEN op<>'D' AND (source IS NOT NULL OR op='I')
+                 THEN {{'v': v, 'x': source}} END) AS msrc
+      FROM clean GROUP BY doc_id),
+    resolved AS (
+      SELECT doc_id, vwin, dv, rv,
+        CASE WHEN mtok.v > coalesce(dv, {vmin}) THEN mtok.x END AS tokens,
+        CASE WHEN mnt.v  > coalesce(dv, {vmin}) THEN mnt.x  END AS n_tok,
+        CASE WHEN msrc.v > coalesce(dv, {vmin}) THEN msrc.x END AS source
+      FROM perkey),
+    seed AS ({SEED_SQL}),
+    final AS (
+      SELECT r.doc_id,
+        CASE WHEN r.rv IS NOT NULL OR s.doc_id IS NULL THEN r.tokens
+             ELSE coalesce(r.tokens, s.tokens) END AS tokens,
+        CASE WHEN r.rv IS NOT NULL OR s.doc_id IS NULL THEN r.n_tok
+             ELSE coalesce(r.n_tok, s.n_tok) END AS n_tok,
+        CASE WHEN r.rv IS NOT NULL OR s.doc_id IS NULL THEN r.source
+             ELSE coalesce(r.source, s.source) END AS source
+      FROM resolved r LEFT JOIN seed s ON r.doc_id = s.doc_id
+      WHERE r.vwin <> coalesce(r.dv, -1)
+      UNION ALL
+      SELECT s.doc_id, s.tokens, s.n_tok, s.source
+      FROM seed s ANTI JOIN clean c ON s.doc_id = c.doc_id)
+    SELECT doc_id, {_CSV} AS tokens_csv, n_tok, source FROM final
+    """
+
+
 def q_lake_fsck(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integrity checker over a table the full engine just built (MoR replay
     + incremental compaction + the metadata/scan checks): a healthy table
@@ -3454,6 +3579,7 @@ QUERIES = {
         q_cdc_requeue_quarantine, sql_cdc_requeue_quarantine,
     ),
     "cdc_merge_mor": (q_cdc_merge_mor, sql_cdc_merge_mor),
+    "cdc_partial_update": (q_cdc_partial_update, sql_cdc_partial_update),
     "lake_fsck": (q_lake_fsck, sql_lake_fsck),
     "lake_merge_into": (q_lake_merge_into, sql_lake_merge_into),
     "lake_mview_refresh": (q_lake_mview_refresh, sql_lake_mview_refresh),

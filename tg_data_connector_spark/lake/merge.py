@@ -73,8 +73,19 @@ def merge_upsert(
     pre_publish_check=None,
     max_commit_retries: int = 3,
     publish: bool = True,
+    partial_update: bool = False,
 ) -> Snapshot | None:
     """Apply one deduplicated change batch to the table and commit a snapshot.
+
+    ``partial_update=True`` switches the matched-row resolution to
+    PARTIAL-UPDATE semantics: a NULL payload column in a winning source row
+    means "unchanged" — the merged row coalesces per column with the target —
+    UNLESS the source carries a reset (``_rv_lsn/_rv_seq`` from
+    ``cdc.dedup.partial_collapse``: the batch's latest DELETE-or-INSERT
+    version) newer than the target row, which kills the target's values
+    first. The source must then be the output of ``partial_collapse`` (extra
+    ``_rv_lsn/_rv_seq`` columns, per-column values already resolved within
+    the batch).
 
     ``publish=False`` stages the merged snapshot WITHOUT moving the current
     pointer (write-audit-publish): audit it via ``table.read(snapshot=
@@ -120,7 +131,7 @@ def merge_upsert(
             return _merge_once(
                 table, src, snap, summary_update, affected_buckets,
                 crash_before_publish, crash_after_stage, timings,
-                pre_publish_check, batch_id, publish,
+                pre_publish_check, batch_id, publish, partial_update,
             )
         except CommitConflict as exc:
             last_exc = exc  # re-load + re-merge against the new current
@@ -259,6 +270,7 @@ def _merge_once(
     pre_publish_check,
     batch_id,
     publish: bool = True,
+    partial_update: bool = False,
 ) -> Snapshot | None:
     meta = table.meta()
     key, nb = meta["key"], table.bucket_count(snap)
@@ -300,6 +312,14 @@ def _merge_once(
         F.col("commit_lsn").cast("bigint").alias("_s_lsn"),
         F.col("seq_no").cast("bigint").alias("_s_seq"),
         *[F.col(c).alias(f"_s_{c}") for c in cols if c != key],
+        *(
+            [
+                F.col("_rv_lsn").cast("bigint").alias("_s_rvl"),
+                F.col("_rv_seq").cast("bigint").alias("_s_rvs"),
+            ]
+            if partial_update
+            else []
+        ),
     )
     # join on the key alone (bucket is a pure function of the key, so the
     # extra equality adds no selectivity — it only widens the shuffle key) and
@@ -323,11 +343,32 @@ def _merge_once(
     # retained) so a later-arriving but older-versioned UPDATE cannot resurrect
     # the row. An unmatched DELETE also inserts a tombstone for the same reason.
     out_cols = [F.coalesce(F.col(key), F.col("_s_key")).alias(key)]
+    if partial_update:
+        # a batch reset (latest D-or-I) newer than the target row makes the
+        # target's column values dead; otherwise a NULL source column means
+        # "unchanged" and the target's value survives. An unmatched target
+        # (key NULL) degenerates to src-only either way.
+        reset = F.col("_s_rvl").isNotNull() & (
+            F.struct(F.col("_s_rvl"), F.col("_s_rvs"))
+            > F.struct(F.col(LSN_COL), F.col(SEQ_COL))
+        )
+
+        def src_val(c):
+            return F.when(
+                F.col(key).isNull() | F.coalesce(reset, F.lit(True)),
+                F.col(f"_s_{c}"),
+            ).otherwise(F.coalesce(F.col(f"_s_{c}"), F.col(c)))
+
+    else:
+
+        def src_val(c):
+            return F.col(f"_s_{c}")
+
     for c in cols:
         if c == key:
             continue
         out_cols.append(
-            F.when(take_src, F.col(f"_s_{c}"))
+            F.when(take_src, src_val(c))
             .when(src_wins & src_is_del, F.lit(None))
             .otherwise(F.col(c))
             .alias(c)
