@@ -273,6 +273,48 @@ def partial_collapse(
     """
     from pyspark.sql import Window
 
+    return aggregate_collapse(
+        df, key, agg_spec=None, payload_cols=payload_cols,
+        num_partitions=num_partitions,
+    )
+
+
+AGG_FNS = ("last", "sum", "max", "min")
+
+
+def aggregate_collapse(
+    df: DataFrame,
+    key: str = "doc_id",
+    agg_spec: dict | None = None,
+    payload_cols: list[str] | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Generalization of ``partial_collapse`` to per-column AGGREGATE
+    combiners (the Paimon aggregation merge engine): ``agg_spec`` maps a
+    payload column to one of
+
+      * ``"last"`` (default) — partial-update semantics: latest setter wins;
+      * ``"sum"``            — running total of the column across events;
+      * ``"max"`` / ``"min"``— running extremum.
+
+    Reset rules are shared: a DELETE kills everything before it; an INSERT
+    restarts the accumulator at its own image (for aggregate columns the
+    events that contribute are those at-or-after the latest D-or-I reset
+    version — the D itself carries NULLs, so ">= reset" is exact for both).
+
+    Plan shape: the sorted window pass of ``partial_collapse`` computes the
+    reset versions and the "last" columns; aggregate columns ride a SECOND
+    window over the same partitioning (no ordering needed for a full-frame
+    sum/max — no second sort, no second exchange) because their contribution
+    mask references the reset version, which Spark forbids nesting as a
+    window-inside-a-window expression in a single pass.
+    """
+    from pyspark.sql import Window
+
+    spec = dict(agg_spec or {})
+    for c, fn in spec.items():
+        if fn not in AGG_FNS:
+            raise ValueError(f"unknown aggregate fn for {c!r}: {fn!r}")
     if payload_cols is None:
         payload_cols = [
             c
@@ -282,6 +324,13 @@ def partial_collapse(
     op = F.col("op")
     if num_partitions:
         df = df.repartition(num_partitions, F.col(key))
+    agg_cols = [c for c in payload_cols if spec.get(c, "last") != "last"]
+    if agg_cols:
+        # duplicate DELIVERIES of one event are harmless to last/max/min but
+        # would double-count a sum: collapse to one row per (key, version)
+        # first — the grouping key extends the partitioning key, so this
+        # aggregate runs in place on the exchange above, no extra shuffle
+        df = df.dropDuplicates([key, *VERSION_COLS])
     w = (
         Window.partitionBy(key)
         .orderBy(*VERSION_COLS)
@@ -304,7 +353,12 @@ def partial_collapse(
         rv.alias("_rv"),
         ver.alias("_ver"),
     ]
+    if agg_cols:
+        sels.append(op.alias("_op"))
     for c in payload_cols:
+        if c in agg_cols:
+            sels.append(F.col(c))  # aggregated in the second pass
+            continue
         # "sets c": carries a value, or is a full-image INSERT (whose NULL is
         # a real NULL — wrapping in a struct lets last(ignorenulls) return it)
         sets_c = (op != "D") & (F.col(c).isNotNull() | (op == "I"))
@@ -318,6 +372,18 @@ def partial_collapse(
             ).alias(c)
         )
     agg = df.select(*sels)
+    if agg_cols:
+        w2 = Window.partitionBy(key)
+        out2 = [F.col(c) for c in agg.columns if c not in agg_cols]
+        for c in agg_cols:
+            contrib = F.when(
+                (F.col("_op") != "D")
+                & (F.col("_ver") >= F.coalesce(F.col("_rv"), floor)),
+                F.col(c),
+            )
+            fagg = {"sum": F.sum, "max": F.max, "min": F.min}[spec[c]]
+            out2.append(fagg(contrib).over(w2).alias(c))
+        agg = agg.select(*out2)
     one = agg.where(F.col("_ver") == F.col("_vwin")).dropDuplicates([key])
     return one.select(
         F.col(key),

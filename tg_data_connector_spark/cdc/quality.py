@@ -48,7 +48,7 @@ class ErrorLimit:
             )
 
 
-def dirty_predicate(partial: bool = False) -> Column:
+def dirty_predicate(partial: bool = False, pair_check: bool = True) -> Column:
     """An event is dirty when it violates the changelog contract:
     I/U must carry a doc_id and a token array whose size equals n_tok;
     D must carry a doc_id. (FIXTURES.md F2 malformed cases.)
@@ -58,8 +58,18 @@ def dirty_predicate(partial: bool = False) -> Column:
     means "unchanged" — but derived pairs must be omitted TOGETHER: a U
     carrying tokens without n_tok (or vice versa) is dirty, and when both are
     present the size must still match. INSERTs remain full images under the
-    strict I/U rule."""
+    strict I/U rule.
+
+    ``pair_check=False`` (resolution="aggregate" with tokens or n_tok under
+    an aggregate combiner — n_tok is then an independent accumulator, not
+    the token count): the tokens/n_tok consistency rule is dropped entirely;
+    only the key/op contract remains."""
     iu = F.col("op").isin("I", "U")
+    if not pair_check:
+        bad_op = F.col("op").isNull() | ~F.col("op").isin("I", "U", "D", "S")
+        return (
+            (iu | (F.col("op") == "D")) & F.col("doc_id").isNull()
+        ) | bad_op
     strict = (
         F.col("tokens").isNull()
         | (F.size(F.col("tokens")) != F.col("n_tok"))
@@ -110,12 +120,14 @@ def dirty_predicate_raw(payload_col: str = "payload") -> Column:
     return bad_iu | bad_d | bad_op
 
 
-def contract_predicate(df: DataFrame, partial: bool = False) -> Column:
+def contract_predicate(
+    df: DataFrame, partial: bool = False, pair_check: bool = True
+) -> Column:
     """Pick the dirty predicate matching the frame's shape: raw (binary
     payload) or decoded (tokens array)."""
     if "tokens" not in df.columns and "payload" in df.columns:
         return dirty_predicate_raw()
-    return dirty_predicate(partial=partial)
+    return dirty_predicate(partial=partial, pair_check=pair_check)
 
 
 def split_quarantine(

@@ -80,7 +80,16 @@ class ReplayConfig:
     #       Requires merge_mode="cow" (MoR's whole-row delta resolution
     #       cannot express per-column survival) and decoded events
     #       (parse_payload=False); dedup_strategy is ignored.
+    #   "aggregate" — per-column AGGREGATE combiners (Paimon's aggregation
+    #       merge engine): agg_spec maps payload columns to "sum" / "max" /
+    #       "min" / "last" (default "last" = partial semantics). DELETE
+    #       resets the accumulator; INSERT restarts it at its own image.
+    #       Same cow/decoded requirements as "partial". Sum columns rely on
+    #       the replay watermarks' exactly-once delivery (running totals,
+    #       unlike LWW, are not redelivery-tolerant).
     resolution: str = "lww"
+    # resolution="aggregate": payload column -> combiner name (see above).
+    agg_spec: "dict | None" = None
     # Byte-based batch sizing — the reference's most-documented throttle is
     # bytes/s per channel (``Channel.java:176-239``, ``core.json``
     # ``speed.byte``). Batch replay has no wall-clock rate to shape, so the
@@ -202,9 +211,32 @@ class ReplayEngine:
         self.spark = spark
         self.table = table
         self.cfg = config
-        if config.resolution not in ("lww", "partial"):
+        if config.resolution not in ("lww", "partial", "aggregate"):
             raise ValueError(f"unknown resolution: {config.resolution!r}")
-        self._partial = config.resolution == "partial"
+        self._partial = config.resolution in ("partial", "aggregate")
+        self._agg_spec = (
+            dict(config.agg_spec or {})
+            if config.resolution == "aggregate"
+            else {}
+        )
+        # with tokens or n_tok under an aggregate combiner, n_tok is an
+        # independent accumulator — drop the tokens/n_tok pair contract
+        self._pair_check = not any(
+            self._agg_spec.get(c, "last") != "last"
+            for c in ("tokens", "n_tok")
+        )
+        if config.resolution == "aggregate" and not self._agg_spec:
+            raise ValueError(
+                "resolution='aggregate' requires a non-empty agg_spec "
+                "({column: 'sum'|'max'|'min'|'last'})"
+            )
+        if self._agg_spec:
+            cols = {f[0] for f in table.snapshot().schema().fields}
+            bad = set(self._agg_spec) - cols
+            if bad:
+                raise ValueError(
+                    f"agg_spec names unknown columns: {sorted(bad)}"
+                )
         if self._partial and config.merge_mode != "cow":
             raise ValueError(
                 "resolution='partial' requires merge_mode='cow': MoR deltas "
@@ -432,7 +464,7 @@ class ReplayEngine:
     ) -> tuple[BatchReport, dict]:
         from .quality import contract_predicate
 
-        pred = contract_predicate(batch, partial=self._partial)
+        pred = contract_predicate(batch, partial=self._partial, pair_check=self._pair_check)
         exp_counts: dict[str, int] = {}
         if self.cfg.expectations:
             # before the dirty-quarantine write: a fail-action abort must not
@@ -455,7 +487,7 @@ class ReplayEngine:
             )
             schema_events.sort(key=lambda r: (r["commit_lsn"], r["seq_no"]))
             batch = batch.where(F.col("op") != "S")
-            pred = contract_predicate(batch, partial=self._partial)
+            pred = contract_predicate(batch, partial=self._partial, pair_check=self._pair_check)
 
         deduped_total = 0
         dirty_n = 0
@@ -483,7 +515,7 @@ class ReplayEngine:
                 )
             applied, dstats = self._merge_sub_batch(
                 sub,
-                dirty_pred=contract_predicate(sub, partial=self._partial),
+                dirty_pred=contract_predicate(sub, partial=self._partial, pair_check=self._pair_check),
                 parts=parts,
                 events_n=events_n,
                 prior_dirty=dirty_n,
@@ -630,7 +662,7 @@ class ReplayEngine:
             # carry column values the collapse must see. One hash(key)
             # exchange into the table's bucket layout (reused by the MERGE
             # join and the bucket-aligned write), one sorted window pass.
-            from .dedup import partial_collapse
+            from .dedup import aggregate_collapse
 
             if raw_mode or "extra" in src.columns:
                 raise ValueError(
@@ -638,9 +670,10 @@ class ReplayEngine:
                     "columns only (no binary payload / semi-structured "
                     "'extra' map)"
                 )
-            deduped = partial_collapse(
+            deduped = aggregate_collapse(
                 src,
                 "doc_id",
+                agg_spec=self._agg_spec or None,
                 payload_cols=[
                     c
                     for c in src.columns
@@ -824,6 +857,7 @@ class ReplayEngine:
                 pre_publish_check=pre_publish,
                 publish=not wap,
                 partial_update=self._partial,
+                agg_spec=self._agg_spec or None,
             )
         # write-audit-publish gate. A merge that found the batch already
         # applied returns the CURRENT snapshot (version == pointer) — nothing

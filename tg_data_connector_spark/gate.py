@@ -384,6 +384,137 @@ def sql_cdc_partial_update() -> str:
     """
 
 
+def derive_agg_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic changelog for the AGGREGATION merge engine: n_tok is an
+    independent accumulator (U events contribute 1+e%5, masked out when
+    e%11==0), tokens/source follow "last" semantics (U sets tokens when
+    e%3==0, source when e%3==1), I events are full images that restart the
+    accumulator, D events reset everything."""
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    e = F.col("event_id")
+    is_d = (e % 10) < 1
+    is_i = ~is_d & ((e % 10) < 4)
+    is_u = ~is_d & ~is_i
+    n_full = (F.lit(1) + e % 17).cast("int")
+    contrib = (F.lit(1) + e % 5).cast("int")
+    tokens = F.transform(
+        F.sequence(F.lit(0), (e % 17).cast("int")),
+        lambda i: ((e * 31 + i * 7) % TOK_MOD).cast("int"),
+    )
+    return ev.select(
+        e.alias("event_id"),
+        F.when(is_d, "D").when(is_i, "I").otherwise(F.lit("U")).alias("op"),
+        e.cast("bigint").alias("commit_lsn"),
+        (e % 7).cast("bigint").alias("seq_no"),
+        F.concat(
+            F.lit("d"), F.lpad((F.col("user_id") % K_DOCS).cast("string"), 8, "0")
+        ).alias("doc_id"),
+        F.when(is_i | (is_u & (e % 3 == 0)), tokens).alias("tokens"),
+        F.when(is_i, n_full)
+        .when(is_u & (e % 11 != 0), contrib)
+        .alias("n_tok"),
+        F.when(is_i | (is_u & (e % 3 == 1)), F.col("event_type")).alias("source"),
+        (e % N_PARTS).cast("int").alias("part"),
+        F.floor(e / N_PARTS).cast("bigint").alias("offset"),
+    )
+
+
+AGG_CHANGELOG_SQL = f"""
+  SELECT event_id,
+    CASE WHEN event_id % 10 < 1 THEN 'D'
+         WHEN event_id % 10 < 4 THEN 'I' ELSE 'U' END AS op,
+    CAST(event_id AS BIGINT) AS commit_lsn,
+    CAST(event_id % 7 AS BIGINT) AS seq_no,
+    'd' || lpad(CAST(user_id % {K_DOCS} AS VARCHAR), 8, '0') AS doc_id,
+    CASE WHEN (event_id % 10 >= 1 AND event_id % 10 < 4)
+           OR (event_id % 10 >= 4 AND event_id % 3 = 0)
+         THEN list_transform(range(0, CAST(1 + event_id % 17 AS BIGINT)),
+                             i -> (event_id*31 + i*7) % {TOK_MOD}) END AS tokens,
+    CASE WHEN event_id % 10 >= 1 AND event_id % 10 < 4
+           THEN CAST(1 + event_id % 17 AS INT)
+         WHEN event_id % 10 >= 4 AND event_id % 11 <> 0
+           THEN CAST(1 + event_id % 5 AS INT) END AS n_tok,
+    CASE WHEN (event_id % 10 >= 1 AND event_id % 10 < 4)
+           OR (event_id % 10 >= 4 AND event_id % 3 = 1)
+         THEN event_type END AS source
+  FROM events
+"""
+
+
+def q_cdc_aggregate_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AGGREGATION merge engine (ReplayConfig resolution="aggregate",
+    agg_spec={"n_tok": "sum"} — Paimon's aggregation merge engine): the real
+    engine maintains a per-key running total through batched replay (DELETE
+    resets the accumulator, INSERT restarts it at its own image, "last"
+    columns ride the partial-update machinery) and the final table is
+    compared against a one-shot per-column SQL oracle."""
+    root = tempfile.mkdtemp(prefix="tgspark_gate_agg_")
+    table = LakeTable.create(
+        spark, f"{root}/seq", SEQ_SCHEMA, key="doc_id", n_buckets=16
+    )
+    table.append(derive_seed(spark, sf_dir), lsn_col=F.lit(-1), seq_col=F.lit(0))
+    eng = ReplayEngine(
+        spark,
+        table,
+        ReplayConfig(
+            events_per_batch=50_000,
+            resolution="aggregate",
+            agg_spec={"n_tok": "sum"},
+        ),
+    )
+    eng.replay(derive_agg_changelog(spark, sf_dir), run_id="gate_agg")
+    final = table.read()
+    return final.select(
+        "doc_id", _csv(F.col("tokens")).alias("tokens_csv"), "n_tok", "source"
+    )
+
+
+def sql_cdc_aggregate_merge() -> str:
+    vmin = -(2**62)
+    return f"""
+    WITH log AS ({AGG_CHANGELOG_SQL}),
+    base AS (SELECT *, commit_lsn*8 + seq_no AS v FROM log),
+    perkey AS (
+      SELECT doc_id,
+        max(v) AS vwin,
+        max(CASE WHEN op='D' THEN v END) AS dv,
+        max(CASE WHEN op IN ('D','I') THEN v END) AS rv,
+        max(CASE WHEN op<>'D' AND (tokens IS NOT NULL OR op='I')
+                 THEN {{'v': v, 'x': tokens}} END) AS mtok,
+        max(CASE WHEN op<>'D' AND (source IS NOT NULL OR op='I')
+                 THEN {{'v': v, 'x': source}} END) AS msrc
+      FROM base GROUP BY doc_id),
+    sums AS (
+      SELECT b.doc_id, CAST(sum(b.n_tok) AS INT) AS agg_ntok
+      FROM base b JOIN perkey p ON b.doc_id = p.doc_id
+      WHERE b.op <> 'D' AND b.v >= coalesce(p.rv, {vmin})
+      GROUP BY b.doc_id),
+    resolved AS (
+      SELECT p.doc_id, p.vwin, p.dv, p.rv,
+        CASE WHEN p.mtok.v > coalesce(p.dv, {vmin}) THEN p.mtok.x END AS tokens,
+        s.agg_ntok AS n_tok,
+        CASE WHEN p.msrc.v > coalesce(p.dv, {vmin}) THEN p.msrc.x END AS source
+      FROM perkey p LEFT JOIN sums s ON p.doc_id = s.doc_id),
+    seed AS ({SEED_SQL}),
+    final AS (
+      SELECT r.doc_id,
+        CASE WHEN r.rv IS NOT NULL OR sd.doc_id IS NULL THEN r.tokens
+             ELSE coalesce(r.tokens, sd.tokens) END AS tokens,
+        CASE WHEN r.rv IS NOT NULL OR sd.doc_id IS NULL THEN r.n_tok
+             WHEN r.n_tok IS NULL AND sd.n_tok IS NULL THEN NULL
+             ELSE CAST(coalesce(r.n_tok, 0) + coalesce(sd.n_tok, 0) AS INT)
+        END AS n_tok,
+        CASE WHEN r.rv IS NOT NULL OR sd.doc_id IS NULL THEN r.source
+             ELSE coalesce(r.source, sd.source) END AS source
+      FROM resolved r LEFT JOIN seed sd ON r.doc_id = sd.doc_id
+      WHERE r.vwin <> coalesce(r.dv, -1)
+      UNION ALL
+      SELECT sd.doc_id, sd.tokens, sd.n_tok, sd.source
+      FROM seed sd ANTI JOIN base b ON sd.doc_id = b.doc_id)
+    SELECT doc_id, {_CSV} AS tokens_csv, n_tok, source FROM final
+    """
+
+
 def q_lake_fsck(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integrity checker over a table the full engine just built (MoR replay
     + incremental compaction + the metadata/scan checks): a healthy table
@@ -3580,6 +3711,7 @@ QUERIES = {
     ),
     "cdc_merge_mor": (q_cdc_merge_mor, sql_cdc_merge_mor),
     "cdc_partial_update": (q_cdc_partial_update, sql_cdc_partial_update),
+    "cdc_aggregate_merge": (q_cdc_aggregate_merge, sql_cdc_aggregate_merge),
     "lake_fsck": (q_lake_fsck, sql_lake_fsck),
     "lake_merge_into": (q_lake_merge_into, sql_lake_merge_into),
     "lake_mview_refresh": (q_lake_mview_refresh, sql_lake_mview_refresh),

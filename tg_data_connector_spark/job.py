@@ -487,6 +487,11 @@ def _write(spark: SparkSession, cfg: dict, df: DataFrame) -> int | None:
                 ReplayConfig(
                     events_per_batch=int(cfg.get("eventsPerBatch", 5_000_000)),
                     merge_mode=cfg.get("mergeMode", "cow"),
+                    # row-resolution semantics: "lww" (default) | "partial"
+                    # (sparse after-images) | "aggregate" (per-column
+                    # combiners via aggSpec {col: sum|max|min|last})
+                    resolution=cfg.get("resolution", "lww"),
+                    agg_spec=cfg.get("aggSpec"),
                 ),
             )
             eng.replay(df, run_id=str(cfg.get("runId", "job")))

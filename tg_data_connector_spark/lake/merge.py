@@ -74,6 +74,7 @@ def merge_upsert(
     max_commit_retries: int = 3,
     publish: bool = True,
     partial_update: bool = False,
+    agg_spec: dict | None = None,
 ) -> Snapshot | None:
     """Apply one deduplicated change batch to the table and commit a snapshot.
 
@@ -86,6 +87,16 @@ def merge_upsert(
     first. The source must then be the output of ``partial_collapse`` (extra
     ``_rv_lsn/_rv_seq`` columns, per-column values already resolved within
     the batch).
+
+    ``agg_spec`` (implies the partial machinery; source from
+    ``cdc.dedup.aggregate_collapse``) switches named columns to AGGREGATE
+    combiners (Paimon's aggregation merge engine): ``"sum"`` adds the batch
+    total into the target, ``"max"``/``"min"`` keep the extremum, ``"last"``
+    (default) coalesces as above — all associative, so per-batch collapse +
+    merge equals the one-shot aggregate over the log. CALLER CONTRACT for
+    sum columns: events must reach the merge EXACTLY once (the replay
+    engine's per-partition watermarks guarantee it; LWW/last tolerate
+    at-least-once redelivery, running totals do not).
 
     ``publish=False`` stages the merged snapshot WITHOUT moving the current
     pointer (write-audit-publish): audit it via ``table.read(snapshot=
@@ -132,6 +143,7 @@ def merge_upsert(
                 table, src, snap, summary_update, affected_buckets,
                 crash_before_publish, crash_after_stage, timings,
                 pre_publish_check, batch_id, publish, partial_update,
+                agg_spec,
             )
         except CommitConflict as exc:
             last_exc = exc  # re-load + re-merge against the new current
@@ -271,6 +283,7 @@ def _merge_once(
     batch_id,
     publish: bool = True,
     partial_update: bool = False,
+    agg_spec: dict | None = None,
 ) -> Snapshot | None:
     meta = table.meta()
     key, nb = meta["key"], table.bucket_count(snap)
@@ -317,7 +330,7 @@ def _merge_once(
                 F.col("_rv_lsn").cast("bigint").alias("_s_rvl"),
                 F.col("_rv_seq").cast("bigint").alias("_s_rvs"),
             ]
-            if partial_update
+            if partial_update or agg_spec
             else []
         ),
     )
@@ -343,7 +356,7 @@ def _merge_once(
     # retained) so a later-arriving but older-versioned UPDATE cannot resurrect
     # the row. An unmatched DELETE also inserts a tombstone for the same reason.
     out_cols = [F.coalesce(F.col(key), F.col("_s_key")).alias(key)]
-    if partial_update:
+    if partial_update or agg_spec:
         # a batch reset (latest D-or-I) newer than the target row makes the
         # target's column values dead; otherwise a NULL source column means
         # "unchanged" and the target's value survives. An unmatched target
@@ -353,11 +366,24 @@ def _merge_once(
             > F.struct(F.col(LSN_COL), F.col(SEQ_COL))
         )
 
+        spec = dict(agg_spec or {})
+
         def src_val(c):
+            s_c, t_c = F.col(f"_s_{c}"), F.col(c)
+            fn = spec.get(c, "last")
+            if fn == "sum":
+                comb = F.when(
+                    s_c.isNull() & t_c.isNull(), F.lit(None)
+                ).otherwise(F.coalesce(s_c, F.lit(0)) + F.coalesce(t_c, F.lit(0)))
+            elif fn == "max":
+                comb = F.greatest(s_c, t_c)
+            elif fn == "min":
+                comb = F.least(s_c, t_c)
+            else:
+                comb = F.coalesce(s_c, t_c)
             return F.when(
-                F.col(key).isNull() | F.coalesce(reset, F.lit(True)),
-                F.col(f"_s_{c}"),
-            ).otherwise(F.coalesce(F.col(f"_s_{c}"), F.col(c)))
+                F.col(key).isNull() | F.coalesce(reset, F.lit(True)), s_c
+            ).otherwise(comb)
 
     else:
 
