@@ -231,3 +231,29 @@ def test_partial_rejects_mor_and_payload(spark, tmp_path):
         )
     with pytest.raises(ValueError, match="resolution"):
         ReplayEngine(spark, t, ReplayConfig(resolution="bogus"))
+
+
+def test_collapse_plan_shape(spark):
+    """One hash(key) exchange + ONE sort feeding all window aggregates; the
+    aggregate variant's second (unordered) window adds no sort or exchange."""
+    from tg_data_connector_spark.cdc.dedup import aggregate_collapse
+
+    df = spark.createDataFrame(
+        [("a", "U", 1, 0, [1], 1, "s")],
+        "doc_id string, op string, commit_lsn long, seq_no long, "
+        "tokens array<int>, n_tok int, source string",
+    )
+    p1 = (
+        partial_collapse(df, "doc_id", num_partitions=8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert p1.count("Exchange hashpartitioning") == 1
+    assert p1.count("Sort ") == 1
+    p2 = (
+        aggregate_collapse(df, "doc_id", agg_spec={"n_tok": "sum"},
+                           num_partitions=8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert p2.count("Exchange hashpartitioning") == 1
+    assert p2.count("Sort ") == 1
+    assert p2.count("Window") == 2

@@ -84,9 +84,12 @@ class ReplayConfig:
     #       merge engine): agg_spec maps payload columns to "sum" / "max" /
     #       "min" / "last" (default "last" = partial semantics). DELETE
     #       resets the accumulator; INSERT restarts it at its own image.
-    #       Same cow/decoded requirements as "partial". Sum columns rely on
-    #       the replay watermarks' exactly-once delivery (running totals,
-    #       unlike LWW, are not redelivery-tolerant).
+    #       Same cow/decoded requirements as "partial". Sum columns fold
+    #       each event once across crash-replays (watermarks) and same-batch
+    #       duplicates ((key, version) collapse); re-emissions at NEW offsets
+    #       in later batches need upstream normalization (see
+    #       lake/merge.merge_upsert docstring — Paimon's aggregation-engine
+    #       caveat). last/max/min are value-idempotent throughout.
     resolution: str = "lww"
     # resolution="aggregate": payload column -> combiner name (see above).
     agg_spec: "dict | None" = None

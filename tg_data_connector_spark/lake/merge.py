@@ -94,9 +94,14 @@ def merge_upsert(
     total into the target, ``"max"``/``"min"`` keep the extremum, ``"last"``
     (default) coalesces as above — all associative, so per-batch collapse +
     merge equals the one-shot aggregate over the log. CALLER CONTRACT for
-    sum columns: events must reach the merge EXACTLY once (the replay
-    engine's per-partition watermarks guarantee it; LWW/last tolerate
-    at-least-once redelivery, running totals do not).
+    sum columns: each event must be FOLDED exactly once. The engine covers
+    crash-replays (watermarks skip already-applied offsets) and duplicate
+    emissions landing in the same batch (collapse dedups on (key, version));
+    an old event RE-EMITTED AT A NEW OFFSET in a later batch is
+    indistinguishable from a legitimate late out-of-order event without a
+    per-key version log, so such streams must be normalized upstream —
+    the same caveat Paimon's aggregation engine carries. last/max/min are
+    value-idempotent and tolerate all of the above.
 
     ``publish=False`` stages the merged snapshot WITHOUT moving the current
     pointer (write-audit-publish): audit it via ``table.read(snapshot=
