@@ -238,3 +238,76 @@ def test_job_surface_aggregate_resolution(spark, tmp_path):
     }
     run_job(spark, job)
     assert _state(t) == EXPECTED
+
+
+# ---------------------------------------------------------------- MoR engine
+def _seeded_mor(spark, root):
+    t = LakeTable.create(
+        spark, root, SCHEMA, key="doc_id", n_buckets=4,
+        resolution="aggregate", agg_spec=SPEC,
+    )
+    t.append(
+        spark.createDataFrame(
+            SEED, "doc_id string, tokens array<int>, n_tok int, source string"
+        ),
+        lsn_col=F.lit(-1),
+        seq_col=F.lit(0),
+    )
+    return t
+
+
+@pytest.mark.parametrize("per_batch", [2, 100])
+def test_replay_aggregate_mor_parity(spark, tmp_path, per_batch):
+    """Running totals through MoR deltas == COW: per_batch=100 exercises the
+    batch-internal reset paths at read time (pseudo-delete for b, restart-at-
+    winner for c), per_batch=2 exercises cross-delta accumulation."""
+    t = _seeded_mor(spark, str(tmp_path / f"t{per_batch}"))
+    cfg = ReplayConfig(
+        events_per_batch=per_batch,
+        resolution="aggregate",
+        merge_mode="mor",
+        agg_spec=SPEC,
+    )
+    ReplayEngine(spark, t, cfg).replay(
+        spark.createDataFrame(LOG, EV), run_id="aggm"
+    )
+    assert _state(t) == EXPECTED
+
+
+def test_replay_aggregate_mor_compaction_and_continue(spark, tmp_path):
+    """Compaction folds the accumulator losslessly AND later deltas keep
+    adding onto the compacted base (the base re-enters the fold as a full
+    image at its version)."""
+    from tg_data_connector_spark.lake.maintain import compact
+
+    t = _seeded_mor(spark, str(tmp_path / "t"))
+    cfg = ReplayConfig(
+        events_per_batch=100,
+        resolution="aggregate",
+        merge_mode="mor",
+        agg_spec=SPEC,
+    )
+    ReplayEngine(spark, t, cfg).replay(
+        spark.createDataFrame(LOG, EV), run_id="aggm"
+    )
+    compact(t)
+    assert _state(t) == EXPECTED
+    ev2 = spark.createDataFrame(
+        [("a", "U", 20, 0, None, 100, None, 0, 6)], EV
+    )
+    ReplayEngine(spark, t, cfg).replay(ev2, run_id="aggm2")
+    assert _state(t)["a"] == ([1], 122, "u1")
+
+
+def test_aggregate_mor_agg_spec_must_match_table(spark, tmp_path):
+    t = _seeded_mor(spark, str(tmp_path / "t"))
+    with pytest.raises(ValueError, match="agg_spec"):
+        ReplayEngine(
+            spark,
+            t,
+            ReplayConfig(
+                resolution="aggregate",
+                merge_mode="mor",
+                agg_spec={"n_tok": "max"},  # table declared sum
+            ),
+        )

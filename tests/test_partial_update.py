@@ -257,3 +257,77 @@ def test_collapse_plan_shape(spark):
     assert p2.count("Exchange hashpartitioning") == 1
     assert p2.count("Sort ") == 1
     assert p2.count("Window") == 2
+
+
+# ---------------------------------------------------------------- MoR engine
+def _seeded_mor(spark, root, nb=4):
+    t = LakeTable.create(
+        spark, root, SCHEMA, key="doc_id", n_buckets=nb, resolution="partial"
+    )
+    t.append(
+        spark.createDataFrame(
+            SEED, "doc_id string, tokens array<int>, n_tok int, source string"
+        ),
+        lsn_col=F.lit(-1),
+        seq_col=F.lit(0),
+    )
+    return t
+
+
+@pytest.mark.parametrize("per_batch", [2, 100])
+def test_replay_partial_mor_parity(spark, tmp_path, per_batch):
+    """MoR deltas + read-time columnwise fold land the same state as COW —
+    per_batch=100 puts b's D and later U in ONE batch (pseudo-delete path),
+    per_batch=2 splits them across deltas."""
+    t = _seeded_mor(spark, str(tmp_path / f"t{per_batch}"))
+    cfg = ReplayConfig(
+        events_per_batch=per_batch, resolution="partial", merge_mode="mor"
+    )
+    ReplayEngine(spark, t, cfg).replay(_ev(spark, LOG), run_id="pum")
+    assert _state(t) == EXPECTED
+
+
+def test_replay_partial_mor_compaction_lossless(spark, tmp_path):
+    from tg_data_connector_spark.lake.maintain import compact
+
+    t = _seeded_mor(spark, str(tmp_path / "t"))
+    cfg = ReplayConfig(
+        events_per_batch=2, resolution="partial", merge_mode="mor"
+    )
+    ReplayEngine(spark, t, cfg).replay(_ev(spark, LOG), run_id="pum")
+    compact(t)
+    assert _state(t) == EXPECTED
+    # a partial update AFTER compaction coalesces with the compacted base
+    ev2 = _ev(spark, [("b", "U", 30, 0, None, None, "post", 0, 5)])
+    ReplayEngine(spark, t, cfg).replay(ev2, run_id="pum2")
+    got = _state(t)
+    assert got["b"] == ([9, 9], 2, "post")
+
+
+def test_replay_partial_mor_crash_resume(spark, tmp_path):
+    t = _seeded_mor(spark, str(tmp_path / "t"))
+    cfg = ReplayConfig(
+        events_per_batch=2, resolution="partial", merge_mode="mor"
+    )
+    with pytest.raises(RuntimeError, match="crash"):
+        ReplayEngine(spark, t, cfg).replay(
+            _ev(spark, LOG), run_id="pum", crash_before_publish_at=2
+        )
+    ReplayEngine(spark, t, cfg).replay(_ev(spark, LOG), run_id="pum")
+    assert _state(t) == EXPECTED
+
+
+def test_partial_mor_requires_table_declaration(spark, tmp_path):
+    """MoR defers resolution to readers, so the merge engine must be a TABLE
+    property: an undeclared table rejects mor+partial, and a declared table
+    rejects an lww writer."""
+    t_undeclared = _seeded(spark, str(tmp_path / "u"))
+    with pytest.raises(ValueError, match="declare"):
+        ReplayEngine(
+            spark,
+            t_undeclared,
+            ReplayConfig(resolution="partial", merge_mode="mor"),
+        )
+    t_declared = _seeded_mor(spark, str(tmp_path / "d"))
+    with pytest.raises(ValueError, match="declares"):
+        ReplayEngine(spark, t_declared, ReplayConfig())  # lww writer

@@ -240,11 +240,35 @@ class ReplayEngine:
                 raise ValueError(
                     f"agg_spec names unknown columns: {sorted(bad)}"
                 )
-        if self._partial and config.merge_mode != "cow":
+        meta_res = table.meta().get("resolution", "lww")
+        if meta_res != "lww" and config.resolution != meta_res:
+            # the table DECLARED a columnwise merge engine (its MoR deltas
+            # are partial images every reader folds accordingly): a writer
+            # with different semantics would corrupt it
             raise ValueError(
-                "resolution='partial' requires merge_mode='cow': MoR deltas "
-                "resolve whole rows and cannot express per-column survival"
+                f"table declares resolution={meta_res!r}; "
+                f"config has {config.resolution!r}"
             )
+        if self._partial and config.merge_mode != "cow":
+            # MoR defers resolution to READERS, so the engine choice must be
+            # a TABLE property (like Paimon's merge-engine option), not just
+            # this writer's config — otherwise plain readers would fold
+            # partial delta images with whole-row LWW
+            if meta_res != config.resolution:
+                raise ValueError(
+                    "merge_mode='mor' with columnwise resolution requires "
+                    "the table to declare it: LakeTable.create(..., "
+                    f"resolution={config.resolution!r}"
+                    + (", agg_spec=...)" if self._agg_spec else ")")
+                )
+            if (
+                config.resolution == "aggregate"
+                and dict(table.meta().get("agg_spec") or {}) != self._agg_spec
+            ):
+                raise ValueError(
+                    "config agg_spec differs from the table's declared "
+                    "agg_spec"
+                )
         if self._partial and config.parse_payload:
             raise ValueError(
                 "resolution='partial' requires decoded events "

@@ -515,6 +515,69 @@ def sql_cdc_aggregate_merge() -> str:
     """
 
 
+def q_cdc_partial_update_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTIAL-UPDATE under MERGE-ON-READ: the table DECLARES the merge
+    engine (LakeTable.create resolution="partial" — readers must know how to
+    fold partial delta images), batches append O(batch) deltas carrying the
+    collapse's reset-version pair, the read reconstructs the event stream
+    (base rows as full images, deltas as partial events + pseudo-deletes)
+    and folds it with the SAME collapse kernel the write path uses
+    (lake/table.resolve_columnwise), and mid-replay incremental compaction
+    proves folding is lossless. Same oracle as cdc_partial_update."""
+    from .lake.maintain import compact
+
+    root = tempfile.mkdtemp(prefix="tgspark_gate_pum_")
+    table = LakeTable.create(
+        spark, f"{root}/seq", SEQ_SCHEMA, key="doc_id", n_buckets=16,
+        resolution="partial",
+    )
+    table.append(derive_seed(spark, sf_dir), lsn_col=F.lit(-1), seq_col=F.lit(0))
+    eng = ReplayEngine(
+        spark,
+        table,
+        ReplayConfig(
+            events_per_batch=50_000, resolution="partial", merge_mode="mor"
+        ),
+    )
+    eng.replay(derive_partial_changelog(spark, sf_dir), run_id="gate_pum")
+    compact(table)
+    final = table.read()
+    return final.select(
+        "doc_id", _csv(F.col("tokens")).alias("tokens_csv"), "n_tok", "source"
+    )
+
+
+def q_cdc_aggregate_merge_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AGGREGATION merge engine under MERGE-ON-READ: per-key running totals
+    accumulate across O(batch) delta appends, resolve at read time, survive
+    compaction, and keep accumulating off the compacted base. Same oracle as
+    cdc_aggregate_merge."""
+    from .lake.maintain import compact
+
+    root = tempfile.mkdtemp(prefix="tgspark_gate_aggm_")
+    table = LakeTable.create(
+        spark, f"{root}/seq", SEQ_SCHEMA, key="doc_id", n_buckets=16,
+        resolution="aggregate", agg_spec={"n_tok": "sum"},
+    )
+    table.append(derive_seed(spark, sf_dir), lsn_col=F.lit(-1), seq_col=F.lit(0))
+    eng = ReplayEngine(
+        spark,
+        table,
+        ReplayConfig(
+            events_per_batch=50_000,
+            resolution="aggregate",
+            merge_mode="mor",
+            agg_spec={"n_tok": "sum"},
+        ),
+    )
+    eng.replay(derive_agg_changelog(spark, sf_dir), run_id="gate_aggm")
+    compact(table)
+    final = table.read()
+    return final.select(
+        "doc_id", _csv(F.col("tokens")).alias("tokens_csv"), "n_tok", "source"
+    )
+
+
 def q_lake_fsck(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integrity checker over a table the full engine just built (MoR replay
     + incremental compaction + the metadata/scan checks): a healthy table
@@ -3712,6 +3775,10 @@ QUERIES = {
     "cdc_merge_mor": (q_cdc_merge_mor, sql_cdc_merge_mor),
     "cdc_partial_update": (q_cdc_partial_update, sql_cdc_partial_update),
     "cdc_aggregate_merge": (q_cdc_aggregate_merge, sql_cdc_aggregate_merge),
+    "cdc_partial_update_mor": (q_cdc_partial_update_mor, sql_cdc_partial_update),
+    "cdc_aggregate_merge_mor": (
+        q_cdc_aggregate_merge_mor, sql_cdc_aggregate_merge,
+    ),
     "lake_fsck": (q_lake_fsck, sql_lake_fsck),
     "lake_merge_into": (q_lake_merge_into, sql_lake_merge_into),
     "lake_mview_refresh": (q_lake_mview_refresh, sql_lake_mview_refresh),

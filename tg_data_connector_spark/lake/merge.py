@@ -226,6 +226,17 @@ def delta_append(
             F.col("commit_lsn").cast("bigint").alias(LSN_COL),
             F.col("seq_no").cast("bigint").alias(SEQ_COL),
             is_del.alias(DELETED_COL),
+            # columnwise tables (partial/aggregate merge engines): the
+            # collapse's reset-version pair rides the delta file so readers
+            # can reconstruct batch-internal D/I resets (resolve_columnwise)
+            *(
+                [
+                    F.col("_rv_lsn").cast("bigint").alias("_rv_lsn"),
+                    F.col("_rv_seq").cast("bigint").alias("_rv_seq"),
+                ]
+                if "_rv_lsn" in src.columns
+                else []
+            ),
         ).withColumn(BUCKET_COL, bucket_expr(key, nb))
         t0 = _time.time()
         files = table.write_data_files(

@@ -277,6 +277,93 @@ def resolve_lww(df: DataFrame, key: str) -> DataFrame:
     )
 
 
+RV_LSN, RV_SEQ = "_rv_lsn", "_rv_seq"
+RV_COLS = [(RV_LSN, "bigint"), (RV_SEQ, "bigint")]
+
+
+def resolve_columnwise(
+    base: DataFrame | None,
+    delta: DataFrame,
+    key: str,
+    payload_cols: list[str],
+    agg_spec: dict | None = None,
+) -> DataFrame:
+    """Merge-on-read resolution for PARTIAL/AGGREGATE tables (the table's
+    declared merge engine, ``_meta.json resolution``): base + delta rows are
+    re-expressed as a change-event stream and folded by the SAME collapse
+    kernel the write path uses (``cdc.dedup.aggregate_collapse``), so read
+    resolution and batch collapse can never disagree.
+
+      * a base row is a full image at its version  -> op I (tombstone -> D);
+      * a delta row is a partial update            -> op U (tombstone -> D),
+        UNLESS its reset version (``_rv_lsn/_rv_seq``, the batch's internal
+        latest D-or-I) EQUALS its own version — then the batch was restarted
+        by that very event and the row is a full image -> op I;
+      * a delta row whose reset version is strictly OLDER than its own
+        version additionally emits a pseudo-DELETE event at the reset
+        version: it re-creates the batch-internal delete the collapse
+        consumed, killing base/older-delta setters at or before it.
+
+    Exactness: versions are unique per key across the log, deltas carry only
+    versions newer than the base they were appended over (LSN-ordered batch
+    windows), so the fold sees a faithful reconstruction of the suffix of
+    the event stream that produced the deltas.
+    """
+    from ..cdc.dedup import aggregate_collapse
+
+    def to_ev(df: DataFrame, op_col) -> DataFrame:
+        return df.select(
+            F.col(key),
+            *[F.col(c) for c in payload_cols],
+            op_col.alias("op"),
+            F.col(LSN_COL).alias("commit_lsn"),
+            F.col(SEQ_COL).alias("seq_no"),
+        )
+
+    v = F.struct(F.col(LSN_COL).alias("l"), F.col(SEQ_COL).alias("s"))
+    rv = F.struct(F.col(RV_LSN).alias("l"), F.col(RV_SEQ).alias("s"))
+    restart = F.col(RV_LSN).isNotNull() & (rv == v)
+    parts = [
+        to_ev(
+            delta,
+            F.when(F.col(DELETED_COL), "D")
+            .when(restart, "I")
+            .otherwise(F.lit("U")),
+        ),
+        delta.where(
+            F.col(RV_LSN).isNotNull() & ~F.col(DELETED_COL) & (rv < v)
+        ).select(
+            F.col(key),
+            *[
+                F.lit(None).cast(delta.schema[c].dataType).alias(c)
+                for c in payload_cols
+            ],
+            F.lit("D").alias("op"),
+            F.col(RV_LSN).alias("commit_lsn"),
+            F.col(RV_SEQ).alias("seq_no"),
+        ),
+    ]
+    if base is not None:
+        parts.append(
+            to_ev(
+                base, F.when(F.col(DELETED_COL), "D").otherwise(F.lit("I"))
+            )
+        )
+    ev = parts[0]
+    for p in parts[1:]:
+        ev = ev.unionByName(p)
+    collapsed = aggregate_collapse(
+        ev, key, agg_spec=agg_spec, payload_cols=payload_cols
+    )
+    return collapsed.select(
+        F.col(key),
+        *[F.col(c) for c in payload_cols],
+        F.col("commit_lsn").alias(LSN_COL),
+        F.col("seq_no").alias(SEQ_COL),
+        (F.col("op") == "D").alias(DELETED_COL),
+    )
+
+
 def bucket_expr(key_col: str, n_buckets: int):
     """Stable key -> bucket mapping, deliberately IDENTICAL to Spark's own
     shuffle placement: ``pmod(murmur3_hash(key), n)`` is exactly what
@@ -423,6 +510,8 @@ class LakeTable:
         stats_cols: "list[str] | None" = None,
         cluster_cols: "list[str] | None" = None,
         cluster_method: "str | None" = None,
+        resolution: str = "lww",
+        agg_spec: "dict | None" = None,
     ) -> "LakeTable":
         """``codec``: parquet compression for this table's data files
         (recorded in _meta.json so every writer of the table agrees;
@@ -470,6 +559,16 @@ class LakeTable:
         independently; see ``lake/zorder.py``)."""
         if cluster_method not in (None, "range", "zorder"):
             raise ValueError(f"unknown cluster_method: {cluster_method!r}")
+        # ``resolution``: the table's declared MERGE ENGINE (Paimon stores
+        # the same choice in table options) — "lww" (default), "partial"
+        # (NULL column in an update = unchanged), or "aggregate" (per-column
+        # combiners via ``agg_spec``). A TABLE property, not a writer
+        # option, because merge-on-read DELTA FILES defer resolution to
+        # every reader: the reader must know how to fold them.
+        if resolution not in ("lww", "partial", "aggregate"):
+            raise ValueError(f"unknown resolution: {resolution!r}")
+        if resolution == "aggregate" and not agg_spec:
+            raise ValueError("resolution='aggregate' requires agg_spec")
         t = LakeTable(spark, root, fs=fs)
         t.fs.makedirs(os.path.join(root, "_versions"))
         t.fs.makedirs(os.path.join(root, "_manifests"))
@@ -504,6 +603,12 @@ class LakeTable:
                         if cluster_method
                         else {}
                     ),
+                    **(
+                        {"resolution": resolution}
+                        if resolution != "lww"
+                        else {}
+                    ),
+                    **({"agg_spec": dict(agg_spec)} if agg_spec else {}),
                 },
                 f,
             )
@@ -826,6 +931,47 @@ class LakeTable:
             if not any(f.get("kind") == "delta" for f in files):
                 files = [f for f in files if not _file_excluded(f, filters)]
         self._last_scan_file_count = len(files)  # test/ops introspection
+        has_delta = any(f.get("kind") == "delta" for f in files)
+        resolution = self.meta().get("resolution", "lww")
+        if has_delta and resolution != "lww":
+            # columnwise merge engine: delta rows are PARTIAL images — split
+            # the scan so base rows enter the fold as full images and delta
+            # rows (with their reset-version pair) as partial events
+            base_files = [f for f in files if f.get("kind") != "delta"]
+            delta_files = [f for f in files if f.get("kind") == "delta"]
+            b = self._read_file_entries(
+                base_files, snap.schemas, cur, target_sid=snap.schema_id
+            )
+            d = self._read_file_entries(
+                delta_files,
+                snap.schemas,
+                cur,
+                target_sid=snap.schema_id,
+                extra_cols=RV_COLS,
+            )
+            out = resolve_columnwise(
+                b,
+                d,
+                self.meta()["key"],
+                payload_cols=[
+                    c for c in cur.names() if c != self.meta()["key"]
+                ],
+                agg_spec=self.meta().get("agg_spec"),
+            )
+            # a SUM over an int column folds to bigint — realign every
+            # payload column to its declared type so downstream writers
+            # (compaction!) emit files matching the schema's physical types.
+            # Declare accumulator columns wide enough (bigint) to hold their
+            # totals; ANSI mode surfaces an overflowing cast as an error.
+            out = out.select(
+                *[F.col(n).cast(t).alias(n) for n, t in cur.fields],
+                *[F.col(c) for c in (LSN_COL, SEQ_COL, DELETED_COL)],
+            )
+            if not with_lineage:
+                out = out.where(~F.col(DELETED_COL)).drop(*LINEAGE_COLS)
+            if filters:
+                out = out.where(_filters_to_column(filters))
+            return out
         out = self._read_file_entries(
             files, snap.schemas, cur, target_sid=snap.schema_id
         )
@@ -899,6 +1045,7 @@ class LakeTable:
         schemas: dict,
         target: TableSchema,
         target_sid: int | None = None,
+        extra_cols: "list[tuple[str, str]] | None" = None,
     ) -> DataFrame | None:
         """Read a list of manifest file entries, each with its write-time
         schema (no inference), aligned (cast / null-fill / rename-resolve)
@@ -907,10 +1054,15 @@ class LakeTable:
 
         ``target_sid``: the schema id ``target`` corresponds to — needed to
         walk rename records back to each file's write-time name (omitted =
-        no rename resolution, the pre-rename behavior)."""
+        no rename resolution, the pre-rename behavior).
+
+        ``extra_cols``: additional (name, type) columns to surface (the
+        columnwise delta files' reset-version pair); files without them
+        yield NULLs (explicit read schema, no inference)."""
         if not files:
             return None
         lineage = [(LSN_COL, "bigint"), (SEQ_COL, "bigint"), (DELETED_COL, "boolean")]
+        lineage = lineage + list(extra_cols or [])
         by_sid: dict[int, list[str]] = {}
         for f in files:
             by_sid.setdefault(f["schema_id"], []).append(
