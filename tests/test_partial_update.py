@@ -331,3 +331,51 @@ def test_partial_mor_requires_table_declaration(spark, tmp_path):
     t_declared = _seeded_mor(spark, str(tmp_path / "d"))
     with pytest.raises(ValueError, match="declares"):
         ReplayEngine(spark, t_declared, ReplayConfig())  # lww writer
+
+
+def test_changes_feed_emits_full_images_for_columnwise(spark, tmp_path):
+    """CDF on a partial table must NOT stream partial delta rows verbatim
+    (a downstream LWW apply would turn NULL=unchanged into NULL=overwrite):
+    it emits the NET resolved diff — full images, one pseudo-commit."""
+    from tg_data_connector_spark.lake.table import DELETED_COL
+
+    t = _seeded_mor(spark, str(tmp_path / "t"))
+    v0 = t.current_version()
+    cfg = ReplayConfig(
+        events_per_batch=2, resolution="partial", merge_mode="mor"
+    )
+    ReplayEngine(spark, t, cfg).replay(_ev(spark, LOG), run_id="pum")
+    ch = t.changes(v0)
+    rows = {r["doc_id"]: r for r in ch.collect()}
+    # a: full image with seed tokens coalesced in, despite the partial U
+    assert rows["a"]["tokens"] == [1] and rows["a"]["source"] == "upd"
+    # b: final re-created row, not the intermediate tombstone
+    assert rows["b"]["tokens"] == [9, 9] and not rows["b"][DELETED_COL]
+    # c untouched -> absent from the net diff
+    assert "c" not in rows
+    assert rows["d"]["source"] == "late"
+
+
+def test_sync_table_from_columnwise_upstream(spark, tmp_path):
+    """Table-to-table sync off a partial upstream converges the downstream
+    (a plain lww table) to the resolved upstream state across incremental
+    passes."""
+    from tg_data_connector_spark.lake.sync import sync_table
+
+    up = _seeded_mor(spark, str(tmp_path / "up"))
+    down = LakeTable.create(
+        spark, str(tmp_path / "down"), SCHEMA, key="doc_id", n_buckets=4
+    )
+    cfg = ReplayConfig(
+        events_per_batch=2, resolution="partial", merge_mode="mor"
+    )
+    sync_table(up, down, "up")  # bootstrap (seed only)
+    ReplayEngine(spark, up, cfg).replay(
+        _ev(spark, LOG[:3]), run_id="p1"
+    )
+    sync_table(up, down, "up")
+    ReplayEngine(spark, up, cfg).replay(_ev(spark, LOG), run_id="p2")
+    sync_table(up, down, "up")
+    assert _state(down) == _state(up) == EXPECTED
+    # converged: another pass is a no-op
+    assert sync_table(up, down, "up") is None

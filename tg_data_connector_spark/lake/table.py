@@ -1127,6 +1127,36 @@ class LakeTable:
             )
         chain.reverse()
         to_snap = self.snapshot(to_v)
+        if chain and self.meta().get("resolution", "lww") != "lww":
+            # COLUMNWISE merge engines: delta rows are PARTIAL images — a
+            # downstream LWW consumer replaying them verbatim would turn
+            # "NULL = unchanged" into "NULL = overwrite". Emit the NET
+            # resolved diff between the two snapshots instead (full images,
+            # one pseudo-commit at ``to_v``) — the analog of Paimon's
+            # full-compaction changelog for its non-deduplicate engines.
+            # Cost: two resolved scans, O(table) — the price of complete
+            # images when the log itself only carries cells; intermediate
+            # per-commit states are collapsed away by construction.
+            cur_df = self.read(snapshot=to_snap, with_lineage=True)
+            prev_df = self.read(
+                snapshot=self.snapshot(from_version), with_lineage=True
+            )
+            # align the older snapshot's frame to the target schema (schema
+            # may have evolved in between): null-fill added columns, cast
+            # widened ones. The diff emits CUR rows only, so misalignment
+            # can only inflate the change set, never corrupt an image.
+            have = set(prev_df.columns)
+            prev_df = prev_df.select(
+                *[
+                    (F.col(c) if c in have else F.lit(None))
+                    .cast(dict(cur_df.dtypes)[c])
+                    .alias(c)
+                    for c in cur_df.columns
+                ]
+            )
+            return cur_df.exceptAll(prev_df).withColumn(
+                "_commit_version", F.lit(to_v)
+            )
         target = to_snap.schema()
         key = self.meta()["key"]
         outs = []
