@@ -311,3 +311,38 @@ def test_aggregate_mor_agg_spec_must_match_table(spark, tmp_path):
                 agg_spec={"n_tok": "max"},  # table declared sum
             ),
         )
+
+
+def test_job_surface_creates_declared_mor_table(spark, tmp_path):
+    """A lake_replay writer with mergeMode=mor + a columnwise resolution
+    creates the table WITH the declared merge engine, so the whole flow —
+    create, replay, resolved read — runs off one job.json."""
+    from tg_data_connector_spark.job import run_job
+
+    log_dir = str(tmp_path / "log")
+    root = str(tmp_path / "t")
+    spark.createDataFrame(LOG, EV).write.parquet(log_dir)
+    job = {
+        "reader": {"type": "parquet", "path": log_dir},
+        "writer": {
+            "type": "lake_replay",
+            "path": root,
+            "key": "doc_id",
+            "eventsPerBatch": 2,
+            "runId": "jm",
+            "mergeMode": "mor",
+            "resolution": "aggregate",
+            "aggSpec": {"n_tok": "sum"},
+        },
+    }
+    run_job(spark, job)
+    t = LakeTable(spark, root)
+    assert t.meta().get("resolution") == "aggregate"
+    got = _state(t)
+    # no seed here: a's total is 5+7, b was deleted then re-created at 3,
+    # c inserted at 100 then +1
+    assert got == {
+        "a": (None, 12, "u1"),
+        "b": ([5], 3, None),
+        "c": ([9], 101, "new"),
+    }

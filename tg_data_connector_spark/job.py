@@ -462,6 +462,19 @@ def _write(spark: SparkSession, cfg: dict, df: DataFrame) -> int | None:
             table = LakeTable.create(
                 spark, root, schema, key=key,
                 n_buckets=int(cfg.get("buckets", 16)), fs=fs,
+                # declare the merge engine on the table when the writer uses
+                # a columnwise resolution with MoR — readers must know how
+                # to fold the deltas (table.py resolve_columnwise)
+                resolution=(
+                    cfg.get("resolution", "lww")
+                    if cfg.get("mergeMode", "cow") == "mor"
+                    else "lww"
+                ),
+                agg_spec=(
+                    cfg.get("aggSpec")
+                    if cfg.get("mergeMode", "cow") == "mor"
+                    else None
+                ),
             )
         else:
             table = LakeTable(spark, root, fs=fs)
