@@ -379,3 +379,23 @@ def test_sync_table_from_columnwise_upstream(spark, tmp_path):
     assert _state(down) == _state(up) == EXPECTED
     # converged: another pass is a no-op
     assert sync_table(up, down, "up") is None
+
+
+def test_update_where_null_assignment_sticks_on_columnwise_mor(spark, tmp_path):
+    """DML update_where writes a full image: on a columnwise MoR table an
+    explicit set-to-NULL must stick — the delta row is marked as a restart
+    so the read fold replaces the row wholesale instead of coalescing."""
+    from tg_data_connector_spark.lake.dml import update_where
+
+    t = _seeded_mor(spark, str(tmp_path / "t"))
+    cfg = ReplayConfig(
+        events_per_batch=100, resolution="partial", merge_mode="mor"
+    )
+    ReplayEngine(spark, t, cfg).replay(_ev(spark, LOG), run_id="pum")
+    update_where(
+        t, "doc_id = 'a'", {"source": F.lit(None).cast("string")}, mode="mor"
+    )
+    got = _state(t)
+    assert got["a"] == ([1], 1, None)  # source nulled, tokens/n_tok kept
+    # the other keys are untouched
+    assert got["b"] == EXPECTED["b"] and got["d"] == EXPECTED["d"]

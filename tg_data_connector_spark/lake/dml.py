@@ -136,6 +136,16 @@ def update_where(
         overrides[name] = F.expr(expr) if isinstance(expr, str) else expr
     write = _writer(mode)
     src = _stamp(_matched(table, snap, predicate), "U", overrides, cols)
+    if mode == "mor" and table.meta().get("resolution", "lww") != "lww":
+        # COLUMNWISE tables fold MoR delta rows as partial images (NULL =
+        # unchanged) — but update_where writes a FULL image (the resolved
+        # row with assignments applied), and an assignment that sets a
+        # column to NULL must stick. Mark each row as a RESTART (reset
+        # version == its own version, read-mapped to a full-image insert,
+        # table.py resolve_columnwise) so the fold replaces the row wholesale.
+        src = src.withColumn(
+            "_rv_lsn", F.col("commit_lsn").cast("bigint")
+        ).withColumn("_rv_seq", F.col("seq_no").cast("bigint"))
     summary = {"batch_id": batch_id} if batch_id else None
     if mode == "mor" and src.isEmpty():
         return None  # see delete_where: DML no-ops on an unmatched predicate
