@@ -399,3 +399,37 @@ def test_update_where_null_assignment_sticks_on_columnwise_mor(spark, tmp_path):
     assert got["a"] == ([1], 1, None)  # source nulled, tokens/n_tok kept
     # the other keys are untouched
     assert got["b"] == EXPECTED["b"] and got["d"] == EXPECTED["d"]
+
+
+def test_mor_partial_out_of_order_batches(spark, tmp_path):
+    """A streaming tail's file-split micro-batches can INTERLEAVE version
+    ranges across batches. MoR columnwise appends raw events (the read fold
+    is the collapse over the whole stream), so ANY batch order converges to
+    the one-shot state — here the later batch carries OLDER versions whose
+    setters must still lose to newer ones already applied, column by column."""
+    t = _seeded_mor(spark, str(tmp_path / "t"))
+    cfg = ReplayConfig(resolution="partial", merge_mode="mor")
+    eng = ReplayEngine(spark, t, cfg)
+    # batch 1: the NEWER events (tokens@26, the delete@11, re-create@25)
+    b1 = [
+        ("b", "D", 11, 0, None, None, None, 0, 1),
+        ("b", "U", 25, 0, [9, 9], 2, None, 0, 3),
+        ("d", "U", 26, 0, None, None, "late", 0, 4),
+    ]
+    # batch 2: the OLDER events delivered afterwards
+    b2 = [
+        ("a", "U", 10, 0, None, None, "upd", 0, 0),
+        ("d", "U", 12, 0, [4, 4], 2, None, 0, 2),
+    ]
+    eng.apply_batch(_ev(spark, b1), batch_id="oo1")
+    eng.apply_batch(_ev(spark, b2), batch_id="oo2")
+    assert _state(t) == EXPECTED
+
+
+def test_stream_replay_rejects_cow_columnwise(spark, tmp_path):
+    from tg_data_connector_spark.streaming import stream_replay
+
+    t = _seeded(spark, str(tmp_path / "t"))
+    eng = ReplayEngine(spark, t, ReplayConfig(resolution="partial"))
+    with pytest.raises(ValueError, match="mor"):
+        stream_replay(spark, eng, str(tmp_path / "log"), str(tmp_path / "c"))

@@ -697,17 +697,47 @@ class ReplayEngine:
                     "columns only (no binary payload / semi-structured "
                     "'extra' map)"
                 )
-            deduped = aggregate_collapse(
-                src,
-                "doc_id",
-                agg_spec=self._agg_spec or None,
-                payload_cols=[
-                    c
-                    for c in src.columns
-                    if c not in ("doc_id", "op", "commit_lsn", "seq_no")
-                ],
-                num_partitions=nb,
-            )
+            if self.cfg.merge_mode == "mor":
+                # RAW-EVENT deltas. The batch collapse embeds older setters'
+                # values at the winner's version, which is only sound when
+                # batch version-ranges never interleave (the batch driver's
+                # LSN-ordered offset windows guarantee that; a streaming
+                # tail's FILE-split micro-batches do NOT). MoR needs no
+                # write-time collapse for correctness — the read fold IS the
+                # collapse over the whole reconstructed stream
+                # (lake/table.resolve_columnwise) — so each event appends as
+                # its own delta row, I events marked as restarts at their
+                # own version, and resolution is exact under ANY delivery
+                # order. One hash(key) exchange; the exact-duplicate drop
+                # extends the partition key, so it aggregates in place.
+                deduped = (
+                    src.repartition(nb, F.col("doc_id"))
+                    .dropDuplicates(["doc_id", "commit_lsn", "seq_no"])
+                    .withColumn(
+                        "_rv_lsn",
+                        F.when(
+                            F.col("op") == "I", F.col("commit_lsn")
+                        ).cast("bigint"),
+                    )
+                    .withColumn(
+                        "_rv_seq",
+                        F.when(F.col("op") == "I", F.col("seq_no")).cast(
+                            "bigint"
+                        ),
+                    )
+                )
+            else:
+                deduped = aggregate_collapse(
+                    src,
+                    "doc_id",
+                    agg_spec=self._agg_spec or None,
+                    payload_cols=[
+                        c
+                        for c in src.columns
+                        if c not in ("doc_id", "op", "commit_lsn", "seq_no")
+                    ],
+                    num_partitions=nb,
+                )
         elif strategy == "salted":
             deduped = lww_dedup_salted(src, "doc_id", self.cfg.salt_buckets)
         elif strategy == "maxby":

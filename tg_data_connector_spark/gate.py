@@ -1569,6 +1569,41 @@ def sql_cdc_schema_rename() -> str:
     )
 
 
+def q_cdc_stream_partial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming tail x columnwise engine x merge-on-read, composed: the
+    PARTIAL-update changelog tailed as a Structured Streaming source through
+    foreachBatch into a table that DECLARES resolution="partial", each
+    micro-batch appending MoR deltas. Exactly-once still rides the snapshot
+    batch-id/watermark checks; the final resolved read equals the same
+    one-shot per-column oracle as cdc_partial_update."""
+    from .streaming import stream_replay
+
+    root = tempfile.mkdtemp(prefix="tgspark_gate_spu_")
+    table = LakeTable.create(
+        spark, f"{root}/seq", SEQ_SCHEMA, key="doc_id", n_buckets=16,
+        resolution="partial",
+    )
+    table.append(derive_seed(spark, sf_dir), lsn_col=F.lit(-1), seq_col=F.lit(0))
+    src_dir = f"{root}/log"
+    derive_partial_changelog(spark, sf_dir).repartition(8).write.parquet(src_dir)
+    eng = ReplayEngine(
+        spark,
+        table,
+        ReplayConfig(
+            events_per_batch=50_000, resolution="partial", merge_mode="mor"
+        ),
+    )
+    q = stream_replay(
+        spark, eng, src_dir, f"{root}/ckpt", max_files_per_trigger=3
+    )
+    q.awaitTermination(600)
+    assert table.current_version() > 1
+    final = table.read()
+    return final.select(
+        "doc_id", _csv(F.col("tokens")).alias("tokens_csv"), "n_tok", "source"
+    )
+
+
 def q_cdc_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The north rule's CONTINUOUS change-log tail: the changelog staged as
     parquet files and tailed as a Structured Streaming source
@@ -3765,6 +3800,7 @@ QUERIES = {
     "cdc_schema_widen": (q_cdc_schema_widen, sql_cdc_schema_widen),
     "cdc_schema_rename": (q_cdc_schema_rename, sql_cdc_schema_rename),
     "cdc_stream_replay": (q_cdc_stream_replay, sql_cdc_stream_replay),
+    "cdc_stream_partial": (q_cdc_stream_partial, sql_cdc_partial_update),
     "lake_tag_read": (q_lake_tag_read, sql_lake_tag_read),
     "lake_files_meta": (q_lake_files_meta, sql_lake_files_meta),
     "cdc_canal_envelope": (q_cdc_canal_envelope, sql_cdc_canal_envelope),

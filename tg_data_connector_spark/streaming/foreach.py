@@ -48,6 +48,18 @@ def stream_replay(
     snapshot summary's batch-id check makes re-delivered micro-batches no-ops,
     so wiping the Spark checkpoint and re-running converges to the same table.
     """
+    if getattr(engine, "_partial", False) and engine.cfg.merge_mode != "mor":
+        # a file-split micro-batch can interleave version ranges with its
+        # neighbors, and the COW columnwise merge folds each batch against a
+        # target that has no per-column versions — only LSN-ordered windows
+        # are sound there. MoR appends raw events and defers the fold to the
+        # reader, which is exact under any delivery order — require it.
+        raise ValueError(
+            "streaming with a columnwise resolution requires "
+            "merge_mode='mor': micro-batches are file-split and can "
+            "interleave version ranges, which the COW per-batch collapse "
+            "cannot express"
+        )
     reader = (
         spark.readStream.schema(
             changelog_stream_schema(with_payload=engine.cfg.parse_payload)
