@@ -346,3 +346,56 @@ def test_job_surface_creates_declared_mor_table(spark, tmp_path):
         "b": ([5], 3, None),
         "c": ([9], 101, "new"),
     }
+
+
+def test_merge_into_assignment_replaces_sum_on_columnwise_mor(spark, tmp_path):
+    """A merge_into clause assigning a value to a 'sum' column must SET it,
+    not add a contribution to the accumulator: the full-image changeset row
+    carries the restart marker so the read fold restarts at the assigned
+    image (same rule as update_where)."""
+    from tg_data_connector_spark.lake.dml import merge_into
+
+    t = _seeded_mor(spark, str(tmp_path / "t"))
+    cfg = ReplayConfig(
+        events_per_batch=100,
+        resolution="aggregate",
+        merge_mode="mor",
+        agg_spec=SPEC,
+    )
+    ReplayEngine(spark, t, cfg).replay(
+        spark.createDataFrame(LOG, EV), run_id="aggmi"
+    )
+    assert _state(t)["a"][1] == 22  # accumulated: 10 seed + 5 + 7
+    merge_into(
+        t,
+        spark.createDataFrame([("a",)], "doc_id string"),
+        when_matched_update={"n_tok": F.lit(5)},
+        when_not_matched_insert=None,
+        mode="mor",
+    )
+    got = _state(t)
+    assert got["a"] == ([1], 5, "u1")  # SET to 5, not 22+5
+    assert got["b"] == EXPECTED["b"] and got["c"] == EXPECTED["c"]
+
+
+def test_create_warns_on_narrow_sum_column(spark, tmp_path):
+    """agg_spec 'sum' over an int column folds in bigint and casts back on
+    read — an overflow raises under ANSI mode at read/compaction time, so
+    create() steers to a wide type up front."""
+    import warnings as _w
+
+    with pytest.warns(UserWarning, match="bigint"):
+        LakeTable.create(
+            spark, str(tmp_path / "warn"), SCHEMA, key="doc_id",
+            n_buckets=2, resolution="aggregate", agg_spec={"n_tok": "sum"},
+        )
+    wide = TableSchema([
+        ("doc_id", "string"), ("tokens", "array<int>"),
+        ("n_tok", "bigint"), ("source", "string"),
+    ])
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        LakeTable.create(
+            spark, str(tmp_path / "ok"), wide, key="doc_id",
+            n_buckets=2, resolution="aggregate", agg_spec={"n_tok": "sum"},
+        )

@@ -433,3 +433,45 @@ def test_stream_replay_rejects_cow_columnwise(spark, tmp_path):
     eng = ReplayEngine(spark, t, ReplayConfig(resolution="partial"))
     with pytest.raises(ValueError, match="mor"):
         stream_replay(spark, eng, str(tmp_path / "log"), str(tmp_path / "c"))
+
+
+def test_merge_into_null_assignment_sticks_on_columnwise_mor(spark, tmp_path):
+    """merge_into writes FULL-image U rows; on a columnwise MoR table they
+    must carry the restart marker (same rule as update_where) so a clause
+    assigning NULL replaces the row wholesale instead of being folded as a
+    partial image that keeps the old value."""
+    from tg_data_connector_spark.lake.dml import merge_into
+
+    t = _seeded_mor(spark, str(tmp_path / "t"))
+    cfg = ReplayConfig(
+        events_per_batch=100, resolution="partial", merge_mode="mor"
+    )
+    ReplayEngine(spark, t, cfg).replay(_ev(spark, LOG), run_id="pmm")
+    merge_into(
+        t,
+        spark.createDataFrame([("a",)], "doc_id string"),
+        when_matched_update={"source": F.lit(None).cast("string")},
+        when_not_matched_insert=None,
+        mode="mor",
+    )
+    got = _state(t)
+    assert got["a"] == ([1], 1, None)  # source nulled, tokens/n_tok kept
+    assert got["b"] == EXPECTED["b"] and got["d"] == EXPECTED["d"]
+
+
+def test_changes_all_compaction_window_short_circuits(spark, tmp_path):
+    """changes() over a commit window that is ENTIRELY compactions on a
+    columnwise table returns the empty diff without the O(table) two-scan
+    exceptAll (a compaction is no logical change by definition)."""
+    from tg_data_connector_spark.lake.maintain import compact
+
+    t = _seeded_mor(spark, str(tmp_path / "t"))
+    cfg = ReplayConfig(resolution="partial", merge_mode="mor")
+    ReplayEngine(spark, t, cfg).replay(_ev(spark, LOG), run_id="pch")
+    v = t.current_version()
+    compact(t)
+    ch = t.changes(from_version=v)
+    assert ch.count() == 0
+    # the plan must be the short-circuit, not the resolved diff: no Join
+    # (exceptAll plans as a left-anti join over the two resolved scans)
+    assert "Join" not in ch._jdf.queryExecution().optimizedPlan().toString()

@@ -271,8 +271,6 @@ def partial_collapse(
     no Python. ``F.last(..., ignorenulls)`` over the full frame picks each
     column's latest setter in the same sorted pass.
     """
-    from pyspark.sql import Window
-
     return aggregate_collapse(
         df, key, agg_spec=None, payload_cols=payload_cols,
         num_partitions=num_partitions,

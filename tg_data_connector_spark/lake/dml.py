@@ -327,6 +327,17 @@ def merge_into(
                 .alias("seq_no"),
             )
         )
+        if mode == "mor" and table.meta().get("resolution", "lww") != "lww":
+            # Same rule as update_where above: merge_into's changeset rows
+            # are FULL images (U rows carry every column of the resolved
+            # row), but a columnwise fold would treat them as partial
+            # images — a clause assigning NULL would silently keep the old
+            # value, and on 'aggregate' tables an assigned value to a sum
+            # column would be ADDED to the accumulator. Mark each row as a
+            # restart so resolve_columnwise replaces the row wholesale.
+            changeset = changeset.withColumn(
+                "_rv_lsn", F.col("commit_lsn").cast("bigint")
+            ).withColumn("_rv_seq", F.col("seq_no").cast("bigint"))
         write = _writer(mode)
         summary = dict(summary_update or {})
         if batch_id:

@@ -30,6 +30,7 @@ from __future__ import annotations
 import json
 import os
 import uuid
+import warnings
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -569,6 +570,28 @@ class LakeTable:
             raise ValueError(f"unknown resolution: {resolution!r}")
         if resolution == "aggregate" and not agg_spec:
             raise ValueError("resolution='aggregate' requires agg_spec")
+        if agg_spec:
+            # a 'sum' accumulator folds in bigint; the resolved scan casts
+            # the total back to the DECLARED type, and under ANSI mode an
+            # overflowing cast raises at READ/COMPACTION time — long after
+            # the writes that caused it. Steer users to a wide type at
+            # create time instead of at that much worse moment.
+            declared = dict(schema.fields)
+            narrow = [
+                c for c, fn in agg_spec.items()
+                if fn == "sum"
+                and declared.get(c, "bigint").lower()
+                in ("tinyint", "byte", "smallint", "short", "int", "integer")
+            ]
+            if narrow:
+                warnings.warn(
+                    f"agg_spec 'sum' over narrow column(s) {narrow}: the "
+                    "running total folds in bigint and is cast back to the "
+                    "declared type on read — an overflow raises under ANSI "
+                    "mode at read/compaction time. Declare these columns "
+                    "bigint.",
+                    stacklevel=2,
+                )
         t = LakeTable(spark, root, fs=fs)
         t.fs.makedirs(os.path.join(root, "_versions"))
         t.fs.makedirs(os.path.join(root, "_manifests"))
@@ -1128,6 +1151,16 @@ class LakeTable:
         chain.reverse()
         to_snap = self.snapshot(to_v)
         if chain and self.meta().get("resolution", "lww") != "lww":
+            if all(s.summary.get("compaction") for s in chain):
+                # every commit in the window is a compaction — no logical
+                # change by definition (the lww path below skips them one by
+                # one); short-circuit instead of paying two full resolved
+                # scans + exceptAll for a provably empty diff
+                return (
+                    self.read(snapshot=to_snap, with_lineage=True)
+                    .limit(0)
+                    .withColumn("_commit_version", F.lit(to_v))
+                )
             # COLUMNWISE merge engines: delta rows are PARTIAL images — a
             # downstream LWW consumer replaying them verbatim would turn
             # "NULL = unchanged" into "NULL = overwrite". Emit the NET
