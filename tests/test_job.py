@@ -340,6 +340,46 @@ def test_console_sink_single_action(spark, tmp_path, capsys):
     assert "3 | c" not in out and "1 more rows" in out
 
 
+def test_console_sink_caps_driver_collect(spark, tmp_path, capsys, monkeypatch):
+    """An accidental console writer on a big source must not materialize the
+    whole upstream on the driver: collect is capped at print*10 (+1 probe
+    row), the exact total comes from a JVM-side count instead."""
+    # patch the CLASSIC DataFrame (pyspark 4 splits the API surface; the
+    # pyspark.sql.DataFrame base is not the class instances dispatch on)
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    from tg_data_connector_spark.job import run_job
+
+    n = 5000
+    src = tmp_path / "big.csv"
+    src.write_text("".join(f"{i},v{i}\n" for i in range(n)))
+    cfg = {
+        "reader": {
+            "type": "csv",
+            "path": str(src),
+            "column": [
+                {"type": "long", "index": 0, "name": "id"},
+                {"type": "string", "index": 1, "name": "v"},
+            ],
+        },
+        "writer": {"type": "console", "print": 5},
+    }
+    sizes = []
+    orig = DataFrame.collect
+
+    def spy(self):
+        rows = orig(self)
+        sizes.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(DataFrame, "collect", spy)
+    res = run_job(spark, cfg)
+    assert res.records_written == n  # exact count survives the cap
+    assert sizes and max(sizes) <= 51  # print*10 + 1 probe row
+    out = capsys.readouterr().out
+    assert f"{n - 5} more rows" in out
+
+
 def test_cdc_topic_reader_validation_and_json_frames(spark, tmp_path):
     """cdc_topic config errors surface in pre_check (dryRun parity), and the
     json fileType path decodes the same envelopes the parquet path does."""

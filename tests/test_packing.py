@@ -10,6 +10,7 @@ DuckDB equality on real data; these pin the contract on adversarial shapes):
   * streams pack independently per part_col.
 """
 
+import pytest
 from pyspark.sql import functions as F
 
 from tg_data_connector_spark.operators.packing import pack_sequences, sample_mixture
@@ -177,3 +178,125 @@ def test_pack_bins_order_col_override(spark):
     )
     # doc 2 (ord 1) packs first and opens bin 0; doc 1 opens bin 1
     assert got == [("a", 0, 2, 0, 40, False), ("a", 1, 1, 0, 40, False)]
+
+
+def _check_bins_valid(asg_rows, rows, window):
+    """Structural validity of a pack_bins assignment, independent of how
+    streams were split: every doc exactly once, take == min(len, window),
+    every bin's fill <= window, offsets tile each bin contiguously."""
+    lens = {(s, d): n for s, d, n in rows}
+    assert sorted((s, d) for s, _, d, _, _, _ in asg_rows) == sorted(lens)
+    bins = {}
+    for s, b, d, off, take, trunc in asg_rows:
+        assert take == min(lens[(s, d)], window)
+        assert trunc == (lens[(s, d)] > window)
+        bins.setdefault((s, b), []).append((off, take))
+    for (s, b), pieces in bins.items():
+        pieces.sort()
+        fill = 0
+        for off, take in pieces:
+            assert off == fill, (s, b, pieces)
+            fill += take
+        assert fill <= window, (s, b, fill)
+
+
+def test_pack_bins_bounded_streams_parity(spark):
+    """max_docs_per_stream bounds one pandas group without changing the
+    operator's guarantees: at ANY sub-stream setting the assignment stays a
+    valid greedy packing (docs exactly once, bins never overfull, offsets
+    contiguous, truncation identical) and bin_ids stay unique per source."""
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (src, i, rng.choice([0, 1, 5, 30, 63, 64, 65, 200]))
+        for i, src in enumerate(
+            rng.choice(["web", "wiki", "code"]) for _ in range(240)
+        )
+    ]
+    for max_docs in (None, 50, 7):
+        got = _pack_bins_rows(spark, rows, 64, max_docs_per_stream=max_docs)
+        _check_bins_valid(got, rows, 64)
+    # the bound really splits: group parallelism exceeds the source count
+    asg = _pack_bins_rows(spark, rows, 64, max_docs_per_stream=7)
+    n_streams_used = len(
+        {(s, b % (-(-sum(1 for r in rows if r[0] == s) // 7)))
+         for s, b, *_ in asg}
+    )
+    assert n_streams_used > 3  # > #sources: sub-streams actually packed
+
+
+def test_pack_bins_bounded_streams_greedy_within_stream(spark):
+    """Within one sub-stream the packing is the SAME greedy recurrence: a
+    bin closes only because the next doc in that stream does not fit."""
+    from tg_data_connector_spark.operators.packing import pack_bins
+    from pyspark.sql import functions as F
+
+    rows = [("a", i, 30) for i in range(40)]
+    df = spark.createDataFrame(rows, "source string, doc_id int, n_tok int")
+    asg = pack_bins(df, window=64, max_docs_per_stream=10)
+    k = -(-40 // 10)
+    # reconstruct each sub-stream (same hash the operator uses) and replay
+    streams = {
+        r["doc_id"]: r["s"]
+        for r in df.select(
+            "doc_id", F.pmod(F.xxhash64(F.col("doc_id")), F.lit(k)).alias("s")
+        ).collect()
+    }
+    got = sorted(
+        (streams[r["doc_id"]], r["doc_id"], r["bin_id"], r["off"])
+        for r in asg.collect()
+    )
+    by_stream = {}
+    for s, d, b, off in got:
+        by_stream.setdefault(s, []).append((d, b, off))
+    for s, docs in by_stream.items():
+        docs.sort()
+        fill, local = 0, 0
+        for d, b, off in docs:
+            if fill + 30 > 64:
+                local, fill = local + 1, 0
+            assert b == local * k + s and off == fill, (s, d, b, off)
+            fill += 30
+
+
+def test_pack_bins_rejects_bad_bound(spark):
+    from tg_data_connector_spark.operators.packing import pack_bins
+
+    df = spark.createDataFrame(
+        [("a", 1, 10)], "source string, doc_id int, n_tok int"
+    )
+    with pytest.raises(ValueError, match="max_docs_per_stream"):
+        pack_bins(df, window=64, max_docs_per_stream=0)
+
+
+def test_assemble_bins_bounded_streams_round_trip(spark):
+    """assemble_bins inherits the bound: every bin's assembled array equals
+    the concatenation of its docs' first-take tokens, at any setting."""
+    from tg_data_connector_spark.operators.packing import (
+        assemble_bins, pack_bins,
+    )
+
+    rows = [
+        ("a", str(i), list(range(i % 5 + 1)), i % 5 + 1) for i in range(60)
+    ] + [("b", "x", list(range(9)), 9)]
+    df = spark.createDataFrame(
+        rows, "source string, doc_id string, tokens array<int>, n_tok int"
+    )
+    for max_docs in (None, 8):
+        asg = {
+            (r["source"], r["doc_id"]): (r["bin_id"], r["off"], r["take"])
+            for r in pack_bins(
+                df, window=7, max_docs_per_stream=max_docs
+            ).collect()
+        }
+        out = assemble_bins(df, window=7, max_docs_per_stream=max_docs)
+        toks = {(s, d): t for s, d, t, _ in rows}
+        for r in out.collect():
+            docs = sorted(
+                (off, d, take)
+                for (s, d), (b, off, take) in asg.items()
+                if s == r["source"] and b == r["bin_id"]
+            )
+            exp = [v for off, d, take in docs for v in toks[(r["source"], d)][:take]]
+            assert r["tokens"] == exp and r["n_tok"] == len(exp)

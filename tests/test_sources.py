@@ -270,3 +270,113 @@ def test_hinted_select_renders_hint():
     assert hinted_select("other", ["a"], "ord.*#/*+ p */") == "SELECT a FROM other"
     assert hinted_select("t", ["a"], "[broken#/*+ p */") == "SELECT a FROM t"
     assert hinted_select("t") == "SELECT * FROM t"
+
+
+# ------------------------------------------------------ snappy codec family
+def test_snappy_raw_decode_reference_vectors():
+    """Decode a hand-built raw snappy stream exercising every element type:
+    literals (short + extended length), 1/2-byte-offset copies, and an
+    OVERLAPPING copy (offset < length -> pattern repeat)."""
+    from tg_data_connector_spark.sources.snappy_codec import (
+        snappy_compress, snappy_decompress,
+    )
+
+    # overlapping copy: literal "ab" then copy(offset=2, len=6) -> "abababab"
+    stream = bytes([8]) + bytes([1 << 2]) + b"ab" + bytes([(5 << 2) | 2, 2, 0])
+    assert snappy_decompress(stream) == b"abababab"
+    # 1-byte-offset copy: literal "abcd" then copy(offset=4, len=4)
+    stream = bytes([8]) + bytes([3 << 2]) + b"abcd" + bytes([(0 << 2) | 1, 4])
+    assert snappy_decompress(stream) == b"abcdabcd"
+    # literal-only round trip incl. the extended-length forms
+    for payload in (b"", b"x", b"hello world", b"z" * 100, b"q" * 70000):
+        assert snappy_decompress(snappy_compress(payload)) == payload
+
+
+def test_snappy_raw_decode_rejects_corruption():
+    import pytest
+
+    from tg_data_connector_spark.sources.snappy_codec import (
+        snappy_compress, snappy_decompress,
+    )
+
+    with pytest.raises(ValueError, match="offset"):
+        snappy_decompress(bytes([4, (0 << 2) | 1, 9, 0]))  # copy before start
+    good = bytearray(snappy_compress(b"hello"))
+    good[0] = 99  # wrong preamble length
+    with pytest.raises(ValueError, match="preamble|decoded"):
+        snappy_decompress(bytes(good))
+
+
+def test_framing_snappy_roundtrip_and_crc():
+    import pytest
+
+    from tg_data_connector_spark.sources.snappy_codec import (
+        framing_snappy_compress, framing_snappy_decompress,
+    )
+
+    payload = b"id,v\n" + b"".join(f"{i},row{i}\n".encode() for i in range(500))
+    framed = framing_snappy_compress(payload, chunk=256)
+    assert framing_snappy_decompress(framed) == payload
+    corrupt = bytearray(framed)
+    corrupt[-1] ^= 0xFF
+    with pytest.raises(ValueError):
+        framing_snappy_decompress(bytes(corrupt))
+    with pytest.raises(ValueError, match="identifier"):
+        framing_snappy_decompress(b"\x00\x04\x00\x00abcd")
+
+
+def test_hadoop_snappy_roundtrip_multiblock():
+    from tg_data_connector_spark.sources.snappy_codec import (
+        hadoop_snappy_compress, hadoop_snappy_decompress,
+    )
+
+    payload = bytes(range(256)) * 1000
+    packed = hadoop_snappy_compress(payload, block=10_000)
+    assert hadoop_snappy_decompress(packed) == payload
+
+
+def test_framing_snappy_csv_reads(spark, tmp_path):
+    """The reference codec switch's framing-snappy entry
+    (UnstructuredStorageReaderUtil.java:117-213): typed CSV over a
+    framing-snappy object, header consumed per file."""
+    from tg_data_connector_spark.sources.files import ColumnEntry, read_typed_csv
+    from tg_data_connector_spark.sources.snappy_codec import (
+        framing_snappy_compress,
+    )
+
+    p = tmp_path / "z.csv.sz"
+    p.write_bytes(framing_snappy_compress(b"id,v\n1,a\n2,b\n3,c\n"))
+    clean, _ = read_typed_csv(
+        spark, str(p),
+        [ColumnEntry(type="long", index=0, name="id"),
+         ColumnEntry(type="string", index=1, name="v")],
+        header=True, compression="framing-snappy",
+    )
+    assert sorted((r["id"], r["v"]) for r in clean.collect()) == [
+        (1, "a"), (2, "b"), (3, "c"),
+    ]
+
+
+def test_hadoop_snappy_csv_reads_with_skip(spark, tmp_path):
+    from tg_data_connector_spark.sources.files import ColumnEntry, read_typed_csv
+    from tg_data_connector_spark.sources.snappy_codec import (
+        hadoop_snappy_compress,
+    )
+
+    d = tmp_path / "objs"
+    d.mkdir()
+    for i in range(3):
+        (d / f"p{i}.csv.snappy").write_bytes(
+            hadoop_snappy_compress(
+                f"junk\n{i},x{i}\n{i + 10},y{i}\n".encode(), block=8
+            )
+        )
+    clean, _ = read_typed_csv(
+        spark, str(d),
+        [ColumnEntry(type="long", index=0, name="id"),
+         ColumnEntry(type="string", index=1, name="v")],
+        skip_lines=1, compression="hadoop-snappy",
+    )
+    got = sorted((r["id"], r["v"]) for r in clean.collect())
+    assert got == [(0, "x0"), (1, "x1"), (2, "x2"),
+                   (10, "y0"), (11, "y1"), (12, "y2")]

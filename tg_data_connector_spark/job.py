@@ -413,21 +413,25 @@ def _write(spark: SparkSession, cfg: dict, df: DataFrame) -> int | None:
     if typ == "jdbc":
         return _jdbc_write(spark, cfg, df, mode)
     if typ == "console":  # streamwriter analog (debug sink)
-        # ONE action: collect, count locally, print the first `print` rows.
         # The reference's streamwriter prints EVERY record to stdout
-        # (``streamwriter`` plugin), so driver-side materialization is the
-        # sink's own contract; `print` only caps the display. The previous
-        # count()+show() pair ran the whole upstream plan twice.
-        rows = df.collect()
+        # (``streamwriter`` plugin), but driver materialization is CAPPED
+        # (`print` * 10, override via `collectCap`): an accidental console
+        # writer on a big source must not OOM the driver. Within the cap it
+        # is ONE action (collect, count locally, display `print` rows); only
+        # a truncated display pays a second JVM-side count() for the exact
+        # total — the degenerate debug-sink-on-big-input case.
         limit = int(cfg.get("print", 20))
+        cap = max(limit, int(cfg.get("collectCap", limit * 10)))
+        rows = df.limit(cap + 1).collect()
+        total = len(rows) if len(rows) <= cap else df.count()
         header = " | ".join(df.columns)
         print(header)
         print("-" * len(header))
         for r in rows[:limit]:
             print(" | ".join("null" if v is None else str(v) for v in r))
-        if len(rows) > limit:
-            print(f"... ({len(rows) - limit} more rows)")
-        return len(rows)
+        if total > limit:
+            print(f"... ({total - limit} more rows)")
+        return int(total)
     if typ in ("lake_merge", "lake_replay"):
         root = cfg["path"]
         key = cfg.get("key", "doc_id")

@@ -177,6 +177,7 @@ def pack_bins(
     len_col: str = "n_tok",
     part_col: str = "source",
     order_col: str | None = None,
+    max_docs_per_stream: int | None = None,
 ) -> DataFrame:
     """Greedy NO-SPLIT bin packing of whole documents into fixed-capacity
     training bins — the "fewer truncations" recipe (Ding et al. 2024; the
@@ -204,9 +205,25 @@ def pack_bins(
     numpy; the only Python loop walks bin STARTS (total_tokens/window
     iterations, ~50 ns each). Sequential-per-source is also the published
     implementations' shape; distinct sources pack in parallel.
+
+    ``max_docs_per_stream``: bound on ONE pandas group's size, the knob that
+    makes this survive 100 TB. With few huge sources, one group would hold a
+    whole source's (id, len) stream — tens of GB at 10^9 docs/source, an
+    executor OOM and at best #sources-way parallelism. Setting the bound
+    splits each source into k = ceil(docs/max) independent sub-streams
+    (deterministic hash(id) % k — the published "fewer truncations" recipes
+    pack per shard anyway), each packed greedily in ``order_col`` order;
+    bins never cross sub-streams, the same guarantee the per-source contract
+    already gives. Group memory is O(max_docs_per_stream) and parallelism is
+    O(total_docs / max_docs_per_stream), independent of the source count.
+    ``bin_id`` stays unique per source (local_bin * k + sub-stream).
+    Default None = one stream per source (small/medium sources, exact
+    single-stream greedy order).
     """
     if window < 1:
         raise ValueError("window must be >= 1")
+    if max_docs_per_stream is not None and max_docs_per_stream < 1:
+        raise ValueError("max_docs_per_stream must be >= 1")
     order = order_col or id_col
     import pandas as pd  # noqa: F401 (applyInPandas contract)
 
@@ -219,9 +236,37 @@ def pack_bins(
         f"off bigint, take int, truncated boolean"
     )
 
-    def pack(pdf):
+    slim = df.select(part_col, id_col, len_col, *(
+        [order] if order not in (part_col, id_col, len_col) else []
+    ))
+    if max_docs_per_stream is None:
+        streams: dict = {}
+        slim = slim.withColumn("_stream", F.lit(0).cast("bigint"))
+    else:
+        # one bounded count per source (O(#sources) driver rows) sizes the
+        # sub-stream fan-out; the split itself is a map-side hash — no sort,
+        # no quantile sketch, deterministic across runs and partitionings
+        counts = {
+            r[0]: r[1]
+            for r in slim.groupBy(part_col).count().collect()
+        }
+        streams = {
+            p: -(-c // max_docs_per_stream) for p, c in counts.items()
+        }
+        k_map = F.create_map(
+            *[F.lit(x) for p, k in sorted(streams.items()) for x in (p, k)]
+        )
+        slim = slim.withColumn(
+            "_stream",
+            F.pmod(F.xxhash64(F.col(id_col)), k_map[F.col(part_col)])
+            .cast("bigint"),
+        )
+
+    def pack(key, pdf):
         import numpy as np
 
+        k = streams.get(key[0], 1)
+        stream = int(key[1])
         pdf = pdf.sort_values(order, kind="mergesort").reset_index(drop=True)
         n = len(pdf)
         lens = pdf[len_col].to_numpy("int64")
@@ -240,7 +285,8 @@ def pack_bins(
         bins = np.searchsorted(sarr, np.arange(n), side="right") - 1
         off = prev - prev[sarr[bins]]
         out = pdf[[part_col, id_col]].copy()
-        out["bin_id"] = bins
+        # unique per source across sub-streams; k=1 -> the plain local id
+        out["bin_id"] = bins * k + stream
         out["off"] = off
         out["take"] = take.astype("int32")
         out["truncated"] = lens > window
@@ -248,10 +294,7 @@ def pack_bins(
             [part_col, "bin_id", id_col, "off", "take", "truncated"]
         ]
 
-    slim = df.select(part_col, id_col, len_col, *(
-        [order] if order not in (part_col, id_col, len_col) else []
-    ))
-    return slim.groupBy(part_col).applyInPandas(pack, out_schema)
+    return slim.groupBy(part_col, "_stream").applyInPandas(pack, out_schema)
 
 
 def assemble_bins(
@@ -262,6 +305,7 @@ def assemble_bins(
     len_col: str = "n_tok",
     part_col: str = "source",
     order_col: str | None = None,
+    max_docs_per_stream: int | None = None,
 ) -> DataFrame:
     """Materialize `pack_bins`' assignment into actual training windows:
     one row per (part, bin) with the concatenated token array (each doc
@@ -280,6 +324,7 @@ def assemble_bins(
     asg = pack_bins(
         df, window, id_col=id_col, len_col=len_col,
         part_col=part_col, order_col=order_col,
+        max_docs_per_stream=max_docs_per_stream,
     )
     toks = df.select(part_col, id_col, tokens_col)
     joined = asg.join(toks, [part_col, id_col]).select(

@@ -68,7 +68,10 @@ def _cast(col, entry: ColumnEntry):
 # Codecs Spark's text/csv sources decode transparently by file extension
 # (reference codec switch: ``UnstructuredStorageReaderUtil.java:117-213``).
 _EXTENSION_CODECS = {"gzip": ".gz", "bzip2": ".bz2", "deflate": ".deflate"}
-_UNSUPPORTED_CODECS = {"lzo", "lzo_deflate", "hadoop-snappy", "framing-snappy"}
+_UNSUPPORTED_CODECS = {"lzo", "lzo_deflate"}
+# snappy containers decode in the whole-file pass via the pure-Python
+# decoders in sources/snappy_codec.py (no Spark/Hadoop codec available here)
+_SNAPPY_CODECS = {"hadoop-snappy", "framing-snappy"}
 
 
 def _list_files(spark: SparkSession, path: str) -> list[str]:
@@ -167,6 +170,33 @@ def _lines_skipping(spark: SparkSession, path: str, skip: int, compression: str 
         return sc.binaryFiles(
             ",".join(files), minPartitions=min(len(files), sc.defaultParallelism)
         ).flatMap(unzip)
+    if compression in _SNAPPY_CODECS:
+        # same whole-file shape as zip: Spark has no codec for these
+        # containers here, so each object decodes in one executor-side pass
+        decomp_name = compression
+
+        def unsnap(pair):
+            from .snappy_codec import (
+                framing_snappy_decompress, hadoop_snappy_decompress,
+            )
+
+            _, content = pair
+            fn = (
+                framing_snappy_decompress
+                if decomp_name == "framing-snappy"
+                else hadoop_snappy_decompress
+            )
+            data = fn(bytes(content))
+            lines = data.decode("utf-8").split("\n")
+            if lines and lines[-1] == "":
+                lines.pop()
+            for i, line in enumerate(lines):
+                if i >= skip:
+                    yield line[:-1] if line.endswith("\r") else line
+
+        return sc.binaryFiles(
+            ",".join(files), minPartitions=min(len(files), sc.defaultParallelism)
+        ).flatMap(unsnap)
     if len(files) > _MAX_UNION_FILES:
         return _whole_file_lines(sc, files, skip)
     rdds = []
@@ -196,7 +226,8 @@ def _raw_csv(
     if compression in _UNSUPPORTED_CODECS:
         raise ValueError(
             f"compression {compression!r} has no available codec; supported: "
-            f"auto/gzip/bzip2/deflate (by extension) and zip"
+            f"auto/gzip/bzip2/deflate (by extension), zip, hadoop-snappy, "
+            f"framing-snappy"
         )
     if compression in _EXTENSION_CODECS:
         ext = _EXTENSION_CODECS[compression]
@@ -206,7 +237,7 @@ def _raw_csv(
                 f"compression={compression!r} but files lack {ext!r} (Spark "
                 f"decodes by extension): {bad[:3]}"
             )
-    if skip_lines or compression == "zip":
+    if skip_lines or compression == "zip" or compression in _SNAPPY_CODECS:
         # per-file skip: a header line (if any) is consumed per file here —
         # the RDD union of many files could not otherwise distinguish each
         # file's own header — so the csv parse itself runs headerless and
@@ -284,8 +315,9 @@ def read_typed_csv(
 
     ``compression``: None/"auto" = extension-based auto-detect (gzip/bzip2/
     deflate decode transparently); "zip" = archive members decompressed in a
-    per-file pass; lzo/snappy variants are REJECTED explicitly (no codec in
-    this environment) rather than silently ignored."""
+    per-file pass; "hadoop-snappy"/"framing-snappy" = container formats
+    decoded per object by sources/snappy_codec.py; lzo variants are REJECTED
+    explicitly (no codec in this environment) rather than silently ignored."""
     flagged = read_typed_csv_flagged(
         spark, path, entries, header=header, sep=sep, encoding=encoding,
         null_format=null_format, skip_lines=skip_lines, compression=compression,
