@@ -348,3 +348,64 @@ def test_requeue_quarantine_dead_letter(spark, tmp_table_root, tmp_path):
     rep3 = requeue_quarantine(spark, t, qdir, run_id="rq2")
     assert rep3.dirty == n_dirty  # every row still dirty, all counted
     _assert_equiv(t.read(), oracle_final_state(seed, fixed_log))
+
+
+def test_key_ratio_cache_skips_sketch_and_stays_correct(spark, tmp_path):
+    """After one applied batch the engine knows the stream's keys-per-event
+    ratio EXACTLY (observe() winner count on the merge job) and later
+    prepasses skip the HLL sketch: the estimate comes from the cache, the
+    switch stays data-driven, and the replayed state still matches the
+    oracle."""
+    t, seed = _setup(spark, str(tmp_path / "t"))
+    log1 = gen_changelog(spark, N_EVENTS, N_DOCS, n_parts=N_PARTS)
+    eng = ReplayEngine(spark, t, ReplayConfig(events_per_batch=N_EVENTS * 2))
+    eng.replay(log1, run_id="r1")
+    assert eng._key_ratio is not None
+    # the learned ratio is the CLEAN winner count per event: at most the
+    # log's distinct keys (dirty-quarantined keys drop out), and near it
+    true_keys = log1.select("doc_id").distinct().count()
+    assert 0.85 <= (eng._key_ratio * N_EVENTS) / true_keys <= 1.0
+    # second replay: same engine, new offsets — prepass must use the cache
+    log2 = gen_changelog(spark, N_EVENTS, N_DOCS, n_parts=N_PARTS).withColumn(
+        "offset", F.col("offset") + N_EVENTS
+    ).withColumn("commit_lsn", F.col("commit_lsn") + F.lit(10_000_000))
+    eng.replay(log2, run_id="r2")
+    assert eng._est_from_cache is True
+    assert eng._est_keys is not None and eng._est_keys > 0
+    _assert_equiv(
+        t.read(),
+        oracle_final_state(
+            oracle_final_state(seed, log1).select(
+                "doc_id", "tokens", "n_tok", "source"
+            ),
+            log2,
+        ),
+    )
+
+
+def test_key_ratio_cache_drift_invalidates(spark, tmp_path):
+    """A cached ratio that mispredicts the winner set by >2x is dropped so
+    the next prepass re-measures instead of compounding the error."""
+    t, _ = _setup(spark, str(tmp_path / "t"))
+    log = gen_changelog(spark, N_EVENTS, N_DOCS, n_parts=N_PARTS)
+    eng = ReplayEngine(spark, t, ReplayConfig(events_per_batch=N_EVENTS * 2))
+    eng._key_ratio = 0.001  # pretend a past stream was ~all-duplicate
+    eng.replay(log, run_id="drift")
+    assert eng._key_ratio is None  # predicted ~4 keys, actual ~600 -> drop
+
+
+def test_sketch_sampling_estimate_accuracy(spark, tmp_path, monkeypatch):
+    """Above the size threshold the prepass sketch ingests only the 1/32
+    hash-slice of keys; the scaled estimate must match the slice's exact
+    distinct count (deterministic: the slice is a pure hash function)."""
+    t, _ = _setup(spark, str(tmp_path / "t"))
+    log = gen_changelog(spark, N_EVENTS, N_DOCS, n_parts=N_PARTS)
+    monkeypatch.setattr(ReplayEngine, "_SKETCH_SAMPLE_MIN_EVENTS", 100)
+    eng = ReplayEngine(spark, t, ReplayConfig(events_per_batch=N_EVENTS * 2))
+    eng.replay(log, run_id="samp")
+    sliced = (
+        log.where(F.pmod(F.xxhash64("doc_id"), F.lit(32)) == 0)
+        .select("doc_id").distinct().count()
+    )
+    assert eng._est_from_cache is False
+    assert abs(eng._est_keys - 32 * sliced) / max(32 * sliced, 1) < 0.05

@@ -278,6 +278,14 @@ class ReplayEngine:
         from .metrics import LineageLog
 
         self.lineage = LineageLog(table.root)
+        # keys-per-event ratio learned EXACTLY from each applied batch
+        # (deduped_keys / events — free, it is the winner count the merge
+        # already reports). While set, the prepass skips the HLL sketch
+        # entirely and estimates the winner set as ratio * batch_events;
+        # a >2x drift between a cached prediction and the batch's actual
+        # winner count drops the cache so the next prepass re-measures.
+        self._key_ratio: float | None = None
+        self._est_from_cache = False
 
     # ---------- watermark filtering ----------
     def _unapplied(self, changelog: DataFrame) -> DataFrame:
@@ -304,8 +312,26 @@ class ReplayEngine:
         ).collect()[0]
         return (row["lo"], row["hi"]) if row["lo"] is not None else (0, -1)
 
+    # Winner-estimate sketch sampling: above this window size the HLL only
+    # ingests the deterministic 1/N hash-slice of keys and the estimate is
+    # scaled back up (unbiased: the slice is a uniform hash partition of the
+    # KEY space, so distinct-in-slice ~ Binomial(k, 1/N); at the only scale
+    # where the broadcast switch is close to its 4M threshold the slice
+    # holds >=100k keys and the added relative error is <1%). Below the
+    # threshold the full sketch is already cheap and small-k accuracy is
+    # kept exact-ish for free.
+    _SKETCH_SAMPLE = 32
+    _SKETCH_SAMPLE_MIN_EVENTS = 2_000_000
+
+    def _sketch_key(self, sample: int):
+        if sample <= 1:
+            return F.col("doc_id")
+        return F.when(
+            F.pmod(F.xxhash64("doc_id"), F.lit(sample)) == 0, F.col("doc_id")
+        )
+
     # ---------- batch stats ----------
-    def _batch_stats(self, batch: DataFrame) -> list:
+    def _batch_stats(self, batch: DataFrame, with_sketch: bool = True) -> list:
         """Single-pass per-part stats for one batch: high-watermark, event
         count, version bounds, and the set of target buckets touched (feeds
         the merge so it never runs a separate probe job over the dedup plan).
@@ -329,7 +355,7 @@ class ReplayEngine:
         # whole prepass cost (tools/bench_prepass.py: 6.2 s vs 4.4 s for this
         # shape vs 3.3 s with no estimate at all). The persist holds only the
         # per-part agg rows (bounded: one per source partition).
-        base = batch.groupBy("part").agg(
+        aggs = [
             F.max("offset").alias("hwm"),
             F.count("*").alias("n"),
             F.collect_set(
@@ -337,7 +363,15 @@ class ReplayEngine:
             ).alias("bks"),
             F.max("commit_lsn").alias("vl"),
             F.max("seq_no").alias("vs"),
-            F.hll_sketch_agg("doc_id").alias("_hsk"),
+        ]
+        if not with_sketch:
+            # a cached key ratio replaces the sketch (apply_batch derives
+            # the estimate from events * ratio) — one collect, no persist
+            return list(batch.groupBy("part").agg(*aggs).collect())
+        base = batch.groupBy("part").agg(
+            *aggs,
+            # standalone batches are the small-batch path: full sketch
+            F.hll_sketch_agg(self._sketch_key(1)).alias("_hsk"),
         ).persist()
         try:
             rows = base.drop("_hsk").collect()
@@ -378,7 +412,9 @@ class ReplayEngine:
         # at 2.75M events/batch — BENCH notes in BASELINE.md).
         t_stats = time.time()
         if stats is None:
-            stats = self._batch_stats(batch)
+            stats = self._batch_stats(
+                batch, with_sketch=self._key_ratio is None
+            )
         # the grouping-sets total row (part IS NULL) carries the batch-global
         # distinct-key estimate; everything positional below uses the real
         # per-part rows
@@ -398,21 +434,50 @@ class ReplayEngine:
         # HLL count when the stats carry the total row; summing per-part
         # distincts is only a (grossly over-counting) fallback for stats
         # supplied by a pre-grouping-sets caller
+        self._est_from_cache = False
         try:
             if totals:
                 self._est_keys = int(totals[0]["k"])
+                self._est_from_cache = bool(
+                    isinstance(totals[0], dict) and totals[0].get("cached")
+                )
+            elif self._key_ratio is not None:
+                # prepass ran sketch-free on the cached ratio
+                self._est_keys = int(self._key_ratio * events_n)
+                self._est_from_cache = True
             else:
                 self._est_keys = sum(int(r["k"]) for r in stats)
         except (ValueError, KeyError, TypeError):
             self._est_keys = None  # stats from a pre-k caller
         self._phase_timings = {"stats": round(time.time() - t_stats, 3)}
 
+        self._winners_exact = 0
+        self._winners_exact_ok = True
         report, dirty_by_part = self._apply_batch_inner(
             batch, batch_id, t0, events_n, watermarks,
             affected_buckets, crash_before_publish, crash_after_stage,
             observe_metrics,
         )
         report.phases = dict(self._phase_timings)
+        # learn the EXACT keys-per-event ratio from the applied batch (the
+        # observe() winner count above — free); a cached prediction that
+        # drifted >2x in either direction means the stream's dup structure
+        # shifted — drop the cache so the next prepass measures again
+        # instead of compounding the error
+        if (
+            events_n > 0
+            and self._winners_exact_ok
+            and self._winners_exact > 0
+        ):
+            pred = self._est_keys
+            if (
+                self._est_from_cache
+                and pred
+                and not (0.5 <= pred / self._winners_exact <= 2.0)
+            ):
+                self._key_ratio = None
+            else:
+                self._key_ratio = self._winners_exact / events_n
         per_part = {
             int(r["part"]): {
                 "hwm": r["hwm"],
@@ -843,6 +908,18 @@ class ReplayEngine:
             "seq_no",
             *(["_rv_lsn", "_rv_seq"] if self._partial else []),
         )
+        wobs = None
+        if observe_metrics:
+            # exact winner count riding the SAME write job (observe node on
+            # the collapsed changeset — no extra action). Feeds the key-ratio
+            # cache that lets later prepasses skip the HLL sketch. Skipped in
+            # streaming mode with the dirty observation (same deadlock).
+            from pyspark.sql import Observation
+
+            wobs = Observation()
+            deduped = deduped.observe(
+                wobs, F.count(F.lit(1)).alias("nw")
+            )
         metrics = {"events": events_n}
         summary = {"batch_id": batch_id, "metrics": metrics} if final else {
             "batch_id": batch_id
@@ -887,6 +964,7 @@ class ReplayEngine:
             self.cfg.error_limit.check(prior_dirty + nd, max(events_n, 1))
 
         wap = self.cfg.wap_audit is not None
+        v_before = self.table.current_version()
         if self.cfg.merge_mode == "mor":
             from ..lake.merge import delta_append
 
@@ -963,7 +1041,23 @@ class ReplayEngine:
             for key, v in holder.items():
                 if key.startswith("nd_"):
                     dstats[int(key[3:])] = int(v or 0)
-        return (0 if snap is None else 1, dstats)
+        if snap is None:
+            return (0, dstats)
+        winners = 1  # applied, exact count unavailable
+        if wobs is not None and snap.version != v_before:
+            # the write job ran (version moved / staged) -> the observation
+            # fired; never read it otherwise (get would block forever on an
+            # already-applied short-circuit that skipped the action)
+            try:
+                winners = max(int(dict(wobs.get).get("nw") or 0), 1)
+                self._winners_exact = (
+                    getattr(self, "_winners_exact", 0) + winners
+                )
+            except Exception:
+                self._winners_exact_ok = False
+        else:
+            self._winners_exact_ok = False
+        return (winners, dstats)
 
     # ---------- full replay ----------
     def replay(
@@ -1033,27 +1127,54 @@ class ReplayEngine:
         # GROUPING SETS ((w,part),(w)), expanded every input row 2x through
         # the aggregate pipeline and measured 1.9x this shape's cost
         # (tools/bench_prepass.py; it was ~14% of clean replay wall).
-        base = (
-            remaining.groupBy(win.alias("w"), F.col("part"))
-            .agg(
-                F.max("offset").alias("hwm"),
-                F.count("*").alias("n"),
-                F.collect_set(
-                    bucket_expr("doc_id", self.table.bucket_count())
-                ).alias("bks"),
-                F.max("commit_lsn").alias("vl"),
-                F.max("seq_no").alias("vs"),
-                F.hll_sketch_agg("doc_id").alias("_hsk"),
+        aggs = [
+            F.max("offset").alias("hwm"),
+            F.count("*").alias("n"),
+            F.collect_set(
+                bucket_expr("doc_id", self.table.bucket_count())
+            ).alias("bks"),
+            F.max("commit_lsn").alias("vl"),
+            F.max("seq_no").alias("vs"),
+        ]
+        use_cached = self._key_ratio is not None
+        if use_cached:
+            # the engine already measured this stream's keys-per-event ratio
+            # exactly (observe() winner counts): sketch-free prepass, single
+            # collect; the per-window estimate is ratio * window_events below
+            pre = list(
+                remaining.groupBy(win.alias("w"), F.col("part"))
+                .agg(*aggs)
+                .collect()
             )
-            .persist()
-        )
-        try:
-            pre = base.drop("_hsk").collect()
-            totals = base.groupBy("w").agg(
-                F.hll_sketch_estimate(F.hll_union_agg("_hsk")).alias("k")
-            ).collect()
-        finally:
-            base.unpersist()
+            totals = []
+        else:
+            # the sketch ingests only the 1/N hash-slice of keys on big
+            # windows (_SKETCH_SAMPLE): the estimate feeds ONLY the broadcast
+            # switch, whose 4M threshold sits where the slice already holds
+            # >=100k keys — added sampling error there is <1%
+            sample = (
+                1
+                if per_part * n_parts < self._SKETCH_SAMPLE_MIN_EVENTS
+                else self._SKETCH_SAMPLE
+            )
+            base = (
+                remaining.groupBy(win.alias("w"), F.col("part"))
+                .agg(
+                    *aggs,
+                    F.hll_sketch_agg(self._sketch_key(sample)).alias("_hsk"),
+                )
+                .persist()
+            )
+            try:
+                pre = base.drop("_hsk").collect()
+                totals = base.groupBy("w").agg(
+                    (
+                        F.hll_sketch_estimate(F.hll_union_agg("_hsk"))
+                        * F.lit(sample)
+                    ).alias("k")
+                ).collect()
+            finally:
+                base.unpersist()
         stats_by_window: dict[int, list] = {}
         for r in pre:
             stats_by_window.setdefault(int(r["w"]), []).append(r)
@@ -1061,6 +1182,12 @@ class ReplayEngine:
             stats_by_window.setdefault(int(r["w"]), []).append(
                 {"part": None, "k": r["k"]}
             )
+        if use_cached:
+            for rows_w in stats_by_window.values():
+                ev_w = sum(int(r["n"]) for r in rows_w)
+                rows_w.append(
+                    {"part": None, "k": self._key_ratio * ev_w, "cached": True}
+                )
         prepass_s = round(time.time() - t_pre, 3)
 
         b = 0
