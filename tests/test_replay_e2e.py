@@ -394,18 +394,14 @@ def test_key_ratio_cache_drift_invalidates(spark, tmp_path):
     assert eng._key_ratio is None  # predicted ~4 keys, actual ~600 -> drop
 
 
-def test_sketch_sampling_estimate_accuracy(spark, tmp_path, monkeypatch):
-    """Above the size threshold the prepass sketch ingests only the 1/32
-    hash-slice of keys; the scaled estimate must match the slice's exact
-    distinct count (deterministic: the slice is a pure hash function)."""
+def test_sketch_estimate_first_replay_not_cached(spark, tmp_path):
+    """The first replay on a fresh engine has no ratio cache: the estimate
+    must come from the exact-union HLL sketch and land within its error
+    band of the true distinct count."""
     t, _ = _setup(spark, str(tmp_path / "t"))
     log = gen_changelog(spark, N_EVENTS, N_DOCS, n_parts=N_PARTS)
-    monkeypatch.setattr(ReplayEngine, "_SKETCH_SAMPLE_MIN_EVENTS", 100)
     eng = ReplayEngine(spark, t, ReplayConfig(events_per_batch=N_EVENTS * 2))
-    eng.replay(log, run_id="samp")
-    sliced = (
-        log.where(F.pmod(F.xxhash64("doc_id"), F.lit(32)) == 0)
-        .select("doc_id").distinct().count()
-    )
+    eng.replay(log, run_id="first")
+    true_keys = log.select("doc_id").distinct().count()
     assert eng._est_from_cache is False
-    assert abs(eng._est_keys - 32 * sliced) / max(32 * sliced, 1) < 0.05
+    assert abs(eng._est_keys - true_keys) / true_keys < 0.05

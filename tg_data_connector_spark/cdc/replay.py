@@ -312,24 +312,6 @@ class ReplayEngine:
         ).collect()[0]
         return (row["lo"], row["hi"]) if row["lo"] is not None else (0, -1)
 
-    # Winner-estimate sketch sampling: above this window size the HLL only
-    # ingests the deterministic 1/N hash-slice of keys and the estimate is
-    # scaled back up (unbiased: the slice is a uniform hash partition of the
-    # KEY space, so distinct-in-slice ~ Binomial(k, 1/N); at the only scale
-    # where the broadcast switch is close to its 4M threshold the slice
-    # holds >=100k keys and the added relative error is <1%). Below the
-    # threshold the full sketch is already cheap and small-k accuracy is
-    # kept exact-ish for free.
-    _SKETCH_SAMPLE = 32
-    _SKETCH_SAMPLE_MIN_EVENTS = 2_000_000
-
-    def _sketch_key(self, sample: int):
-        if sample <= 1:
-            return F.col("doc_id")
-        return F.when(
-            F.pmod(F.xxhash64("doc_id"), F.lit(sample)) == 0, F.col("doc_id")
-        )
-
     # ---------- batch stats ----------
     def _batch_stats(self, batch: DataFrame, with_sketch: bool = True) -> list:
         """Single-pass per-part stats for one batch: high-watermark, event
@@ -370,8 +352,7 @@ class ReplayEngine:
             return list(batch.groupBy("part").agg(*aggs).collect())
         base = batch.groupBy("part").agg(
             *aggs,
-            # standalone batches are the small-batch path: full sketch
-            F.hll_sketch_agg(self._sketch_key(1)).alias("_hsk"),
+            F.hll_sketch_agg("doc_id").alias("_hsk"),
         ).persist()
         try:
             rows = base.drop("_hsk").collect()
@@ -1148,30 +1129,26 @@ class ReplayEngine:
             )
             totals = []
         else:
-            # the sketch ingests only the 1/N hash-slice of keys on big
-            # windows (_SKETCH_SAMPLE): the estimate feeds ONLY the broadcast
-            # switch, whose 4M threshold sits where the slice already holds
-            # >=100k keys — added sampling error there is <1%
-            sample = (
-                1
-                if per_part * n_parts < self._SKETCH_SAMPLE_MIN_EVENTS
-                else self._SKETCH_SAMPLE
-            )
+            # full mergeable sketch per (window, part) + tiny union job.
+            # A 1/32 hash-slice SAMPLED sketch was A/B'd here and is a wash
+            # (tools/bench_prepass.py round 5: sampled 3.08 s vs full 2.96 s
+            # vs no-estimate 2.28 s at 4 lanes / 31.5M events — the gating
+            # xxhash64+branch costs per row what the skipped sketch updates
+            # save), so the simple full sketch ships. The cached-ratio
+            # branch above is the real saving: this path only runs until
+            # the first batch lands.
             base = (
                 remaining.groupBy(win.alias("w"), F.col("part"))
                 .agg(
                     *aggs,
-                    F.hll_sketch_agg(self._sketch_key(sample)).alias("_hsk"),
+                    F.hll_sketch_agg("doc_id").alias("_hsk"),
                 )
                 .persist()
             )
             try:
                 pre = base.drop("_hsk").collect()
                 totals = base.groupBy("w").agg(
-                    (
-                        F.hll_sketch_estimate(F.hll_union_agg("_hsk"))
-                        * F.lit(sample)
-                    ).alias("k")
+                    F.hll_sketch_estimate(F.hll_union_agg("_hsk")).alias("k")
                 ).collect()
             finally:
                 base.unpersist()

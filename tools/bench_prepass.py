@@ -72,8 +72,24 @@ def main():
         base.unpersist()
         assert rows and totals
 
+    def v_sampled():
+        # round-5 shipped shape: sketch ingests only the 1/32 hash-slice
+        key = F.when(
+            F.pmod(F.xxhash64("doc_id"), F.lit(32)) == 0, F.col("doc_id")
+        )
+        base = log.groupBy(win.alias("w"), F.col("part")).agg(
+            *base_aggs, F.hll_sketch_agg(key).alias("hsk")
+        ).persist()
+        rows = base.drop("hsk").collect()
+        totals = base.groupBy("w").agg(
+            (F.hll_sketch_estimate(F.hll_union_agg("hsk")) * F.lit(32))
+            .alias("k")
+        ).collect()
+        base.unpersist()
+        assert rows and totals
+
     variants = [("r2", v_r2), ("hllpp", v_hllpp), ("gsets", v_gsets),
-                ("sketch2", v_sketch2)]
+                ("sketch2", v_sketch2), ("sampled", v_sampled)]
     for name, fn in variants:  # one warmup round outside the clock
         fn()
     times = {name: [] for name, _ in variants}
