@@ -405,3 +405,29 @@ def test_sketch_estimate_first_replay_not_cached(spark, tmp_path):
     true_keys = log.select("doc_id").distinct().count()
     assert eng._est_from_cache is False
     assert abs(eng._est_keys - true_keys) / true_keys < 0.05
+
+
+def test_key_ratio_restored_by_fresh_engine_from_snapshot(spark, tmp_path):
+    """The last replay commit records its exact winner/event counts in the
+    snapshot metrics; a FRESH engine on the same table restores the ratio
+    and its first prepass is already sketch-free (cache-sourced estimate)."""
+    t, seed = _setup(spark, str(tmp_path / "t"))
+    log1 = gen_changelog(spark, N_EVENTS, N_DOCS, n_parts=N_PARTS)
+    cfg = ReplayConfig(events_per_batch=N_EVENTS * 2)
+    ReplayEngine(spark, t, cfg).replay(log1, run_id="r1")
+    eng2 = ReplayEngine(spark, t, cfg)  # new process analog
+    assert eng2._key_ratio is None
+    log2 = gen_changelog(spark, N_EVENTS, N_DOCS, n_parts=N_PARTS).withColumn(
+        "offset", F.col("offset") + N_EVENTS
+    ).withColumn("commit_lsn", F.col("commit_lsn") + F.lit(10_000_000))
+    eng2.replay(log2, run_id="r2")
+    assert eng2._est_from_cache is True
+    _assert_equiv(
+        t.read(),
+        oracle_final_state(
+            oracle_final_state(seed, log1).select(
+                "doc_id", "tokens", "n_tok", "source"
+            ),
+            log2,
+        ),
+    )

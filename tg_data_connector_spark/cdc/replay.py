@@ -912,6 +912,15 @@ class ReplayEngine:
         def pre_publish():
             # runs after the write job, before the snapshot publishes: the
             # observe metrics are final here
+            if wobs is not None:
+                # persist the batch's exact winner count in the snapshot
+                # metrics: a FRESH engine resuming this table restores the
+                # keys-per-event ratio from it and skips the sketch on its
+                # very first prepass (replay() cache seeding)
+                try:
+                    metrics["winners"] = int(dict(wobs.get).get("nw") or 0)
+                except Exception:
+                    pass
             if obs is None:
                 holder.update(static_dirty)
                 metrics["dirty"] = static_dirty.get("nd", 0)
@@ -1059,6 +1068,17 @@ class ReplayEngine:
         without scanning; callers that do (generators, staged benchmarks) pass
         it to skip the planning scan. None -> derived with one aggregate scan.
         """
+        if self._key_ratio is None:
+            # resume seeding: the last replay commit recorded its exact
+            # winner/event counts in the snapshot metrics — a fresh engine
+            # (crash/resume, next scheduled run) restores the ratio and
+            # skips the sketch from its very first prepass
+            m = (self.table.snapshot().summary or {}).get("metrics") or {}
+            try:
+                if int(m.get("winners") or 0) > 0 and int(m.get("events") or 0) > 0:
+                    self._key_ratio = int(m["winners"]) / int(m["events"])
+            except (TypeError, ValueError):
+                pass
         remaining = self._unapplied(changelog)
         if bounds is not None:
             n_parts, lo, hi = bounds
