@@ -1045,6 +1045,29 @@ class ReplayEngine:
                 )
             except Exception:
                 self._winners_exact_ok = False
+        elif self.cfg.merge_mode == "mor" and snap.version != v_before:
+            # streaming path (Observation disabled): a MoR commit's OWN
+            # delta files carry exact row counts in the manifest — the same
+            # winner count, free. Keeps the ratio cache learning (and the
+            # sketch skipped) under foreachBatch micro-batches too.
+            try:
+                prev = {
+                    f["path"] for f in self.table.snapshot(v_before).files
+                }
+                nw = sum(
+                    int(f.get("rows") or 0)
+                    for f in snap.files
+                    if f["path"] not in prev
+                )
+                if nw > 0:
+                    winners = nw
+                    self._winners_exact = (
+                        getattr(self, "_winners_exact", 0) + nw
+                    )
+                else:
+                    self._winners_exact_ok = False
+            except Exception:
+                self._winners_exact_ok = False
         else:
             self._winners_exact_ok = False
         return (winners, dstats)
