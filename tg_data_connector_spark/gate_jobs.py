@@ -223,6 +223,61 @@ def sql_csv_typed_read() -> str:
     """
 
 
+# ------- S7 (cont.): snappy codec family — framing + hadoop containers
+def q_csv_snappy_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed CSV through BOTH snappy container formats the reference's codec
+    switch supports (``UnstructuredStorageReaderUtil.java:117-213``): one
+    framing-snappy object (with a junk line to skip, exercising the
+    whole-file decode path) and one hadoop-snappy object (multi-block),
+    decoded by sources/snappy_codec.py, unioned."""
+    import os
+
+    from .sources.files import ColumnEntry, read_typed_csv
+    from .sources.snappy_codec import (
+        framing_snappy_compress,
+        hadoop_snappy_compress,
+    )
+
+    root = tempfile.mkdtemp(prefix="tg_gate_sz_")
+    rows = spark.read.parquet(_t(sf_dir, "supplier")).select(
+        "s_suppkey", "s_name", "s_acctbal"
+    ).collect()
+    body = "".join(
+        f"{int(r['s_suppkey'])},{r['s_name']},{float(r['s_acctbal'])!r}\n"
+        for r in rows
+    ).encode()
+    os.makedirs(f"{root}/fz")
+    os.makedirs(f"{root}/hs")
+    with open(f"{root}/fz/s.csv.sz", "wb") as f:
+        f.write(framing_snappy_compress(b"# staged by gate\n" + body, chunk=4096))
+    with open(f"{root}/hs/s.csv.snappy", "wb") as f:
+        f.write(hadoop_snappy_compress(body, block=4096))
+    cols = [
+        ColumnEntry(type="long", index=0, name="suppkey"),
+        ColumnEntry(type="string", index=1, name="name"),
+        ColumnEntry(type="double", index=2, name="acct"),
+    ]
+    a, _ = read_typed_csv(
+        spark, f"{root}/fz", cols, skip_lines=1, compression="framing-snappy"
+    )
+    b, _ = read_typed_csv(spark, f"{root}/hs", cols, compression="hadoop-snappy")
+    return a.unionByName(b).select(
+        "suppkey", "name", F.round(F.col("acct"), 2).alias("acct")
+    )
+
+
+def sql_csv_snappy_read() -> str:
+    return """
+    SELECT s_suppkey AS suppkey, s_name AS name,
+           round(s_acctbal, 2) AS acct
+    FROM supplier
+    UNION ALL
+    SELECT s_suppkey AS suppkey, s_name AS name,
+           round(s_acctbal, 2) AS acct
+    FROM supplier
+    """
+
+
 # --------------------- W4 (+P1/P2/T-chain/E5): run_job parquet -> csv sink
 def q_job_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = tempfile.mkdtemp(prefix="tg_gate_jobcsv_") + "/out"
@@ -917,6 +972,7 @@ JOB_QUERIES = {
     "query_sql_union": (q_query_sql_union, sql_query_sql_union),
     "csv_multi_projection": (q_csv_multi_projection, sql_csv_multi_projection),
     "csv_typed_read": (q_csv_typed_read, sql_csv_typed_read),
+    "csv_snappy_read": (q_csv_snappy_read, sql_csv_snappy_read),
     "job_csv_roundtrip": (q_job_csv_roundtrip, sql_job_csv_roundtrip),
     "job_merge_into": (q_job_merge_into, sql_job_merge_into),
     "job_lake_merge_writemode": (
