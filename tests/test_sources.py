@@ -380,3 +380,39 @@ def test_hadoop_snappy_csv_reads_with_skip(spark, tmp_path):
     got = sorted((r["id"], r["v"]) for r in clean.collect())
     assert got == [(0, "x0"), (1, "x1"), (2, "x2"),
                    (10, "y0"), (11, "y1"), (12, "y2")]
+
+
+def test_snappy_codec_property_roundtrip():
+    """Property: decompress(compress(x)) == x for both containers across
+    arbitrary byte payloads and chunk/block sizes (hypothesis)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from tg_data_connector_spark.sources.snappy_codec import (
+        framing_snappy_compress,
+        framing_snappy_decompress,
+        hadoop_snappy_compress,
+        hadoop_snappy_decompress,
+        snappy_compress,
+        snappy_decompress,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        data=st.binary(max_size=5000),
+        chunk=st.integers(min_value=1, max_value=700),
+    )
+    def check(data, chunk):
+        assert snappy_decompress(snappy_compress(data)) == data
+        assert (
+            framing_snappy_decompress(
+                framing_snappy_compress(data, chunk=chunk)
+            )
+            == data
+        )
+        assert (
+            hadoop_snappy_decompress(hadoop_snappy_compress(data, block=chunk))
+            == data
+        )
+
+    check()

@@ -233,8 +233,9 @@ def hadoop_snappy_compress(data: bytes, block: int = 65536) -> bytes:
     out = bytearray()
     for pos in range(0, len(data), block) or [0]:
         piece = data[pos:pos + block]
-        comp = snappy_compress(piece)
         out += struct.pack(">I", len(piece))
-        out += struct.pack(">I", len(comp))
-        out += comp
+        if piece:  # a 0-length block carries no chunks (decoder reads none)
+            comp = snappy_compress(piece)
+            out += struct.pack(">I", len(comp))
+            out += comp
     return bytes(out)
